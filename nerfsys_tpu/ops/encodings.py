@@ -1,0 +1,240 @@
+"""Input encodings: spherical harmonics, frequency bands, multires hash grid.
+
+TPU-native replacements for tiny-cuda-nn's fused CUDA encoders
+(/root/reference/adaptive_nerf/models/encodings.py). The math specs are the
+reference's pure-torch fallbacks, which we reproduce exactly:
+
+  - SH: real spherical harmonics up to degree 4, Nerfstudio coefficient
+    convention (encodings.py:27-81).
+  - Frequency: cos/sin bands 2^0..2^(L-1), optional pi scaling and identity
+    passthrough (encodings.py:387-444).
+  - HashGrid: Instant-NGP multiresolution hash (encodings.py:160-381) —
+    per-level resolution floor(min_res * growth^l) with
+    growth = exp((ln max - ln min)/(L-1)); prime-XOR hash
+    (1, 2654435761, 805459861) mod 2^log2_size; one table slab per level;
+    trilinear (or nearest / smoothstep) interpolation.
+
+Everything is a pure function over explicit parameters so the hash table can
+live inside a fast-weight pytree and be meta-learned. The gather is expressed
+with jnp.take so XLA lowers it to the TPU dynamic-gather unit; a fused Pallas
+hash-encode kernel plugs in behind the same signature (see ops/pallas/).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+MAX_SH_DEGREE = 4
+
+# 64-bit-safe in uint32: (a*p mod 2^32) mod 2^T == (a*p) mod 2^T for T <= 32,
+# and XOR commutes with truncation, so uint32 wraparound arithmetic reproduces
+# the reference's int64 math bit-exactly.
+_HASH_PRIMES = (np.uint32(1), np.uint32(2654435761), np.uint32(805459861))
+
+
+# =========================== spherical harmonics ============================
+def num_sh_bases(degree: int) -> int:
+    assert degree <= MAX_SH_DEGREE
+    return (degree + 1) ** 2
+
+
+def sh_encode(directions: Array, levels: int = 4) -> Array:
+    """Real SH components up to degree = levels - 1.
+
+    directions: (..., 3), normalized internally. Returns (..., levels**2).
+    """
+    degree = levels - 1
+    assert 0 <= degree <= MAX_SH_DEGREE
+    d = directions
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+
+    comps = [jnp.full_like(x, 0.28209479177387814)]  # l=0
+    if degree > 0:
+        comps += [
+            0.4886025119029199 * y,
+            0.4886025119029199 * z,
+            0.4886025119029199 * x,
+        ]
+    if degree > 1:
+        comps += [
+            1.0925484305920792 * x * y,
+            1.0925484305920792 * y * z,
+            0.9461746957575601 * zz - 0.31539156525251999,
+            1.0925484305920792 * x * z,
+            0.5462742152960396 * (xx - yy),
+        ]
+    if degree > 2:
+        comps += [
+            0.5900435899266435 * y * (3 * xx - yy),
+            2.890611442640554 * x * y * z,
+            0.4570457994644658 * y * (5 * zz - 1),
+            0.3731763325901154 * z * (5 * zz - 3),
+            0.4570457994644658 * x * (5 * zz - 1),
+            1.445305721320277 * z * (xx - yy),
+            0.5900435899266435 * x * (xx - 3 * yy),
+        ]
+    if degree > 3:
+        comps += [
+            2.5033429417967046 * x * y * (xx - yy),
+            1.7701307697799304 * y * z * (3 * xx - yy),
+            0.9461746957575601 * x * y * (7 * zz - 1),
+            0.6690465435572892 * y * z * (7 * zz - 3),
+            0.10578554691520431 * (35 * zz * zz - 30 * zz + 3),
+            0.6690465435572892 * x * z * (7 * zz - 3),
+            0.47308734787878004 * (xx - yy) * (7 * zz - 1),
+            1.7701307697799304 * x * z * (xx - 3 * yy),
+            0.6258357354491761 * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
+        ]
+    return jnp.stack(comps, axis=-1)
+
+
+def sh_out_dim(levels: int = 4) -> int:
+    return levels**2
+
+
+# =============================== frequency ==================================
+def frequency_encode(
+    x: Array, pe_dim: int, include_input: bool = True, use_pi: bool = False
+) -> Array:
+    """NeRF positional encoding: [x?, cos(x*2^k), sin(x*2^k)] per channel.
+
+    Matches the reference torch fallback ordering: for each input channel the
+    L cosine bands come first, then the L sine bands (encodings.py:436-443).
+    Returns (..., D * (2*pe_dim + include_input)).
+    """
+    bands = (2.0 ** jnp.arange(pe_dim, dtype=x.dtype))
+    xin = x * (math.pi if use_pi else 1.0)
+    xe = xin[..., None] * bands  # (..., D, L)
+    pe = jnp.concatenate([jnp.cos(xe), jnp.sin(xe)], axis=-1)
+    pe = pe.reshape(*x.shape[:-1], -1)
+    if include_input:
+        return jnp.concatenate([x, pe], axis=-1)
+    return pe
+
+
+def frequency_out_dim(in_dim: int, pe_dim: int, include_input: bool = True) -> int:
+    return in_dim * (2 * pe_dim + (1 if include_input else 0))
+
+
+# =============================== hash grid ==================================
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    """Static hyperparameters of an Instant-NGP multiresolution hash grid."""
+
+    levels: int = 16
+    min_res: int = 16
+    max_res: int = 4096
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    hash_init_scale: float = 1e-3
+    interpolation: str = "Linear"  # Nearest | Linear | Smoothstep
+
+    @property
+    def table_size(self) -> int:
+        return 2**self.log2_hashmap_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels * self.features_per_level
+
+    @property
+    def growth_factor(self) -> float:
+        if self.levels <= 1:
+            return 1.0
+        return math.exp(
+            (math.log(self.max_res) - math.log(self.min_res)) / (self.levels - 1)
+        )
+
+    def level_resolutions(self) -> np.ndarray:
+        """Integer per-level resolutions, floor(min_res * growth^l)."""
+        ls = np.arange(self.levels, dtype=np.float32)
+        return np.floor(self.min_res * (self.growth_factor**ls)).astype(np.int32)
+
+
+def hash_grid_init(key: jax.Array, cfg: HashGridConfig, dtype=jnp.float32) -> Array:
+    """Hash table parameter, uniform(-1, 1) * hash_init_scale.
+
+    Shape (levels * 2^log2_hashmap_size, features_per_level) — one contiguous
+    slab per level, level-major, matching the reference layout.
+    """
+    total = cfg.table_size * cfg.levels
+    return (
+        jax.random.uniform(key, (total, cfg.features_per_level), dtype=dtype) * 2.0
+        - 1.0
+    ) * cfg.hash_init_scale
+
+
+def _hash3(ix: Array, iy: Array, iz: Array, log2_size: int) -> Array:
+    """Prime-XOR spatial hash in uint32, bit-exact with the int64 reference."""
+    h = (
+        ix.astype(jnp.uint32) * _HASH_PRIMES[0]
+        ^ iy.astype(jnp.uint32) * _HASH_PRIMES[1]
+        ^ iz.astype(jnp.uint32) * _HASH_PRIMES[2]
+    )
+    return (h & jnp.uint32(2**log2_size - 1)).astype(jnp.int32)
+
+
+def hash_grid_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
+    """Encode points in [0,1]^3 -> (..., levels * features_per_level).
+
+    Exact jnp transliteration of the reference fallback math
+    (encodings.py:331-381); XLA fuses the interpolation arithmetic, and the
+    gathers hit the TPU gather unit. Differentiable w.r.t. `table`.
+    """
+    assert x01.shape[-1] == 3
+    L, F = cfg.levels, cfg.features_per_level
+    res = jnp.asarray(cfg.level_resolutions(), dtype=x01.dtype)  # (L,)
+    level_offsets = (jnp.arange(L, dtype=jnp.int32) * cfg.table_size)  # (L,)
+
+    scaled = x01[..., None, :] * res[:, None]  # (..., L, 3)
+
+    mode = cfg.interpolation or "Linear"
+    if mode == "Nearest":
+        idx = jnp.round(scaled).astype(jnp.int32)
+        h = _hash3(idx[..., 0], idx[..., 1], idx[..., 2], cfg.log2_hashmap_size)
+        feats = jnp.take(table, h + level_offsets, axis=0)  # (..., L, F)
+        return feats.reshape(*x01.shape[:-1], L * F)
+
+    floor = jnp.floor(scaled)
+    frac = scaled - floor
+    fl = floor.astype(jnp.int32)
+    ce = fl + 1
+
+    def corner(cx, cy, cz):
+        h = _hash3(cx, cy, cz, cfg.log2_hashmap_size)
+        return jnp.take(table, h + level_offsets, axis=0)  # (..., L, F)
+
+    f000 = corner(fl[..., 0], fl[..., 1], fl[..., 2])
+    f001 = corner(fl[..., 0], fl[..., 1], ce[..., 2])
+    f010 = corner(fl[..., 0], ce[..., 1], fl[..., 2])
+    f011 = corner(fl[..., 0], ce[..., 1], ce[..., 2])
+    f100 = corner(ce[..., 0], fl[..., 1], fl[..., 2])
+    f101 = corner(ce[..., 0], fl[..., 1], ce[..., 2])
+    f110 = corner(ce[..., 0], ce[..., 1], fl[..., 2])
+    f111 = corner(ce[..., 0], ce[..., 1], ce[..., 2])
+
+    wx = frac[..., 0:1]
+    wy = frac[..., 1:2]
+    wz = frac[..., 2:3]
+    if mode == "Smoothstep":
+        wx = wx * wx * (3 - 2 * wx)
+        wy = wy * wy * (3 - 2 * wy)
+        wz = wz * wz * (3 - 2 * wz)
+
+    c00 = f000 * (1 - wx) + f100 * wx
+    c01 = f001 * (1 - wx) + f101 * wx
+    c10 = f010 * (1 - wx) + f110 * wx
+    c11 = f011 * (1 - wx) + f111 * wx
+    c0 = c00 * (1 - wy) + c10 * wy
+    c1 = c01 * (1 - wy) + c11 * wy
+    feats = c0 * (1 - wz) + c1 * wz  # (..., L, F)
+    return feats.reshape(*x01.shape[:-1], L * F)

@@ -1,0 +1,70 @@
+"""Training losses over rendered rays.
+
+Counterpart of /root/reference/adaptive_nerf/nerfs/losses.py: render a packed
+ray batch, align prediction/GT color spaces, MSE. Expressed as pure functions
+of (field_fn, rays, rgbs) so jax.grad/vmap compose through them — this is the
+loss the meta inner loop differentiates.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfsys_tpu.ops.color_space import color_space_transformer
+from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+Array = jax.Array
+
+
+def mse(pred: Array, gt: Array) -> Array:
+    return jnp.mean(jnp.square(pred - gt))
+
+
+def psnr_from_mse(m: Array) -> Array:
+    """PSNR = -10 log10(mse + 1e-24), reference utils.py:538-539."""
+    return -10.0 * jnp.log10(m + 1e-24)
+
+
+def psnr(pred: Array, gt: Array) -> Array:
+    return psnr_from_mse(mse(pred, gt))
+
+
+def compute_mse_loss(
+    field_fn,
+    rays: Array,  # (N, 8)
+    rgbs: Array,  # (N, 3) GT sRGB in [0,1]
+    *,
+    ray_samples: int,
+    key: Optional[jax.Array] = None,
+    randomized: bool = False,
+    color_space: str = "srgb",
+    bg_policy: str = "white",
+    bg_fn=None,
+    sigma_scale: float = 1.0,
+) -> Tuple[Array, dict]:
+    """Render support/query rays and compute color-space-aligned MSE.
+
+    Returns (loss, aux) where aux carries rgb_map/psnr for logging.
+    Spec: reference losses.py:10-32.
+    """
+    rgb_map, depth, weights, acc = render_rays_stratified(
+        field_fn,
+        rays,
+        ray_samples,
+        key=key,
+        randomized=randomized,
+        bg_policy=bg_policy,
+        bg_fn=bg_fn,
+        sigma_scale=sigma_scale,
+    )
+    pred, gt = color_space_transformer(rgb_map, rgbs, color_space)
+    loss = mse(pred, gt)
+    aux = {
+        "rgb_map": rgb_map,
+        "depth_map": depth,
+        "acc_map": acc,
+        "psnr": psnr_from_mse(jax.lax.stop_gradient(loss)),
+    }
+    return loss, aux

@@ -1,0 +1,163 @@
+"""Ray generation and packing, TPU-first.
+
+Functional JAX counterpart of the reference ray sampler
+(/root/reference/adaptive_nerf/nerfs/ray_sampling.py). Conventions preserved:
+
+  - Cameras are RUB (Right, Up, Back): pixel (i, j) maps to camera-frame
+    direction [(i - cx)/fx, -(j - cy)/fy, -1], unit-normalized.
+  - World frame is DRB (Down, Right, Back); c2w is (3, 4) [R | t] already in
+    that basis (see data/transformations.py in the reference).
+  - A packed ray is a (..., 8) array [ox, oy, oz, dx, dy, dz, near, far].
+  - Invalid rays carry `inf` (or a large tag value) in near/far.
+
+Everything here is shape-static and differentiable-safe, so it can sit inside
+jit/vmap/shard_map without retraces.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfsys_tpu.ops.scene_box import SceneBox
+
+Array = jax.Array
+
+
+# --------------------------- packing ---------------------------------------
+def pack_rays(rays_o: Array, rays_d: Array, near: Array, far: Array) -> Array:
+    """Pack [o, d, near, far] along the last dim -> (..., 8)."""
+    return jnp.concatenate([rays_o, rays_d, near, far], axis=-1)
+
+
+def unpack_rays(rays: Array) -> Tuple[Array, Array, Array, Array]:
+    """Unpack (..., 8) rays -> flat (N,3) origins/dirs and (N,1) near/far."""
+    flat = rays.reshape(-1, 8)
+    return flat[:, 0:3], flat[:, 3:6], flat[:, 6:7], flat[:, 7:8]
+
+
+# --------------------------- directions ------------------------------------
+def get_ray_directions(
+    H: int,
+    W: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    center_pixels: bool = True,
+    dtype=jnp.float32,
+) -> Array:
+    """Unit camera-frame (RUB) directions (H, W, 3) for pinhole intrinsics.
+
+    Matches reference ray_sampling.py:111-136: x right, y up (note the minus
+    on the j term), z = -1 into the scene.
+    """
+    j = jnp.arange(H, dtype=dtype)[:, None]  # rows
+    i = jnp.arange(W, dtype=dtype)[None, :]  # cols
+    if center_pixels:
+        i = i + 0.5
+        j = j + 0.5
+    x = (i - cx) / fx  # (1, W) -> broadcast
+    y = -(j - cy) / fy  # (H, 1)
+    x = jnp.broadcast_to(x, (H, W))
+    y = jnp.broadcast_to(y, (H, W))
+    z = -jnp.ones((H, W), dtype=dtype)
+    dirs = jnp.stack([x, y, z], axis=-1)
+    norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs / jnp.maximum(norm, 1e-12)
+
+
+def rays_cam_to_world(dirs_cam: Array, c2w: Array) -> Tuple[Array, Array]:
+    """Camera-frame directions -> world-frame (origins, directions)."""
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    dirs_w = dirs_cam @ R.T
+    org_w = jnp.broadcast_to(t, dirs_w.shape)
+    return org_w, dirs_w
+
+
+# --------------------------- public API ------------------------------------
+def get_rays(
+    directions: Array,  # (H, W, 3) or (N, 3) camera-frame unit dirs
+    c2w: Array,  # (3, 4) or (4, 4)
+    scene_box: Optional[SceneBox] = None,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    *,
+    aabb_max_bound: float = 1e10,
+    aabb_invalid_value: float = 1e10,
+) -> Array:
+    """Build packed rays (..., 8) = [o, d, near, far].
+
+    near/far either come from ray/AABB intersection against `scene_box`
+    (per-ray) or from the scalar near/far arguments. Mirrors reference
+    ray_sampling.py:50-108.
+    """
+    lead_shape = directions.shape[:-1]
+    rays_o, rays_d = rays_cam_to_world(directions, c2w)
+    o_flat = rays_o.reshape(-1, 3)
+    d_flat = rays_d.reshape(-1, 3)
+
+    if scene_box is not None:
+        tmin, tmax = scene_box.ray_aabb_intersect(
+            o_flat, d_flat, eps=1e-8, max_bound=aabb_max_bound,
+            invalid_value=aabb_invalid_value,
+        )
+        near_vals = tmin[:, None]
+        far_vals = tmax[:, None]
+    else:
+        if near is None or far is None:
+            raise ValueError("Provide near/far when scene_box is None")
+        n = o_flat.shape[0]
+        near_vals = jnp.full((n, 1), float(near), dtype=o_flat.dtype)
+        far_vals = jnp.full((n, 1), float(far), dtype=o_flat.dtype)
+
+    packed = jnp.concatenate([o_flat, d_flat, near_vals, far_vals], axis=-1)
+    return packed.reshape(*lead_shape, 8)
+
+
+def clamp_rays_near_far(
+    rays: Array,  # (N, 8)
+    near_override: Optional[float] = None,
+    far_override: Optional[float] = None,
+    *,
+    eps: float = 1e-6,
+    invalid_value: float = jnp.inf,
+) -> Tuple[Array, Array]:
+    """Clamp packed rays' near/far with optional overrides.
+
+    Returns (rays_clamped, valid_mask). Invalid rays (non-finite bounds or
+    far <= near + eps) get near = far = invalid_value. Mirrors reference
+    ray_sampling.py:139-176 but is branch-free / jit-safe.
+    """
+    near = rays[:, 6]
+    far = rays[:, 7]
+    if near_override is not None:
+        near = jnp.maximum(near, jnp.asarray(near_override, rays.dtype))
+    if far_override is not None:
+        far = jnp.minimum(far, jnp.asarray(far_override, rays.dtype))
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near + eps)
+    # Treat the reference's 1e10 "miss" tags as invalid too.
+    valid = valid & (near < 1e9) & (far < 1e10)
+    inv = jnp.asarray(invalid_value, rays.dtype)
+    near = jnp.where(valid, near, inv)
+    far = jnp.where(valid, far, inv)
+    rays = rays.at[:, 6].set(near).at[:, 7].set(far)
+    return rays, valid
+
+
+def rays_for_camera(
+    c2w: Array,
+    H: int,
+    W: int,
+    intrinsics,  # (4,) [fx, fy, cx, cy]
+    scene_box: Optional[SceneBox] = None,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    center_pixels: bool = True,
+) -> Array:
+    """Convenience: full-image packed rays (H, W, 8) for one camera."""
+    fx, fy, cx, cy = [float(v) for v in intrinsics]
+    dirs = get_ray_directions(H, W, fx, fy, cx, cy, center_pixels)
+    return get_rays(dirs, c2w, scene_box=scene_box, near=near, far=far)

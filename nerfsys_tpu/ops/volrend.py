@@ -1,0 +1,202 @@
+"""Dense volume rendering core, TPU-first.
+
+JAX counterpart of /root/reference/adaptive_nerf/nerfs/ray_rendering.py's math
+(volume_render at :114-165, stratified_t_vals at :262-287), redesigned around
+fixed shapes: every ray carries exactly S samples laid out as (N, S) so the
+whole pipeline is one fused XLA program (no packed/CSR sample lists like
+nerfacc). Empty space is handled by masking sample contributions (sigma = 0
+where masked), which XLA folds into the same fused elementwise pass.
+
+All functions are pure and differentiable; the compositing uses exclusive
+cumprod transmittance exactly as the reference dense spec does.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfsys_tpu.ops.activations import trunc_exp
+
+Array = jax.Array
+
+
+# --------------------------- sampling ---------------------------------------
+def stratified_t_vals(
+    key: Optional[jax.Array],
+    near: Array,  # (N,)
+    far: Array,  # (N,)
+    ray_samples: int,
+    randomized: bool = True,
+) -> Array:
+    """Uniformly place S samples per ray in [near, far], with optional
+    stratified jitter (training). Mirrors reference ray_rendering.py:262-287.
+
+    Returns t_vals (N, S).
+    """
+    t_lin = jnp.linspace(0.0, 1.0, ray_samples, dtype=near.dtype)[None, :]
+    t_vals = near[:, None] * (1.0 - t_lin) + far[:, None] * t_lin
+    if randomized:
+        if key is None:
+            raise ValueError("randomized sampling requires a PRNG key")
+        mids = 0.5 * (t_vals[:, :-1] + t_vals[:, 1:])
+        low = jnp.concatenate([t_vals[:, :1], mids], axis=1)
+        high = jnp.concatenate([mids, t_vals[:, -1:]], axis=1)
+        u = jax.random.uniform(key, t_vals.shape, dtype=t_vals.dtype)
+        t_vals = low + (high - low) * u
+    return t_vals
+
+
+def t_to_points(rays_o: Array, rays_d: Array, t_vals: Array) -> Array:
+    """(N,3),(N,3),(N,S) -> sample positions (N,S,3)."""
+    return rays_o[:, None, :] + rays_d[:, None, :] * t_vals[..., None]
+
+
+# --------------------------- compositing ------------------------------------
+def render_weights(
+    sigma: Array,  # (N, S) nonnegative densities
+    t_vals: Array,  # (N, S)
+    *,
+    dists: Optional[Array] = None,  # (N, S) override per-sample step sizes
+) -> Tuple[Array, Array, Array]:
+    """Alpha/transmittance weights from densities.
+
+    Returns (weights, alpha, trans) each (N, S). Matches the reference dense
+    spec: dists clamped to >= 1e-4 with the last interval repeated; alpha
+    clamped to [0, 1 - 1e-7]; T = exclusive cumprod of (1 - alpha + 1e-10).
+    """
+    if dists is None:
+        d = jnp.maximum(t_vals[:, 1:] - t_vals[:, :-1], 1e-4)
+        dists = jnp.concatenate([d, d[:, -1:]], axis=1)
+    alpha = jnp.clip(1.0 - jnp.exp(-sigma * dists), 0.0, 1.0 - 1e-7)
+    one_m = 1.0 - alpha + 1e-10
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[:, :1]), one_m], axis=1), axis=1
+    )[:, :-1]
+    weights = alpha * trans
+    return weights, alpha, trans
+
+
+def volume_render(
+    rgb_sigma: Array,  # (N, S, 4): [rgb in 0..1, sigma >= 0] unless raw_*
+    t_vals: Array,  # (N, S)
+    bg_rgb: Optional[Array] = None,  # (N, 3) or None
+    *,
+    raw_rgb: bool = False,
+    raw_sigma: bool = False,
+    sigma_scale: float = 1.0,
+    dists: Optional[Array] = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Standard NeRF compositing over dense (N, S) samples.
+
+    Returns (rgb_map (N,3), depth_map (N,), weights (N,S), acc_map (N,)).
+    Spec: reference ray_rendering.py:114-165.
+    """
+    rgb_raw = rgb_sigma[..., :3]
+    sigma_in = rgb_sigma[..., 3]
+
+    rgb = jax.nn.sigmoid(rgb_raw) if raw_rgb else jnp.clip(rgb_raw, 0.0, 1.0)
+    sigma = trunc_exp(sigma_in) if raw_sigma else jnp.maximum(sigma_in, 0.0)
+    if sigma_scale != 1.0:
+        sigma = sigma * float(sigma_scale)
+
+    weights, _, _ = render_weights(sigma, t_vals, dists=dists)
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=1)
+    depth_map = jnp.sum(weights * t_vals, axis=1)
+    acc_map = jnp.sum(weights, axis=1)
+
+    if bg_rgb is not None:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None]) * bg_rgb.astype(rgb_map.dtype)
+
+    return rgb_map, depth_map, weights, acc_map
+
+
+# --------------------------- background policies ----------------------------
+def background_rgb(
+    policy: str,
+    n_rays: int,
+    key: Optional[jax.Array] = None,
+    last_sample_rgb: Optional[Array] = None,  # (N, 3)
+    dtype=jnp.float32,
+) -> Optional[Array]:
+    """Constant background policies (reference ray_rendering.py:23-108).
+
+    policy in {'white', 'black', 'random', 'last_sample', 'none'}.
+    Returns (N, 3) or None for 'none'. The learned bg-NeRF path is handled by
+    the model container, not here.
+    """
+    p = str(policy).lower()
+    if p == "white":
+        return jnp.ones((n_rays, 3), dtype=dtype)
+    if p == "black":
+        return jnp.zeros((n_rays, 3), dtype=dtype)
+    if p == "random":
+        if key is None:
+            raise ValueError("random background requires a PRNG key")
+        return jax.random.uniform(key, (n_rays, 3), dtype=dtype)
+    if p == "last_sample":
+        if last_sample_rgb is None:
+            raise ValueError("last_sample background requires sample colors")
+        return last_sample_rgb
+    if p == "none":
+        return None
+    raise ValueError(f"Unknown background policy: {policy!r}")
+
+
+# --------------------------- full stratified renderer -----------------------
+FieldFn = Callable[[Array, Array], Tuple[Array, Array]]
+# FieldFn(points (M,3), dirs (M,3)) -> (rgb (M,3) in [0,1], sigma (M,) >= 0)
+
+
+def render_rays_stratified(
+    field_fn: FieldFn,
+    rays: Array,  # (N, 8) packed
+    ray_samples: int,
+    key: Optional[jax.Array] = None,
+    *,
+    randomized: bool = False,
+    bg_policy: str = "white",
+    bg_fn: Optional[Callable[[Array], Array]] = None,  # dirs (N,3) -> (N,3)
+    sigma_scale: float = 1.0,
+) -> Tuple[Array, Array, Array, Array]:
+    """Dense stratified renderer (reference ray_rendering.py:290-345).
+
+    field_fn evaluates the (already parameter-bound) radiance field on flat
+    points; bg_fn, if given, is a learned background model queried at the
+    per-ray direction and overrides bg_policy.
+
+    Invalid rays (near/far tagged inf or >= 1e9) render to the background with
+    zero weights.
+    """
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    n_rays = o.shape[0]
+
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (far < 1e9)
+    near_s = jnp.where(valid, near, 0.0)
+    far_s = jnp.where(valid, far, 1.0)
+
+    skey = bkey = None
+    if key is not None:
+        skey, bkey = jax.random.split(key)
+    t_vals = stratified_t_vals(skey, near_s, far_s, ray_samples, randomized)
+    pts = t_to_points(o, d, t_vals)  # (N, S, 3)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+
+    rgb, sigma = field_fn(pts.reshape(-1, 3), dirs.reshape(-1, 3))
+    rgb = rgb.reshape(n_rays, ray_samples, 3)
+    sigma = sigma.reshape(n_rays, ray_samples)
+    sigma = jnp.where(valid[:, None], sigma, 0.0)
+
+    if bg_fn is not None:
+        bg = bg_fn(d)
+    else:
+        bg = background_rgb(
+            bg_policy, n_rays, key=bkey, last_sample_rgb=rgb[:, -1, :],
+            dtype=rgb.dtype,
+        )
+
+    rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+    return volume_render(rgb_sigma, t_vals, bg_rgb=bg, sigma_scale=sigma_scale)

@@ -1,0 +1,16 @@
+"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+
+Must run before jax is imported anywhere — pytest imports conftest first.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platform_name", "cpu")
