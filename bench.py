@@ -1,0 +1,108 @@
+"""Headline benchmark: meta-training ray throughput on one chip.
+
+Runs the REAL jitted meta-training step (FoMAML inner loop + outer update) on
+the reference demo-scale configuration (configs/train.json: 4 experts, hash
+2^20 x 16 levels, 64-wide MLPs, 4000 support + 2000 query rays/task, 3
+tasks/region, 8 inner iterations, 96 samples/ray) with synthetic episode data,
+and reports processed training rays per second per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
+against the rebuild's own recorded target once set; 1.0 until then.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+        param_group_labels,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.pipelines.offline.meta_core import MetaConfig
+    from nerfsys_tpu.pipelines.offline.meta_train_step import make_train_step
+    from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
+
+    K, B, S, Q = 4, 3, 4000, 2000
+    INNER, SAMPLES = 8, 96
+
+    expert = NGPConfig(
+        hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
+        geo_feat_dim=15,
+        hash=HashGridConfig(levels=16, min_res=16, max_res=4096,
+                            log2_hashmap_size=20),
+    )
+    cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
+                          bg_hidden=32)
+    cents = jnp.asarray(
+        [[0.0, -1, -1], [0.0, -1, 1], [0.0, 1, -1], [0.0, 1, 1]], jnp.float32
+    )
+    boxes = jnp.stack([jnp.stack([c - 1.2, c + 1.2]) for c in cents])
+    statics = ContainerStatics(cents, boxes,
+                               jnp.asarray([[-2.2, -2.2, -2.2], [2.2, 2.2, 2.2]]))
+
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+    meta = MetaConfig(algo="fomaml", inner_iter=INNER, inner_lr=0.015,
+                      ray_samples=SAMPLES)
+    tx = build_optimizer(OptimConfig(outer_steps=10000), param_group_labels(params))
+    opt_state = tx.init(params)
+    step = make_train_step(meta, cfg, tx)
+
+    rng = np.random.default_rng(0)
+
+    def rays(n):
+        o = rng.normal(size=(K, B, n, 3)).astype(np.float32) * 0.3
+        d = rng.normal(size=(K, B, n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        nf = np.tile(np.array([0.1, 2.5], np.float32), (K, B, n, 1))
+        return np.concatenate([o, d, nf], -1)
+
+    batch = {
+        "support_rays": rays(S),
+        "support_rgbs": rng.uniform(size=(K, B, S, 3)).astype(np.float32),
+        "query_rays": rays(Q),
+        "query_rgbs": rng.uniform(size=(K, B, Q, 3)).astype(np.float32),
+        "valid": np.ones((K, B), np.float32),
+    }
+    batch = jax.device_put(batch)
+
+    # warmup/compile
+    key = jax.random.PRNGKey(1)
+    params, opt_state, aux = step(params, opt_state, statics, batch, key)
+    jax.block_until_ready(aux["loss_out"])
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        params, opt_state, aux = step(params, opt_state, statics, batch, k)
+    jax.block_until_ready(aux["loss_out"])
+    dt = (time.perf_counter() - t0) / iters
+
+    # rays processed per outer step: inner loop touches S rays x INNER times
+    # (fwd+bwd each), query once. Count distinct training rays consumed, the
+    # reference's own throughput notion: (S * INNER + Q) per task.
+    rays_per_step = K * B * (S * INNER + Q)
+    value = rays_per_step / dt
+
+    print(json.dumps({
+        "metric": "meta_train_rays_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Meta-learning core: inner-loop task adaptation + outer meta updates.
+
+TPU-native counterpart of the reference meta_core
+(/root/reference/adaptive_nerf/pipelines/offline_stage/meta_core.py:14-178).
+The reference's MetaModule fast-weight machinery dissolves entirely: fast
+weights are just another params pytree, the inner loop is a lax.scan of
+SGD steps with jax.grad inside, and the algo zoo falls out of autodiff
+structure:
+
+  - MAML:   differentiate the query loss through the whole inner scan
+            (second-order); each inner step is jax.checkpoint-ed so the
+            backward pass rematerializes instead of storing 8 renderings.
+  - FoMAML: stop_gradient on the inner gradients — the adapted params keep
+            their identity dependence on the base params, so outer grads
+            equal query-loss grads at the adapted point (exactly the
+            reference's create_graph=False semantics).
+  - Reptile: pure pytree algebra, theta += lr * mean(W_adapted - theta).
+
+Inner adaptation touches ONLY the active expert's params (hash table + MLPs);
+the background model participates in rendering as a constant during the inner
+loop and receives gradients only from the outer query loss — matching
+extract_module_params scoping in the reference (:196-205).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    background_color,
+    _expert_apply_fn,
+)
+from nerfsys_tpu.ops.losses import compute_mse_loss
+
+Array = jax.Array
+Params = Dict
+
+
+@dataclasses.dataclass(frozen=True)
+class MetaConfig:
+    """Static hyperparameters of meta-training."""
+
+    algo: str = "fomaml"  # maml | fomaml | reptile
+    inner_iter: int = 8
+    inner_lr: float = 0.015
+    reptile_lr: float = 1e-4  # outer lr for the reptile rule (reference P.lr)
+    ray_samples: int = 96
+    color_space: str = "srgb"
+    bg_policy: str = "white"  # used when the container has no bg model
+    sigma_scale: float = 1.0
+    randomized: bool = True
+
+    @property
+    def first_order(self) -> bool:
+        return self.algo in ("fomaml", "reptile")
+
+
+def _expert_loss_fn(
+    meta: MetaConfig,
+    cfg: ContainerConfig,
+    expert_params: Params,
+    aabb: Array,
+    bg_params: Optional[Params],
+    rays: Array,
+    rgbs: Array,
+    key: Optional[jax.Array],
+    randomized: bool,
+):
+    """Single-expert render loss (reference compute_loss with active_module)."""
+    apply_fn, _ = _expert_apply_fn(cfg)
+
+    def field(pts, dirs):
+        return apply_fn(expert_params, cfg.expert, aabb, pts, dirs)
+
+    bg_fn = None
+    if cfg.use_bg_nerf and bg_params is not None:
+        def bg_fn(dirs):
+            return background_color({"bg": bg_params}, cfg, dirs)
+
+    loss, aux = compute_mse_loss(
+        field,
+        rays,
+        rgbs,
+        ray_samples=meta.ray_samples,
+        key=key,
+        randomized=randomized,
+        color_space=meta.color_space,
+        bg_policy=meta.bg_policy,
+        bg_fn=bg_fn,
+        sigma_scale=meta.sigma_scale,
+    )
+    return loss, aux
+
+
+def task_adapt(
+    meta: MetaConfig,
+    cfg: ContainerConfig,
+    expert_params: Params,  # one expert's pytree (no K axis)
+    aabb: Array,  # (2, 3)
+    bg_params: Optional[Params],
+    support_rays: Array,  # (S, 8)
+    support_rgbs: Array,  # (S, 3)
+    key: jax.Array,
+    iterations: Optional[int] = None,
+    inner_lr: Optional[float] = None,
+) -> Tuple[Params, Array]:
+    """Inner-loop adaptation: `iterations` SGD steps on the support loss.
+
+    Returns (fast_params, inner_losses (iterations,)). Differentiable through
+    the scan for MAML; first-order algorithms cut the gradient path at the
+    inner gradients (but keep the identity path to the base params).
+    """
+    iterations = meta.inner_iter if iterations is None else iterations
+    lr = meta.inner_lr if inner_lr is None else inner_lr
+    bg_const = jax.lax.stop_gradient(bg_params) if bg_params is not None else None
+
+    def loss_fn(p, k):
+        loss, _ = _expert_loss_fn(
+            meta, cfg, p, aabb, bg_const, support_rays, support_rgbs, k,
+            randomized=meta.randomized,
+        )
+        return loss
+
+    @jax.checkpoint
+    def step(p, k):
+        loss, g = jax.value_and_grad(loss_fn)(p, k)
+        p = jax.tree_util.tree_map(lambda w, gg: w - lr * gg.astype(w.dtype), p, g)
+        return p, loss
+
+    keys = jax.random.split(key, iterations)
+
+    if meta.first_order:
+        # First-order path: keep the inner scan OUT of the autodiff graph
+        # entirely (a differentiated scan stores every per-step params carry —
+        # iterations x full fast-weight copies of HBM). The adapted VALUE is
+        # computed under stop_gradient and reattached through the identity
+        # path p0 + sg(fast - p0), so outer grads equal query-loss grads at
+        # the adapted point — exactly FoMAML (create_graph=False) semantics.
+        p0_const = jax.lax.stop_gradient(expert_params)
+        fast_const, losses = jax.lax.scan(step, p0_const, keys)
+        fast = jax.tree_util.tree_map(
+            lambda base, f: base + jax.lax.stop_gradient(f - base),
+            expert_params,
+            fast_const,
+        )
+        return fast, losses
+
+    # MAML: differentiate through the scan (each step rematerialized).
+    fast, losses = jax.lax.scan(step, expert_params, keys)
+    return fast, losses
+
+
+def query_loss(
+    meta: MetaConfig,
+    cfg: ContainerConfig,
+    fast_params: Params,
+    aabb: Array,
+    bg_params: Optional[Params],
+    query_rays: Array,
+    query_rgbs: Array,
+    key: Optional[jax.Array] = None,
+) -> Tuple[Array, Array]:
+    """Query-set loss at the adapted weights -> (loss, psnr)."""
+    loss, aux = _expert_loss_fn(
+        meta, cfg, fast_params, aabb, bg_params, query_rays, query_rgbs, key,
+        randomized=meta.randomized and key is not None,
+    )
+    return loss, aux["psnr"]
+
+
+def reptile_update(
+    base_experts: Params,  # stacked (K, ...)
+    fast_experts: Params,  # adapted (K, B, ...)
+    valid: Array,  # (K, B) float/bool task mask
+    lr: float,
+) -> Params:
+    """theta_k += lr * mean_b(W_kb - theta_k), over valid tasks only.
+
+    Spec: reference reptile_meta_update (meta_core.py:144-178).
+    """
+    v = valid.astype(jnp.float32)
+    denom = jnp.maximum(v.sum(axis=1), 1.0)  # (K,)
+
+    def upd(theta, fast):
+        # theta: (K, ...), fast: (K, B, ...)
+        extra = (1,) * (fast.ndim - 2)
+        w = v.reshape(v.shape[0], v.shape[1], *extra)
+        # select-then-sum so NaNs from padded/failed tasks can't leak
+        diff = jnp.where(w > 0, fast - theta[:, None], 0.0)
+        delta = (diff * w).sum(axis=1)
+        delta = delta / denom.reshape(-1, *((1,) * (delta.ndim - 1)))
+        return theta + lr * delta
+
+    return jax.tree_util.tree_map(upd, base_experts, fast_experts)

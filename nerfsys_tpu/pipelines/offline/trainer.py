@@ -1,0 +1,129 @@
+"""Outer meta-training loop: step cadence, eval/save-best, resume.
+
+Counterpart of /root/reference/adaptive_nerf/pipelines/offline_stage/trainer.py:9-103.
+The hot work is one jitted step (meta_train_step.make_train_step); this loop
+only moves batches, tracks cadence, and checkpoints.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from nerfsys_tpu.utils import checkpoint as ckpt
+from nerfsys_tpu.utils.logging import Logger, MetricLogger
+
+
+def meta_trainer(
+    *,
+    params,
+    opt_state,
+    train_step,  # jitted (params, opt_state, statics, batch, key) -> (p, s, aux)
+    eval_step,  # jitted (params, statics, batch, key) -> metrics, or None
+    statics,
+    train_loader,  # yields stacked episode batches (numpy)
+    eval_loader=None,
+    config: Optional[dict] = None,
+    outer_steps: int = 20000,
+    eval_every: int = 200,
+    save_every: int = 1000,
+    print_every: int = 1,
+    run_dir=None,
+    logger: Optional[Logger] = None,
+    seed: int = 0,
+    start_step: int = 0,
+    best: float = float("-inf"),
+):
+    """Run the outer loop; returns (params, opt_state, best)."""
+    log = logger.log if logger else print
+    meters = MetricLogger()
+    key = jax.random.PRNGKey(seed)
+    train_iter = iter(train_loader)
+    eval_iter = iter(eval_loader) if eval_loader is not None else None
+
+    # resume (reference trainer.py:27-29)
+    if run_dir is not None and start_step == 0:
+        restored = ckpt.is_resume(run_dir, params, opt_state)
+        if restored is not None:
+            params, rest_opt, state = restored
+            if rest_opt is not None:
+                opt_state = rest_opt
+            start_step = state["step"]
+            best = state.get("best", best)
+            log(f"[resume] restored step {start_step}, best {best:.3f}")
+
+    t_last = time.perf_counter()
+    for step in range(start_step, outer_steps):
+        t0 = time.perf_counter()
+        batch = next(train_iter)
+        t_data = time.perf_counter() - t0
+
+        key, k_step = jax.random.split(key)
+        t1 = time.perf_counter()
+        params, opt_state, aux = train_step(params, opt_state, statics, batch, k_step)
+        loss_out = float(aux["loss_out"])  # blocks on device
+        t_step = time.perf_counter() - t1
+
+        meters.update(
+            loss_in=float(aux["loss_in"]),
+            loss_out=loss_out,
+            psnr_out=float(aux["psnr_out"]),
+            data_time=t_data,
+            step_time=t_step,
+            batch_time=time.perf_counter() - t_last,
+        )
+        t_last = time.perf_counter()
+
+        if logger and step % max(print_every, 1) == 0:
+            logger.scalars(
+                {
+                    "loss_in": aux["loss_in"],
+                    "loss_out": loss_out,
+                    "psnr_out": aux["psnr_out"],
+                    "grad_norm": aux.get("grad_norm", 0.0),
+                    "time_data": t_data,
+                    "time_step": t_step,
+                },
+                step,
+                prefix="train/",
+            )
+            for cid, v in enumerate(np.asarray(aux["region_loss_out"])):
+                logger.scalar(f"train/region_{cid}/loss_out", v, step)
+            for cid, v in enumerate(np.asarray(aux["region_psnr_out"])):
+                logger.scalar(f"train/region_{cid}/psnr_out", v, step)
+        if step % 50 == 0:
+            log(f"step {step}/{outer_steps}  {meters}")
+
+        # ----- periodic eval + save-best (trainer.py:52-74) -----
+        if eval_step is not None and eval_iter is not None and eval_every > 0 \
+                and (step + 1) % eval_every == 0:
+            key, k_eval = jax.random.split(key)
+            ev = eval_step(params, statics, next(eval_iter), k_eval)
+            eval_psnr = float(ev["psnr_out"])
+            if logger:
+                logger.scalars(ev, step, prefix="eval/")
+            log(f"[eval @ {step}] query psnr {eval_psnr:.3f} (best {best:.3f})")
+            if eval_psnr > best and run_dir is not None:
+                best = eval_psnr
+                ckpt.save_checkpoint(
+                    run_dir, "best", ckpt.tree_to_host(params),
+                    ckpt.tree_to_host(opt_state), config, step + 1, best, True,
+                )
+                log(f"[ckpt] new best ({best:.3f}) saved")
+
+        if run_dir is not None and save_every > 0 and (step + 1) % save_every == 0:
+            ckpt.save_checkpoint(
+                run_dir, f"step{step + 1}", ckpt.tree_to_host(params),
+                ckpt.tree_to_host(opt_state), config, step + 1, best,
+            )
+            log(f"[ckpt] step{step + 1} saved")
+
+    if run_dir is not None:
+        ckpt.save_checkpoint(
+            run_dir, "last", ckpt.tree_to_host(params),
+            ckpt.tree_to_host(opt_state), config, outer_steps, best,
+        )
+        log("[ckpt] last saved")
+    return params, opt_state, best

@@ -1,0 +1,285 @@
+"""Online stage: runtime adaptation (TTO) + full-image evaluation.
+
+Counterpart of /root/reference/adaptive_nerf/pipelines/online_stage/runtime_adapt.py.
+
+  - runtime_adapt: in-place optimization of the full routed container on
+    support-ray batches (one jitted Adam step per batch), either a fixed step
+    budget with infinite restart or one epoch (:213-315).
+  - runtime_evaluate: Phase A adapts on support rays built from the test
+    metadata; Phase B renders every test image and scores PSNR / SSIM / LPIPS
+    in the configured color space, dumping pred/gt PNGs (:24-210).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfsys_tpu.data.image_metadata import ImageMetadata
+from nerfsys_tpu.data.loaders import EpochBatchSampler, InfiniteBatchSampler
+from nerfsys_tpu.data.ram_rays import RamRaysDataset, np_ray_directions, np_get_rays, np_clamp_rays
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    container_bg_fn,
+    container_field_fn,
+)
+from nerfsys_tpu.ops.color_space import color_space_transformer, linear_to_srgb
+from nerfsys_tpu.ops.losses import compute_mse_loss, psnr_from_mse
+from nerfsys_tpu.ops.volrend import render_rays_stratified
+from nerfsys_tpu.utils.metrics import lpips as lpips_fn
+from nerfsys_tpu.utils.metrics import load_lpips_weights, ssim
+
+
+# --------------------------- adaptation --------------------------------------
+def make_adapt_step(
+    cfg: ContainerConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    ray_samples: int,
+    color_space: str = "linear",
+    bg_policy: str = "random",
+    active_expert: Optional[int] = None,
+):
+    """Jitted single optimization step over a support-ray batch."""
+
+    def step(params, opt_state, statics, rays, rgbs, key):
+        def loss_fn(p):
+            field = container_field_fn(p, cfg, statics, active_expert)
+            loss, aux = compute_mse_loss(
+                field, rays, rgbs, ray_samples=ray_samples, key=key,
+                randomized=True, color_space=color_space, bg_policy=bg_policy,
+                bg_fn=container_bg_fn(p, cfg),
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def runtime_adapt(
+    *,
+    params,
+    opt_state,
+    adapt_step,  # from make_adapt_step
+    statics: ContainerStatics,
+    data_loader: Iterable,  # yields {'rays', 'rgbs'} numpy batches
+    steps: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> Dict:
+    """steps=None -> one pass over the loader; else exactly `steps` updates
+    with infinite restart (reference :228-231)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    last_loss = 0.0
+    count = 0
+    if steps is None:
+        for batch in data_loader:
+            key, k = jax.random.split(key)
+            params, opt_state, loss = adapt_step(
+                params, opt_state, statics, batch["rays"], batch["rgbs"], k
+            )
+            last_loss = float(loss)
+            count += 1
+    else:
+        it = iter(data_loader)
+        while count < steps:
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(data_loader)
+                batch = next(it)
+            key, k = jax.random.split(key)
+            params, opt_state, loss = adapt_step(
+                params, opt_state, statics, batch["rays"], batch["rgbs"], k
+            )
+            last_loss = float(loss)
+            count += 1
+    return {"params": params, "opt_state": opt_state, "loss": last_loss,
+            "steps": count}
+
+
+# --------------------------- full-image rendering -----------------------------
+def make_chunk_renderer(
+    cfg: ContainerConfig,
+    *,
+    ray_samples: int,
+    bg_policy: str = "white",
+    active_expert: Optional[int] = None,
+):
+    """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
+    (rgb (C,3), depth (C,), acc (C,))."""
+
+    def render(params, statics, rays):
+        field = container_field_fn(params, cfg, statics, active_expert)
+        rgb, depth, _, acc = render_rays_stratified(
+            field, rays, ray_samples, randomized=False, bg_policy=bg_policy,
+            bg_fn=container_bg_fn(params, cfg),
+        )
+        return rgb, depth, acc
+
+    return jax.jit(render)
+
+
+def render_image(
+    chunk_renderer,
+    params,
+    statics: ContainerStatics,
+    md: ImageMetadata,
+    *,
+    scene_aabb: Optional[np.ndarray] = None,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    chunk_rays: int = 65536,
+):
+    """Full-frame render via fixed-size padded chunks (no recompiles).
+
+    Counterpart of reference render_image (ray_rendering.py:577-627).
+    Returns (rgb (H,W,3) linear, depth (H,W), acc (H,W)) as numpy.
+    """
+    H, W = md.H, md.W
+    fx, fy, cx, cy = md.intrinsics[:4]
+    dirs = np_ray_directions(H, W, fx, fy, cx, cy, center_pixels=True)
+    rays = np_get_rays(dirs, md.c2w, aabb=scene_aabb, near=near, far=far)
+    rays = rays.reshape(-1, 8).astype(np.float32)
+    rays, _ = np_clamp_rays(rays, near, far)
+
+    n = rays.shape[0]
+    rgb_out = np.zeros((n, 3), np.float32)
+    depth_out = np.zeros((n,), np.float32)
+    acc_out = np.zeros((n,), np.float32)
+    for s in range(0, n, chunk_rays):
+        chunk = rays[s : s + chunk_rays]
+        pad = chunk_rays - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, 8), np.float32)], 0)
+        rgb, depth, acc = chunk_renderer(params, statics, jnp.asarray(chunk))
+        m = chunk_rays - pad
+        rgb_out[s : s + m] = np.asarray(rgb)[:m]
+        depth_out[s : s + m] = np.asarray(depth)[:m]
+        acc_out[s : s + m] = np.asarray(acc)[:m]
+    return (
+        rgb_out.reshape(H, W, 3),
+        depth_out.reshape(H, W),
+        acc_out.reshape(H, W),
+    )
+
+
+# --------------------------- evaluate ----------------------------------------
+def runtime_evaluate(
+    *,
+    params,
+    cfg: ContainerConfig,
+    statics: ContainerStatics,
+    optimizer: optax.GradientTransformation,
+    test_metadata: List[ImageMetadata],
+    tto_steps: int,
+    support_batch: int = 4096,
+    ray_samples: int = 96,
+    color_space: str = "linear",
+    bg_policy: str = "random",
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    global_aabb: Optional[np.ndarray] = None,
+    out_dir: Optional[Path] = None,
+    logger=None,
+    seed: int = 0,
+    lpips_weights_path: Optional[str] = None,
+    chunk_rays: int = 65536,
+) -> Dict[str, float]:
+    """Adapt on the test images' support rays, then render + score them."""
+    log = logger.log if logger is not None else print
+
+    # ---- Phase A: adaptation ----
+    log(f"[Phase 1] runtime adaptation, tto={tto_steps}")
+    t0 = time.time()
+    opt_state = optimizer.init(params)
+    adapt_step = make_adapt_step(
+        cfg, optimizer, ray_samples=ray_samples, color_space=color_space,
+        bg_policy=bg_policy,
+    )
+    support_ds = RamRaysDataset(
+        test_metadata, scene_aabb=global_aabb, near_far_override=(near, far),
+    )
+    log(f"  support rays: {len(support_ds):,} from {support_ds.num_images} images")
+    if tto_steps > 0 and len(support_ds) > 0:
+        loader = EpochBatchSampler(support_ds, support_batch, seed=seed)
+        out = runtime_adapt(
+            params=params, opt_state=opt_state, adapt_step=adapt_step,
+            statics=statics, data_loader=loader, steps=tto_steps,
+            key=jax.random.PRNGKey(seed),
+        )
+        params = out["params"]
+        log(f"  adapted {out['steps']} steps, last loss {out['loss']:.6f}")
+    adapt_time = time.time() - t0
+
+    # ---- Phase B: render + metrics ----
+    log("[Phase 2] rendering test images")
+    renderer = make_chunk_renderer(
+        cfg, ray_samples=ray_samples, bg_policy="white",
+    )
+    lpips_w = load_lpips_weights(lpips_weights_path)
+    psnrs, ssims, lpipss = [], [], []
+    if out_dir is not None:
+        pred_dir = Path(out_dir) / f"pred{tto_steps}"
+        gt_dir = Path(out_dir) / "gt"
+        pred_dir.mkdir(parents=True, exist_ok=True)
+        gt_dir.mkdir(parents=True, exist_ok=True)
+
+    t1 = time.time()
+    for i, md in enumerate(test_metadata):
+        gt_srgb = md.load_image().astype(np.float32) / 255.0
+        pred_lin, depth, acc = render_image(
+            renderer, params, statics, md, scene_aabb=global_aabb,
+            near=near, far=far, chunk_rays=chunk_rays,
+        )
+        pred_j, gt_j = color_space_transformer(
+            jnp.asarray(pred_lin), jnp.asarray(gt_srgb), color_space
+        )
+        mse = jnp.mean((pred_j - gt_j) ** 2)
+        p = float(psnr_from_mse(mse))
+        s = float(ssim(pred_j, gt_j))
+        psnrs.append(p)
+        ssims.append(s)
+        if lpips_w is not None:
+            pred_srgb = np.asarray(linear_to_srgb(jnp.asarray(pred_lin)))
+            lp = lpips_fn(jnp.asarray(pred_srgb), jnp.asarray(gt_srgb), lpips_w)
+            lpipss.append(float(lp))
+        log(f"  [{i:03d}] psnr {p:.2f}  ssim {s:.4f}"
+            + (f"  lpips {lpipss[-1]:.4f}" if lpips_w is not None else ""))
+
+        if out_dir is not None:
+            from PIL import Image as PILImage
+
+            pred_srgb8 = (
+                np.clip(np.asarray(linear_to_srgb(jnp.asarray(pred_lin))), 0, 1) * 255
+            ).astype(np.uint8)
+            PILImage.fromarray(pred_srgb8).save(pred_dir / f"{i:06d}.png")
+            PILImage.fromarray((gt_srgb * 255).astype(np.uint8)).save(
+                gt_dir / f"{i:06d}.png"
+            )
+
+    render_time = time.time() - t1
+    result = {
+        "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+        "ssim": float(np.mean(ssims)) if ssims else float("nan"),
+        "lpips": float(np.mean(lpipss)) if lpipss else float("nan"),
+        "duration": adapt_time,
+        "render_time": render_time,
+        "num_images": len(test_metadata),
+        "params": params,
+    }
+    log(
+        f"[RESULT tto={tto_steps}] psnr {result['psnr']:.3f}  "
+        f"ssim {result['ssim']:.4f}  lpips {result['lpips']:.4f}  "
+        f"adapt {adapt_time:.1f}s  render {render_time:.1f}s"
+    )
+    return result

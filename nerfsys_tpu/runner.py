@@ -1,0 +1,335 @@
+"""Unified job entry point: --op train | eval | video | view.
+
+Counterpart of /root/reference/adaptive_nerf/nerf_runner.py:48-496. Builds an
+op-aware context (data + model + loaders) from the merged config and
+dispatches to the pipelines. Run as:
+
+    python -m nerfsys_tpu.runner --op train --configPath configs/train.json
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfsys_tpu.data.dataset import (
+    get_dataset,
+    get_image_metadata,
+    load_clustering_meta,
+    load_coordinates,
+    load_scene_boxes,
+)
+from nerfsys_tpu.data.loaders import MetaBatcher, PrefetchLoader
+from nerfsys_tpu.data.task_dataset import TaskDataset
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    init_container_params,
+    param_group_labels,
+)
+from nerfsys_tpu.models.ngp import NGPConfig
+from nerfsys_tpu.models.vanilla import VanillaConfig
+from nerfsys_tpu.ops.encodings import HashGridConfig
+from nerfsys_tpu.pipelines.offline.meta_core import MetaConfig
+from nerfsys_tpu.pipelines.offline.meta_train_step import (
+    make_eval_step,
+    make_train_step,
+)
+from nerfsys_tpu.pipelines.offline.trainer import meta_trainer
+from nerfsys_tpu.pipelines.online.runtime_adapt import runtime_evaluate
+from nerfsys_tpu.utils import checkpoint as ckpt
+from nerfsys_tpu.utils.config import namespace_to_dict, parse_args
+from nerfsys_tpu.utils.logging import Logger
+from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
+
+
+# --------------------------- model construction ------------------------------
+def container_config_from_args(P) -> ContainerConfig:
+    """Map the flat flag namespace onto the static model config
+    (nerf_runner.py:101-170 wiring)."""
+    if P.nerf_variant == "instant":
+        expert = NGPConfig(
+            hidden=P.dim_hidden,
+            sigma_depth=P.sigma_depth,
+            color_hidden=P.color_hidden,
+            color_depth=P.color_depth,
+            dir_encoding=P.dir_encoding,
+            hash=HashGridConfig(
+                levels=getattr(P, "high_levels", 16),
+                features_per_level=getattr(P, "high_features_per_level", 2),
+                log2_hashmap_size=P.log2_hashmap_size,
+                max_res=P.max_res,
+                min_res=getattr(P, "high_min_res", 16),
+                interpolation=getattr(P, "interpolation", "Linear"),
+            ),
+        )
+    else:
+        expert = VanillaConfig(
+            hidden=P.dim_hidden,
+            sigma_depth=max(P.sigma_depth, 8) if P.sigma_depth == 2 else P.sigma_depth,
+            color_hidden=P.color_hidden,
+            color_depth=P.color_depth,
+            dir_encoding=P.dir_encoding,
+        )
+    return ContainerConfig(
+        num_experts=P.num_submodules,
+        nerf_variant=P.nerf_variant,
+        boundary_margin=float(P.boundary_margin_effective),
+        cluster_2d=bool(P.cluster_2d),
+        use_bg_nerf=not P.no_bg_nerf,
+        bg_hidden=P.bg_hidden,
+        bg_encoding="spherical" if P.bg_encoding == "spherical" else "fourier",
+        expert=expert,
+    )
+
+
+def optim_config_from_args(P) -> OptimConfig:
+    return OptimConfig(
+        optimizer=P.optimizer,
+        lr=P.lr,
+        encoding_lr=P.encoding_lr,
+        sigma_lr=P.sigma_lr,
+        color_lr=P.color_lr,
+        bg_lr=P.bg_lr,
+        use_scheduler=not P.no_scheduler,
+        decay_factor=P.decay_factor,
+        outer_steps=P.outer_steps,
+    )
+
+
+def meta_config_from_args(P) -> MetaConfig:
+    return MetaConfig(
+        algo=P.algo,
+        inner_iter=P.inner_iter,
+        inner_lr=P.inner_lr,
+        reptile_lr=P.lr,
+        ray_samples=P.ray_samples,
+        color_space=P.color_space,
+        bg_policy=P.bg_color_default,
+    )
+
+
+# --------------------------- context ------------------------------------------
+def build_context(P, op: str) -> dict:
+    """Resolve data paths, scene geometry, model, and per-op data plumbing."""
+    np.random.seed(P.seed)
+
+    ctx: dict = {"P": P, "op": op}
+
+    if getattr(P, "checkpoint_path", None):
+        P.checkpoint_path = str(
+            ckpt.resolve_checkpoint_dir(P.checkpoint_path, logs_root="logs")
+        )
+        print("Using checkpoint path:", P.checkpoint_path)
+
+    data_path = Path(P.data_path) / "out" / P.data_dirname
+    mask_dir = data_path / "masks" / P.mask_dirname
+    clustering = load_clustering_meta(mask_dir)
+    coordinate_info = load_coordinates(data_path)
+    global_aabb, expert_aabbs = load_scene_boxes(mask_dir)
+
+    scale = float(coordinate_info["pose_scale_factor"])
+    P.near = P.near / scale if P.near is not None else None
+    P.far = P.far / scale if P.far is not None else None
+
+    # routing margin: min(max(1, P.bm), clustering margin) (nerf_runner.py:151)
+    P.boundary_margin_effective = min(
+        max(1.0, float(P.bm)), float(clustering["boundary_margin"])
+    )
+    P.cluster_2d = bool(clustering["cluster_2d"])
+
+    cfg = container_config_from_args(P)
+    statics = ContainerStatics(
+        centroids=jnp.asarray(clustering["centroids"], jnp.float32),
+        expert_aabbs=jnp.asarray(expert_aabbs, jnp.float32),
+        global_aabb=jnp.asarray(global_aabb, jnp.float32),
+    )
+    params = init_container_params(jax.random.PRNGKey(P.seed), cfg)
+
+    ctx.update(
+        cfg=cfg,
+        statics=statics,
+        params=params,
+        coordinate_info=coordinate_info,
+        clustering=clustering,
+        data_path=data_path,
+        mask_dir=mask_dir,
+        global_aabb=global_aabb,
+        expert_aabbs=expert_aabbs,
+    )
+
+    fname = P.fname or f"{P.data_dirname}_{P.algo}_{P.nerf_variant}"
+    logger = Logger(fn=fname, logs_path="logs", resume=op != "train")
+    ctx["logger"] = logger
+    ctx["run_dir"] = logger.logdir
+
+    if op == "train":
+        bundle = get_dataset(
+            data_path, P.downscale, P.mask_dirname, P.num_submodules,
+            cap_images=P.cap_images, near_far_override=(P.near, P.far),
+            num_workers=P.num_workers,
+        )
+        ctx["bundle"] = bundle
+        task_sets = [
+            TaskDataset(
+                ds, expert_aabbs[i], support_rays=P.support_rays,
+                query_rays=P.query_rays, cell_dim=P.cell_dim, seed=P.seed + i,
+            )
+            for i, ds in enumerate(bundle.train_sets)
+        ]
+        val_task_sets = [
+            TaskDataset(
+                ds, expert_aabbs[i], support_rays=P.support_rays,
+                query_rays=P.query_rays, cell_dim=P.cell_dim,
+                seed=P.seed + 1000 + i,
+            )
+            for i, ds in enumerate(bundle.val_sets)
+        ] if bundle.val_sets else None
+        ctx["train_loader"] = PrefetchLoader(MetaBatcher(task_sets, P.batch_size))
+        ctx["eval_loader"] = (
+            PrefetchLoader(MetaBatcher(val_task_sets, P.test_batch_size))
+            if val_task_sets
+            else None
+        )
+    elif op in ("eval", "video"):
+        _, val_md = get_image_metadata(data_path, P.downscale)
+        if P.cap_images:
+            from nerfsys_tpu.data.dataset import cap_metadata
+
+            val_md = cap_metadata(val_md, P.cap_images)
+        ctx["test_metadata"] = val_md
+        _load_params_from_checkpoint(ctx)
+    elif op == "view":
+        _load_params_from_checkpoint(ctx)
+    return ctx
+
+
+def _load_params_from_checkpoint(ctx):
+    P = ctx["P"]
+    if getattr(P, "checkpoint_path", None):
+        params, state = ckpt.load_model_checkpoint(
+            P.checkpoint_path, P.prefix, ctx["params"]
+        )
+        ctx["params"] = params
+        ctx["ckpt_state"] = state
+        print(f"Loaded checkpoint {P.prefix} @ step {state['step']}")
+
+
+# --------------------------- ops ----------------------------------------------
+def train(ctx):
+    P = ctx["P"]
+    meta = meta_config_from_args(P)
+    opt_cfg = optim_config_from_args(P)
+    tx = build_optimizer(opt_cfg, param_group_labels(ctx["params"]))
+    opt_state = tx.init(ctx["params"])
+    step_fn = make_train_step(meta, ctx["cfg"], tx)
+    eval_fn = make_eval_step(meta, ctx["cfg"], tto=P.inner_iter)
+
+    params, opt_state, best = meta_trainer(
+        params=ctx["params"],
+        opt_state=opt_state,
+        train_step=step_fn,
+        eval_step=eval_fn,
+        statics=ctx["statics"],
+        train_loader=ctx["train_loader"],
+        eval_loader=ctx["eval_loader"],
+        config=namespace_to_dict(P),
+        outer_steps=P.outer_steps,
+        eval_every=P.eval_step,
+        save_every=P.save_step,
+        print_every=P.print_step,
+        run_dir=ctx["run_dir"],
+        logger=ctx["logger"],
+        seed=P.seed,
+    )
+    ctx["params"] = params
+    return params
+
+
+def evaluate(ctx):
+    """Per-TTO eval with base-state reset between settings
+    (nerf_runner.py:323-368)."""
+    P = ctx["P"]
+    base_params = ctx["params"]
+    tto_list = [int(t) for t in str(P.tto).split(",") if t != ""]
+    opt_cfg = optim_config_from_args(P)
+    rows = []
+    for tto in tto_list:
+        tx = build_optimizer(
+            dataclasses.replace(opt_cfg, use_scheduler=False),
+            param_group_labels(base_params),
+        )
+        result = runtime_evaluate(
+            params=base_params,  # reset to meta-learned base each time
+            cfg=ctx["cfg"],
+            statics=ctx["statics"],
+            optimizer=tx,
+            test_metadata=ctx["test_metadata"],
+            tto_steps=tto,
+            support_batch=P.support_rays,
+            ray_samples=P.ray_samples,
+            color_space=P.color_space,
+            bg_policy=P.bg_color_default,
+            near=P.near,
+            far=P.far,
+            global_aabb=ctx["global_aabb"],
+            out_dir=Path(ctx["run_dir"]) / "rendered",
+            logger=ctx["logger"],
+            seed=P.seed,
+        )
+        rows.append({"tto": tto, **{k: v for k, v in result.items()
+                                    if k != "params"}})
+
+    # results table (reference prints pandas + LaTeX)
+    try:
+        import pandas as pd
+
+        df = pd.DataFrame(rows).set_index("tto")
+        print(df.to_string())
+        print(df.to_latex(float_format="%.3f"))
+    except ImportError:
+        print(json.dumps(rows, indent=2))
+    out_path = Path(ctx["run_dir"]) / "eval_results.json"
+    out_path.write_text(json.dumps(rows, indent=2))
+    return rows
+
+
+def video(ctx):
+    from nerfsys_tpu.pipelines.video_gen import render_video
+
+    return render_video(ctx)
+
+
+def view(ctx):
+    from nerfsys_tpu.viewer.viewer import launch_viewer
+
+    return launch_viewer(ctx)
+
+
+def main(argv=None):
+    P = parse_args(argv)
+    op = P.op
+    ctx = build_context(P, op)
+    t0 = time.time()
+    if op == "train":
+        train(ctx)
+    elif op == "eval":
+        evaluate(ctx)
+    elif op == "video":
+        video(ctx)
+    elif op == "view":
+        view(ctx)
+    else:
+        raise ValueError(f"Unknown op: {op}")
+    print(f"[done] op={op} in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Unified config/flag system shared by every op (train/eval/view/video).
+
+Counterpart of /root/reference/adaptive_nerf/common/args.py: one argparse
+namespace (~70 flags, same names and defaults) with the reference's merge
+semantics preserved exactly (args.py:170-277):
+
+    defaults < checkpoint config < JSON --configPath < explicit CLI flags,
+    EXCEPT architecture keys (ARCH_KEYS), which are ALWAYS forced from the
+    checkpoint so restored weights can never mismatch the model graph.
+
+Checkpoint configs are stored as JSON ({tag}.config.json) by utils.checkpoint;
+the loader also accepts the reference's pickled-argparse `.P` files (via
+torch) so reference run dirs remain readable.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+ARCH_KEYS = {
+    # model topology
+    "num_submodules",
+    "nerf_variant",
+    "num_layers",
+    "sigma_depth",
+    "color_depth",
+    "dim_hidden",
+    "color_hidden",
+    # encodings / background
+    "max_res",
+    "log2_hashmap_size",
+    "xyz_encoding",
+    "dir_encoding",
+    "no_bg_nerf",
+    "bg_hidden",
+    "bg_encoding",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native Adaptive NeRF Framework")
+    p.add_argument("--op", type=str, default="train",
+                   choices=["train", "eval", "view", "video"])
+
+    # --- system
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--use_amp", action="store_true",
+                   help="bfloat16 compute in the render/MLP path")
+    p.add_argument("--log_method", type=str, default="step",
+                   choices=["step", "patch"])
+
+    # --- io / logging cadence
+    p.add_argument("--eval_step", type=int, default=200)
+    p.add_argument("--save_step", type=int, default=1000)
+    p.add_argument("--print_step", type=int, default=1)
+
+    # --- data
+    p.add_argument("--dataset", type=str, default="drz",
+                   choices=["ffhq", "celeba", "imagenette", "voxceleb", "drz"])
+    p.add_argument("--data_type", type=str, default="ray",
+                   choices=["img", "video", "ray"])
+    p.add_argument("--data_path", type=str, default="data/drz/")
+    p.add_argument("--data_dirname", type=str, default="balanced")
+    p.add_argument("--mask_dirname", type=str, default="g22_grid_bm110_ss11")
+    p.add_argument("--cap_images", type=int, default=None)
+    p.add_argument("--downscale", type=float, default=0.25)
+    p.add_argument("--near", type=float, default=None)
+    p.add_argument("--far", type=float, default=None)
+    p.add_argument("--bm", type=float, default=1.05,
+                   help="routing boundary margin (soft MoE when > 1)")
+
+    # --- episode generation
+    p.add_argument("--support_rays", type=int, default=4000)
+    p.add_argument("--query_rays", type=int, default=2000)
+    p.add_argument("--cell_dim", type=int, default=5)
+
+    # --- batching
+    p.add_argument("--batch_size", type=int, default=3,
+                   help="tasks per region per outer step")
+    p.add_argument("--test_batch_size", type=int, default=1)
+
+    # --- model
+    p.add_argument("--num_submodules", type=int, default=4)
+    p.add_argument("--nerf_variant", type=str, default="instant",
+                   choices=["instant", "vanilla"])
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--sigma_depth", type=int, default=2)
+    p.add_argument("--color_depth", type=int, default=2)
+    p.add_argument("--dim_hidden", type=int, default=64)
+    p.add_argument("--color_hidden", type=int, default=64)
+
+    # --- hash encoding
+    p.add_argument("--max_res", type=int, default=4096)
+    p.add_argument("--log2_hashmap_size", type=int, default=20)
+    p.add_argument("--use_occ", action="store_true")
+    p.add_argument("--xyz_encoding", type=str, default="hash",
+                   choices=["frequency", "hash"])
+    p.add_argument("--dir_encoding", type=str, default="spherical",
+                   choices=["frequency", "spherical"])
+
+    # --- background model
+    p.add_argument("--no_bg_nerf", action="store_true")
+    p.add_argument("--bg_color_default", type=str, default="random",
+                   choices=["white", "black", "none", "last_sample", "random"])
+    p.add_argument("--bg_hidden", type=int, default=32)
+    p.add_argument("--bg_encoding", type=str, default="spherical",
+                   choices=["frequency", "spherical"])
+
+    # --- rendering
+    p.add_argument("--ray_samples", type=int, default=96)
+    p.add_argument("--chunk_points", type=int, default=262_144 * 17)
+    p.add_argument("--color_space", type=str, default="linear",
+                   choices=["srgb", "linear", "identity"])
+
+    # --- FIM
+    p.add_argument("--fim", action="store_true")
+    p.add_argument("--fim_per_sample", action="store_true")
+    p.add_argument("--fim_lambda", type=float, default=0.1)
+    p.add_argument("--fim_beta", type=float, default=0.95)
+    p.add_argument("--fim_epsilon", type=float, default=1e-6)
+
+    # --- optimizer / scheduler
+    p.add_argument("--optimizer", type=str, default="adam",
+                   choices=["adamw", "sgd", "adam"])
+    p.add_argument("--encoding_lr", type=float, default=1e-2)
+    p.add_argument("--sigma_lr", type=float, default=2e-3)
+    p.add_argument("--color_lr", type=float, default=2e-3)
+    p.add_argument("--bg_lr", type=float, default=1e-3)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--no_scheduler", action="store_true")
+    p.add_argument("--decay_factor", type=float, default=10)
+
+    # --- meta training
+    p.add_argument("--algo", type=str, default="fomaml",
+                   choices=["maml", "fomaml", "reptile"])
+    p.add_argument("--inner_iter", type=int, default=8)
+    p.add_argument("--inner_lr", type=float, default=15e-3)
+    p.add_argument("--outer_steps", type=int, default=20_000)
+    p.add_argument("--max_test_tasks", type=int, default=4)
+
+    # --- eval
+    p.add_argument("--tto", type=str, default="16",
+                   help="comma-separated list of TTO iteration counts")
+
+    # --- video & viewer
+    p.add_argument("--camera_path", type=str, default="full_coverage",
+                   choices=["spiral_in", "turntable", "east_west",
+                            "north_south", "full_coverage"])
+    p.add_argument("--viewer_timeout", type=int, default=900)
+    p.add_argument("--viewer_public_host", type=str, default="127.0.0.1")
+
+    # --- extras
+    p.add_argument("--configPath", type=str, default=None)
+    p.add_argument("--num_workers", type=int, default=None)
+    p.add_argument("--log_date", action="store_true")
+    p.add_argument("--fname", default=None)
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--prefix", type=str, default="best")
+    p.add_argument("--no_strict", action="store_true")
+    p.add_argument("--use_stored_args", action="store_true")
+
+    # --- parallelism (TPU-native additions)
+    p.add_argument("--mesh_shape", type=str, default=None,
+                   help="device mesh, e.g. '4' (data) or '2x2' (data x expert)")
+    return p
+
+
+def _cli_provided_dests(parser: argparse.ArgumentParser, argv: Sequence[str]):
+    """Dest names explicitly present on the CLI (args.py:190-207)."""
+    opt_to_action = {}
+    for action in parser._actions:
+        for opt in action.option_strings:
+            opt_to_action[opt] = action
+    provided = set()
+    for tok in argv:
+        key = tok.split("=", 1)[0]
+        act = opt_to_action.get(key)
+        if act is not None:
+            provided.add(act.dest)
+    return provided
+
+
+def load_checkpoint_cfg(cfg_path) -> dict:
+    """Read a stored run config: our JSON, or a reference pickled `.P`."""
+    cfg_path = Path(cfg_path)
+    if cfg_path.suffix == ".json" or cfg_path.name.endswith(".config.json"):
+        return json.loads(cfg_path.read_text())
+    import torch  # reference .P compatibility (pickled argparse.Namespace)
+
+    obj = torch.load(cfg_path, map_location="cpu", weights_only=False)
+    return vars(obj) if hasattr(obj, "__dict__") else dict(obj)
+
+
+def find_checkpoint_cfg(checkpoint_path, prefix: str) -> Optional[Path]:
+    """Locate {prefix}.config.json (ours) or {prefix}.P (reference) in a dir."""
+    d = Path(checkpoint_path)
+    for cand in (d / f"{prefix}.config.json", d / f"{prefix}.P"):
+        if cand.exists():
+            return cand
+    return None
+
+
+def _enforce_arch_from_ckpt(args: argparse.Namespace, ckpt_cfg: dict):
+    for k in ARCH_KEYS:
+        if k in ckpt_cfg and hasattr(args, k):
+            setattr(args, k, ckpt_cfg[k])
+    return args
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    """Parse with the reference's merge priority (args.py:220-277):
+
+    defaults < checkpoint cfg (if --use_stored_args or resuming) < JSON
+    --configPath < explicit CLI; ARCH_KEYS always pinned to the checkpoint.
+    """
+    import sys
+
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cli_set = _cli_provided_dests(parser, argv)
+
+    # 1) JSON config file overrides defaults (but not explicit CLI)
+    json_cfg = {}
+    if args.configPath:
+        json_cfg = json.loads(Path(args.configPath).read_text())
+        for k, v in json_cfg.items():
+            if hasattr(args, k) and k not in cli_set:
+                setattr(args, k, v)
+
+    # 2) checkpoint config: fills anything not set by CLI or JSON when
+    #    requested; ARCH_KEYS always forced
+    ckpt_cfg = {}
+    if args.checkpoint_path:
+        cfg_file = find_checkpoint_cfg(args.checkpoint_path, args.prefix)
+        if cfg_file is not None:
+            ckpt_cfg = load_checkpoint_cfg(cfg_file)
+            if args.use_stored_args:
+                for k, v in ckpt_cfg.items():
+                    if hasattr(args, k) and k not in cli_set and k not in json_cfg:
+                        setattr(args, k, v)
+            _enforce_arch_from_ckpt(args, ckpt_cfg)
+
+    return args
+
+
+def namespace_to_dict(args: argparse.Namespace) -> dict:
+    """JSON-serializable snapshot of the run config."""
+    out = {}
+    for k, v in vars(args).items():
+        try:
+            json.dumps(v)
+            out[k] = v
+        except TypeError:
+            out[k] = str(v)
+    return out

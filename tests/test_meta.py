@@ -1,0 +1,192 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    init_container_params,
+    param_group_labels,
+)
+from nerfsys_tpu.models.ngp import NGPConfig
+from nerfsys_tpu.ops.encodings import HashGridConfig
+from nerfsys_tpu.pipelines.offline.meta_core import (
+    MetaConfig,
+    query_loss,
+    reptile_update,
+    task_adapt,
+)
+from nerfsys_tpu.pipelines.offline.meta_train_step import (
+    make_eval_step,
+    make_train_step,
+)
+from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
+
+EXPERT = NGPConfig(
+    hidden=16, sigma_depth=1, color_hidden=16, color_depth=1, geo_feat_dim=7,
+    hash=HashGridConfig(levels=2, min_res=4, max_res=8, log2_hashmap_size=8),
+)
+K, B, S, Q = 2, 2, 64, 32
+META = MetaConfig(algo="fomaml", inner_iter=2, inner_lr=0.05, ray_samples=8)
+CFG = ContainerConfig(num_experts=K, expert=EXPERT, bg_hidden=8)
+
+
+def make_statics():
+    cents = jnp.array([[0.0, -1, 0], [0.0, 1, 0]], dtype=jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.5, c + 1.5]) for c in cents])
+    return ContainerStatics(cents, boxes, jnp.array([[-3.0, -3, -3], [3, 3, 3]]))
+
+
+def make_batch(key, valid=None):
+    ks = jax.random.split(key, 4)
+    def rays(k, n):
+        o = jax.random.normal(k, (K, B, n, 3)) * 0.1
+        d = jnp.tile(jnp.array([0.0, 0, -1.0]), (K, B, n, 1))
+        nf = jnp.tile(jnp.array([0.5, 2.0]), (K, B, n, 1))
+        return jnp.concatenate([o, d, nf], -1)
+    batch = {
+        "support_rays": rays(ks[0], S),
+        "support_rgbs": jax.random.uniform(ks[1], (K, B, S, 3)),
+        "query_rays": rays(ks[2], Q),
+        "query_rgbs": jax.random.uniform(ks[3], (K, B, Q, 3)),
+        "valid": jnp.ones((K, B)) if valid is None else valid,
+    }
+    return batch
+
+
+def test_task_adapt_reduces_support_loss():
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    p0 = jax.tree_util.tree_map(lambda a: a[0], params["experts"])
+    key = jax.random.PRNGKey(1)
+    rays = make_batch(key)["support_rays"][0, 0]
+    rgbs = jnp.full((S, 3), 0.3)
+    meta = MetaConfig(algo="fomaml", inner_iter=6, inner_lr=0.1, ray_samples=8,
+                      randomized=False)
+    fast, losses = task_adapt(
+        meta, CFG, p0, st.expert_aabbs[0], params["bg"], rays, rgbs, key
+    )
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    # adapted params differ from base
+    assert not np.allclose(fast["sigma_head"]["w"], p0["sigma_head"]["w"])
+
+
+@pytest.mark.parametrize("algo", ["fomaml", "maml", "reptile"])
+def test_train_step_runs_and_updates(algo):
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    meta = MetaConfig(algo=algo, inner_iter=2, inner_lr=0.05, ray_samples=8,
+                      reptile_lr=0.5)
+    opt_cfg = OptimConfig(outer_steps=10)
+    tx = build_optimizer(opt_cfg, param_group_labels(params))
+    opt_state = tx.init(params)
+    step = make_train_step(meta, CFG, tx)
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_params, new_opt, aux = step(params, opt_state, st, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux["loss_out"]))
+    assert aux["region_loss_out"].shape == (K,)
+    # experts changed
+    assert not np.allclose(
+        new_params["experts"]["sigma_head"]["w"], params["experts"]["sigma_head"]["w"]
+    )
+    if algo == "reptile":
+        # bg untouched by reptile rule
+        np.testing.assert_array_equal(
+            new_params["bg"]["l0"]["w"], params["bg"]["l0"]["w"]
+        )
+    else:
+        # outer grads reach the background model
+        assert not np.allclose(
+            new_params["bg"]["l0"]["w"], params["bg"]["l0"]["w"]
+        )
+
+
+def test_invalid_tasks_excluded():
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    valid = jnp.array([[1.0, 1.0], [0.0, 0.0]])  # region 1 fully padded
+    batch = make_batch(jax.random.PRNGKey(1), valid=valid)
+    # poison region 1's data with NaN: must not affect the loss
+    batch["query_rgbs"] = batch["query_rgbs"].at[1].set(jnp.nan)
+    meta = MetaConfig(algo="reptile", inner_iter=1, inner_lr=0.05, ray_samples=8,
+                      reptile_lr=0.5)
+    tx = build_optimizer(OptimConfig(outer_steps=10), param_group_labels(params))
+    step = make_train_step(meta, CFG, tx)
+    new_params, _, aux = step(params, tx.init(params), st, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux["loss_out"]))
+    # reptile: expert 1 (no valid tasks) unchanged, expert 0 changed
+    e_new = new_params["experts"]["sigma_head"]["w"]
+    e_old = params["experts"]["sigma_head"]["w"]
+    np.testing.assert_array_equal(e_new[1], e_old[1])
+    assert not np.allclose(e_new[0], e_old[0])
+
+
+def test_nonfinite_loss_skips_update():
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+    batch["query_rgbs"] = jnp.full_like(batch["query_rgbs"], jnp.nan)
+    tx = build_optimizer(OptimConfig(outer_steps=10), param_group_labels(params))
+    step = make_train_step(META, CFG, tx)
+    new_params, _, aux = step(params, tx.init(params), st, batch, jax.random.PRNGKey(2))
+    assert float(aux["skipped_nonfinite"]) == 1.0
+    np.testing.assert_array_equal(
+        new_params["experts"]["sigma_head"]["w"], params["experts"]["sigma_head"]["w"]
+    )
+
+
+def test_eval_step():
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    ev = make_eval_step(META, CFG, tto=2)
+    batch = make_batch(jax.random.PRNGKey(1))
+    out = ev(params, st, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["psnr_out"]))
+    assert out["region_psnr_out"].shape == (K,)
+
+
+def test_reptile_update_math():
+    base = {"w": jnp.zeros((2, 3))}
+    fast = {"w": jnp.ones((2, 4, 3))}  # K=2, B=4
+    valid = jnp.ones((2, 4))
+    out = reptile_update(base, fast, valid, lr=0.5)
+    np.testing.assert_allclose(out["w"], 0.5)
+    # half-masked
+    valid = jnp.array([[1.0, 1, 0, 0], [0, 0, 0, 0]])
+    out = reptile_update(base, fast, valid, lr=1.0)
+    np.testing.assert_allclose(out["w"][0], 1.0)
+    np.testing.assert_allclose(out["w"][1], 0.0)
+
+
+def test_maml_differs_from_fomaml():
+    """Second-order term must change the outer gradient."""
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+
+    grads = {}
+    for algo in ("maml", "fomaml"):
+        meta = MetaConfig(algo=algo, inner_iter=2, inner_lr=0.05, ray_samples=8,
+                          randomized=False)
+
+        def outer(p):
+            p0 = jax.tree_util.tree_map(lambda a: a[0], p["experts"])
+            fast, _ = task_adapt(
+                meta, CFG, p0, st.expert_aabbs[0], p["bg"],
+                batch["support_rays"][0, 0], batch["support_rgbs"][0, 0], key,
+            )
+            ql, _ = query_loss(
+                meta, CFG, fast, st.expert_aabbs[0], p["bg"],
+                batch["query_rays"][0, 0], batch["query_rgbs"][0, 0],
+            )
+            return ql
+
+        grads[algo] = jax.grad(outer)(params)
+
+    ga = np.asarray(grads["maml"]["experts"]["sigma_head"]["w"][0])
+    gb = np.asarray(grads["fomaml"]["experts"]["sigma_head"]["w"][0])
+    assert np.isfinite(ga).all() and np.isfinite(gb).all()
+    assert not np.allclose(ga, gb)
