@@ -1,0 +1,242 @@
+"""Occupancy orchestration + occupancy-accelerated MoE rendering.
+
+Counterpart of the reference's occupancy plumbing spread across
+MetaNGP (meta_ngp.py:244-443), MetaContainer (meta_container.py:386-454) and
+render_rays_occ (ray_rendering.py:348-574). All experts' grids live in ONE
+stacked pytree (K, L, R, R, R) so updates vmap across experts and the union
+query is a single batched gather — no per-expert Python loops, no packed
+samples, no segment-union merge (the dense two-pass sampler integrates over
+the union field directly).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    _expert_apply_fn,
+    container_apply,
+    container_bg_fn,
+)
+from nerfsys_tpu.ops.occupancy import (
+    OccGridConfig,
+    init_occ_state,
+    mark_invisible_cells,
+    occupancy_sample_tvals,
+    query_binary,
+    update_occ_grid,
+)
+from nerfsys_tpu.ops.volrend import background_rgb, t_to_points, volume_render
+
+Array = jax.Array
+
+
+def expert_render_step_sizes(statics: ContainerStatics) -> Array:
+    """(K,) default marching step: expert scene diagonal / 1000
+    (meta_ngp.py:106-111)."""
+    ext = statics.expert_aabbs[:, 1] - statics.expert_aabbs[:, 0]
+    return jnp.linalg.norm(ext, axis=-1) / 1000.0
+
+
+# --------------------------- union occupancy query ---------------------------
+def union_binary_fn(occ_state: Dict, statics: ContainerStatics):
+    """pts (M, 3) -> (M,) bool: occupied under ANY expert's grid."""
+
+    def query(pts):
+        def per_expert(binary_k, aabb_k):
+            return query_binary(binary_k, aabb_k, pts)
+
+        occ_k = jax.vmap(per_expert)(occ_state["binary"], statics.expert_aabbs)
+        return jnp.any(occ_k, axis=0)
+
+    return query
+
+
+def expert_binary_fn(occ_state: Dict, statics: ContainerStatics, k: int):
+    def query(pts):
+        return query_binary(
+            occ_state["binary"][k], statics.expert_aabbs[k], pts
+        )
+
+    return query
+
+
+# --------------------------- updates ------------------------------------------
+def premark_invisible_expert_cells(
+    occ_state: Dict,
+    statics: ContainerStatics,
+    occ_cfg: OccGridConfig,
+    c2ws: Array,  # (N, 3, 4)
+    intrinsics: Array,  # (N, 4)
+    wh: Array,  # (N, 2)
+    near: float = 0.0,
+) -> Dict:
+    """Tag cells invisible from every training camera with -1
+    (meta_container.py:396-444)."""
+
+    def per_expert(aabb_k):
+        return mark_invisible_cells(aabb_k, occ_cfg, c2ws, intrinsics, wh, near)
+
+    occs = jax.vmap(per_expert)(statics.expert_aabbs)
+    return {**occ_state, "occs": occs, "binary": jnp.zeros_like(occ_state["binary"])}
+
+
+def make_occ_update_fn(cfg: ContainerConfig, occ_cfg: OccGridConfig):
+    """Jitted: (occ_state, params, statics, step, key) -> occ_state.
+
+    Runs the EMA update for every expert (vmapped) when
+    step % update_interval == 0; identity otherwise — so it can be called
+    unconditionally from the train loop (maybe_update_expert_occupancies).
+    """
+    _, density_fn = _expert_apply_fn(cfg)
+
+    def do_update(occ_state, params, statics, step, key):
+        steps = expert_render_step_sizes(statics)
+        warmup = step < occ_cfg.warmup_steps
+        keys = jax.random.split(key, cfg.num_experts)
+
+        # occ_eval_fn = sigma * render_step_size (meta_ngp.py:373-380),
+        # folded into the density closure per expert
+        def per_expert(occs_k, binary_k, p_k, aabb_k, step_size, kk):
+            state_k = {"occs": occs_k, "binary": binary_k}
+            fn = lambda x: density_fn(p_k, cfg.expert, aabb_k, x) * step_size
+            return update_occ_grid(state_k, aabb_k, fn, 1.0, occ_cfg, kk, warmup)
+
+        out = jax.vmap(per_expert)(
+            occ_state["occs"], occ_state["binary"], params["experts"],
+            statics.expert_aabbs, steps, keys,
+        )
+        return {
+            "occs": out["occs"],
+            "binary": out["binary"],
+            "num_updates": occ_state["num_updates"] + 1,
+        }
+
+    def maybe_update(occ_state, params, statics, step, key):
+        due = (step % occ_cfg.update_interval) == 0
+        return jax.lax.cond(
+            due,
+            lambda: do_update(occ_state, params, statics, step, key),
+            lambda: occ_state,
+        )
+
+    return jax.jit(maybe_update)
+
+
+def occ_ready(occ_state: Dict, min_updates: int = 1) -> Array:
+    """Grid usable for rendering once at least one update has run AND any
+    cell is occupied (reference occ_ready flag semantics)."""
+    return (occ_state["num_updates"] >= min_updates) & jnp.any(
+        occ_state["binary"]
+    )
+
+
+# --------------------------- occupancy renderer -------------------------------
+def render_rays_occ(
+    params,
+    cfg: ContainerConfig,
+    statics: ContainerStatics,
+    occ_state: Dict,
+    rays: Array,  # (N, 8)
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+    *,
+    randomized: bool = False,
+    n_probes: int = 128,
+    bg_policy: str = "white",
+    use_bg_fn: bool = True,
+    active_expert: Optional[int] = None,
+    sigma_scale: float = 1.0,
+) -> Tuple[Array, Array, Array, Array]:
+    """Dense occupancy-guided MoE render (reference render_rays_occ,
+    ray_rendering.py:348-558, without packed samples or segment unions).
+
+    Samples concentrate inside the union of expert occupancy fields; sigma is
+    additionally masked by the union field at the final sample positions, so
+    empty space contributes exactly zero regardless of probe aliasing.
+    """
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    n_rays = o.shape[0]
+
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (far < 1e9)
+    near_s = jnp.where(valid, near, 0.0)
+    far_s = jnp.where(valid, far, 1.0)
+
+    if active_expert is not None:
+        bin_fn = expert_binary_fn(occ_state, statics, active_expert)
+    else:
+        bin_fn = union_binary_fn(occ_state, statics)
+
+    k_samp = k_bg = None
+    if key is not None:
+        k_samp, k_bg = jax.random.split(key)
+    t_vals, alive = occupancy_sample_tvals(
+        bin_fn, o, d, near_s, far_s, n_samples, n_probes=n_probes,
+        key=k_samp, randomized=randomized,
+    )
+    pts = t_to_points(o, d, t_vals)  # (N, S, 3)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+
+    flat_pts = pts.reshape(-1, 3)
+    flat_dirs = dirs.reshape(-1, 3)
+    rgb, sigma = container_apply(
+        params, cfg, statics, flat_pts, flat_dirs, active_expert
+    )
+    rgb = rgb.reshape(n_rays, n_samples, 3)
+    sigma = sigma.reshape(n_rays, n_samples)
+
+    # hard-zero sigma outside the occupancy union and on dead/invalid rays
+    occ_mask = bin_fn(flat_pts).reshape(n_rays, n_samples)
+    sigma = jnp.where(occ_mask & alive[:, None] & valid[:, None], sigma, 0.0)
+
+    bg = None
+    if use_bg_fn and cfg.use_bg_nerf and "bg" in params:
+        bg = container_bg_fn(params, cfg)(d)
+    else:
+        bg = background_rgb(
+            bg_policy, n_rays, key=k_bg, last_sample_rgb=rgb[:, -1, :],
+            dtype=rgb.dtype,
+        )
+
+    rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+    return volume_render(rgb_sigma, t_vals, bg_rgb=bg, sigma_scale=sigma_scale)
+
+
+def make_render_rays(
+    cfg: ContainerConfig,
+    *,
+    ray_samples: int,
+    bg_policy: str = "white",
+    active_expert: Optional[int] = None,
+    n_probes: int = 128,
+):
+    """render_rays dispatch (ray_rendering.py:564-574): occupancy path when
+    the grid is ready, stratified warmup path otherwise — as one jittable
+    function of (params, statics, occ_state, rays, key, use_occ)."""
+    from nerfsys_tpu.models.container import container_field_fn
+    from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+    def render(params, statics, occ_state, rays, key, randomized=False):
+        def occ_path():
+            return render_rays_occ(
+                params, cfg, statics, occ_state, rays, ray_samples, key,
+                randomized=randomized, n_probes=n_probes, bg_policy=bg_policy,
+                active_expert=active_expert,
+            )
+
+        def strat_path():
+            field = container_field_fn(params, cfg, statics, active_expert)
+            return render_rays_stratified(
+                field, rays, ray_samples, key, randomized=randomized,
+                bg_policy=bg_policy, bg_fn=container_bg_fn(params, cfg),
+            )
+
+        return jax.lax.cond(occ_ready(occ_state), occ_path, strat_path)
+
+    return render
