@@ -1,0 +1,301 @@
+"""Orbit/path video rendering with DRB-native camera paths.
+
+Counterpart of /root/reference/adaptive_nerf/pipelines/video_gen.py. Camera
+path generation is host-side numpy (poses are cheap); frames render through
+the jitted fixed-chunk renderer, so the whole video is one compiled program
+replayed per chunk.
+
+Conventions (module doc of the reference): world translations in DRB; c2w
+stores RUB columns [right, up, back]; world 'up' is -D = [-1, 0, 0].
+"""
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+UP_WORLD = np.array([-1.0, 0.0, 0.0], dtype=np.float32)
+
+
+# --------------------------- pose builders -----------------------------------
+def _normalize(v):
+    return v / max(np.linalg.norm(v), 1e-12)
+
+
+def rub_pose_from_pos(center, cam, up_world=UP_WORLD) -> np.ndarray:
+    """c2w (4,4) with RUB columns, camera at `cam` looking at `center`."""
+    fwd = _normalize(np.asarray(center, np.float32) - cam)
+    right = _normalize(np.cross(fwd, up_world))
+    up = np.cross(right, fwd)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = np.stack([right, up, -fwd], axis=1)
+    c2w[:3, 3] = cam
+    return c2w
+
+
+def rub_pose_look_same_D(center, cam, up_world=UP_WORLD) -> np.ndarray:
+    """Look at the scene center projected to the camera's height (D axis)."""
+    look = np.array([cam[0], center[1], center[2]], np.float32)
+    return rub_pose_from_pos(look, cam, up_world)
+
+
+def rub_pose_from_fwd(cam, fwd, up_world=UP_WORLD) -> np.ndarray:
+    fwd = _normalize(np.asarray(fwd, np.float32))
+    right = _normalize(np.cross(fwd, up_world))
+    up = np.cross(right, fwd)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = np.stack([right, up, -fwd], axis=1)
+    c2w[:3, 3] = cam
+    return c2w
+
+
+# --------------------------- path generators ----------------------------------
+def poses_turntable_drb(
+    center_drb, radius: float, phi_deg: float = 20.0, n_poses: int = 120,
+    tilt_deg: float = 0.0,
+) -> np.ndarray:
+    """Turntable orbit (video_gen.py:72-133). Returns (T, 4, 4)."""
+    center = np.asarray(center_drb, np.float32)
+    phi = math.radians(max(phi_deg, 12.0))
+    thetas = np.linspace(0, 2 * math.pi, n_poses + 1, dtype=np.float32)[:-1]
+    s_tilt, c_tilt = math.sin(math.radians(tilt_deg)), math.cos(math.radians(tilt_deg))
+
+    poses = []
+    for th in thetas:
+        cam = center + np.array(
+            [-radius * math.sin(phi),
+             radius * math.cos(phi) * math.cos(th),
+             radius * math.cos(phi) * math.sin(th)],
+            np.float32,
+        )
+        c2w = rub_pose_from_pos(center, cam)
+        if abs(tilt_deg) > 1e-6:  # Rodrigues roll about the back axis
+            k = _normalize(c2w[:3, 2])
+            K = np.array(
+                [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], np.float32
+            )
+            R_t = np.eye(3, dtype=np.float32) * c_tilt + (
+                1 - c_tilt
+            ) * np.outer(k, k) + s_tilt * K
+            c2w[:3, :3] = c2w[:3, :3] @ R_t
+        poses.append(c2w)
+    return np.stack(poses)
+
+
+def gen_path_east_west(
+    center, extent, n_poses: int, height_frac: float = -0.12,
+    margin: float = 0.90,
+) -> np.ndarray:
+    """West-to-east sweep at constant height (video_gen.py:135-167)."""
+    center = np.asarray(center, np.float32)
+    halfD, halfR, halfB = 0.5 * np.asarray(extent, np.float32)
+    D = height_frac * halfD
+    R0, R1 = -margin * halfR, margin * halfR
+    Boff = 0.15 * halfB
+    ts = np.linspace(0, 1, n_poses, dtype=np.float32)
+    u = 0.5 * (1 - np.cos(np.pi * ts))
+    poses = []
+    for t, w in zip(ts, u):
+        cam = center + np.array(
+            [D, (1 - w) * R0 + w * R1, Boff * math.sin(2 * math.pi * t)], np.float32
+        )
+        poses.append(rub_pose_look_same_D(center, cam))
+    return np.stack(poses)
+
+
+def gen_path_north_south(
+    center, extent, n_poses: int, height_frac: float = -0.12,
+    margin: float = 0.90,
+) -> np.ndarray:
+    """North-to-south sweep (video_gen.py:169-201)."""
+    center = np.asarray(center, np.float32)
+    halfD, halfR, halfB = 0.5 * np.asarray(extent, np.float32)
+    D = height_frac * halfD
+    B0, B1 = -margin * halfB, margin * halfB
+    Roff = 0.15 * halfR
+    ts = np.linspace(0, 1, n_poses, dtype=np.float32)
+    u = 0.5 * (1 - np.cos(np.pi * ts))
+    poses = []
+    for t, w in zip(ts, u):
+        cam = center + np.array(
+            [D, Roff * math.sin(2 * math.pi * t), (1 - w) * B0 + w * B1], np.float32
+        )
+        poses.append(rub_pose_look_same_D(center, cam))
+    return np.stack(poses)
+
+
+def gen_path_spiral_inside(
+    center, extent, n_poses: int, turns: float = 2.0, radial_frac: float = 0.6,
+    height_center_frac: float = -0.15, height_amp_frac: float = 0.10,
+) -> np.ndarray:
+    """Spiral inside the AABB with mild height variation (video_gen.py:203-255)."""
+    center = np.asarray(center, np.float32)
+    extent = np.asarray(extent, np.float32)
+    halfD, halfR, halfB = 0.5 * extent
+    min_half = 0.5 * float(extent.min())
+    r_base = radial_frac * min_half
+    d_center = height_center_frac * halfD
+    d_amp = height_amp_frac * halfD
+    thetas = np.linspace(0, 2 * math.pi * turns, n_poses, dtype=np.float32)
+    poses = []
+    for th in thetas:
+        rad = r_base * (0.85 + 0.15 * math.cos(th * 0.5))
+        r = np.clip(rad * math.cos(th), -halfR * 0.95, halfR * 0.95)
+        b = np.clip(rad * math.sin(th), -halfB * 0.95, halfB * 0.95)
+        d = np.clip(d_center + d_amp * math.sin(0.5 * th), -halfD * 0.90, halfD * 0.90)
+        cam = center + np.array([d, r, b], np.float32)
+        poses.append(rub_pose_from_pos(center, cam))
+    return np.stack(poses)
+
+
+def gen_path_full_coverage(
+    center, extent, n_poses: int, rows: int = 6, cols: int = 9,
+    height_start_frac: float = -0.18, height_end_frac: float = 0.18,
+) -> np.ndarray:
+    """Boustrophedon grid sweep over the scene (video_gen.py:257-327)."""
+    center = np.asarray(center, np.float32)
+    halfD, halfR, halfB = 0.5 * np.asarray(extent, np.float32)
+    Rvals = np.linspace(-0.85 * halfR, 0.85 * halfR, cols)
+    Bvals = np.linspace(-0.85 * halfB, 0.85 * halfB, rows)
+    waypoints = []
+    for i, b in enumerate(Bvals):
+        Rs = Rvals if i % 2 == 0 else Rvals[::-1]
+        waypoints.extend((float(r), float(b)) for r in Rs)
+    legs = max(1, len(waypoints) - 1)
+    f_per_leg = max(2, math.ceil(n_poses / legs))
+    total = legs * f_per_leg
+    t_heights = np.linspace(0.0, 1.0, total)
+    d_start = height_start_frac * halfD
+    d_end = height_end_frac * halfD
+
+    poses = []
+    idx = 0
+    for k in range(legs):
+        r0, b0 = waypoints[k]
+        r1, b1 = waypoints[k + 1]
+        for j in range(f_per_leg):
+            w = 0.5 * (1 - math.cos(math.pi * j / f_per_leg))
+            r = (1 - w) * r0 + w * r1
+            b = (1 - w) * b0 + w * b1
+            d = (1 - t_heights[idx]) * d_start + t_heights[idx] * d_end
+            idx += 1
+            cam = center + np.array([d, r, b], np.float32)
+            poses.append(rub_pose_from_pos(center, cam))
+    poses = np.stack(poses)
+    if poses.shape[0] > n_poses:
+        poses = poses[:n_poses]
+    elif poses.shape[0] < n_poses:
+        pad = np.repeat(poses[-1:], n_poses - poses.shape[0], axis=0)
+        poses = np.concatenate([poses, pad])
+    return poses
+
+
+PATH_GENERATORS = {
+    "turntable": lambda c, e, n: poses_turntable_drb(
+        c, radius=0.9 * float(np.asarray(e).max()) / 2, n_poses=n
+    ),
+    "east_west": gen_path_east_west,
+    "north_south": gen_path_north_south,
+    "spiral_in": gen_path_spiral_inside,
+    "full_coverage": gen_path_full_coverage,
+}
+
+
+# --------------------------- fog suppression ----------------------------------
+def suppress_fog(
+    rgb: np.ndarray,  # (N, 3)
+    weights: np.ndarray,  # (N, S)
+    acc: np.ndarray,  # (N,)
+    bg_val: float,
+    acc_thr: float = 0.05,
+    wmax_thr: float = 0.08,
+    entropy_thr: float = 1.5,
+):
+    """Blank low-opacity / hazy pixels (video_gen.py:329-363).
+
+    Returns (rgb, stats) — functional variant of the reference's in-place op.
+    """
+    rgb = rgb.copy()
+    low = acc < acc_thr
+    rgb[low] = bg_val
+    wsum = np.maximum(weights.sum(1, keepdims=True), 1e-12)
+    p = weights / wsum
+    entropy = -(p * np.log(np.maximum(p, 1e-12))).sum(1)
+    wmax = weights.max(1)
+    fog = (acc < max(acc_thr * 1.3, 0.10)) & ((wmax < wmax_thr) | (entropy > entropy_thr))
+    rgb[fog] = bg_val
+    return rgb, {"pct_low": float(low.mean()), "pct_fog": float(fog.mean())}
+
+
+# --------------------------- main entry ---------------------------------------
+def render_video(ctx) -> Path:
+    """Render a camera-path video from a trained checkpoint (--op video).
+
+    Uses the global scene box for path extents and the chunked renderer for
+    frames; writes mp4 (imageio/libx264) or a PNG sequence as fallback.
+    """
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.data.image_metadata import ImageMetadata
+    from nerfsys_tpu.ops.color_space import linear_to_srgb
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        make_chunk_renderer,
+        render_image,
+    )
+
+    P = ctx["P"]
+    statics = ctx["statics"]
+    params = ctx["params"]
+    cfg = ctx["cfg"]
+    aabb = np.asarray(statics.global_aabb)
+    center = 0.5 * (aabb[0] + aabb[1])
+    extent = aabb[1] - aabb[0]
+
+    n_poses = int(getattr(P, "video_frames", 120))
+    fps = int(getattr(P, "video_fps", 24))
+    W = int(getattr(P, "video_width", 800))
+    H = int(getattr(P, "video_height", 600))
+    focal = 0.9 * max(W, H)
+
+    gen = PATH_GENERATORS[P.camera_path]
+    poses = gen(center, extent, n_poses)
+    print(f"[video] path={P.camera_path} frames={len(poses)} {W}x{H}")
+
+    renderer = make_chunk_renderer(cfg, ray_samples=P.ray_samples, bg_policy="white")
+
+    frames = []
+    for i, c2w in enumerate(poses):
+        md = ImageMetadata(
+            image_path=Path("/dev/null"), c2w=c2w[:3], W=W, H=H,
+            intrinsics=np.array([focal, focal, W / 2, H / 2], np.float32),
+            image_index=i,
+        )
+        rgb_lin, depth, acc = render_image(
+            renderer, params, statics, md, scene_aabb=aabb,
+            near=P.near, far=P.far,
+        )
+        frame = np.asarray(linear_to_srgb(jnp.asarray(rgb_lin)))
+        frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
+        if i % 10 == 0:
+            print(f"[video] frame {i}/{len(poses)}")
+
+    out_dir = Path(ctx["run_dir"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / f"video_{P.camera_path}.mp4"
+    try:
+        import imageio.v3 as iio
+
+        iio.imwrite(out_path, np.stack(frames), fps=fps, codec="libx264")
+    except Exception as e:  # PNG-sequence fallback when no encoder available
+        print(f"[video] mp4 write failed ({e}); dumping PNG sequence")
+        from PIL import Image as PILImage
+
+        seq_dir = out_dir / f"video_{P.camera_path}"
+        seq_dir.mkdir(exist_ok=True)
+        for i, f in enumerate(frames):
+            PILImage.fromarray(f).save(seq_dir / f"{i:05d}.png")
+        out_path = seq_dir
+    print(f"[video] wrote {out_path}")
+    return out_path

@@ -1,0 +1,205 @@
+import numpy as np
+import pytest
+
+from nerfsys_tpu.data.colmap_utils import (
+    Camera,
+    Image,
+    Point3D,
+    get_cam_intrinsics,
+    qvec2rotmat,
+    read_model,
+    rotmat2qvec,
+    write_cameras_binary,
+    write_images_binary,
+    write_points3D_binary,
+)
+from nerfsys_tpu.data.transformations import (
+    ENU_TO_DRB,
+    ecef_to_enu,
+    ecef_to_geodetic,
+    enu_to_ecef,
+    geodetic_to_ecef,
+    is_likely_ecef,
+)
+from nerfsys_tpu.pipelines.video_gen import (
+    PATH_GENERATORS,
+    gen_path_full_coverage,
+    poses_turntable_drb,
+    rub_pose_from_pos,
+    suppress_fog,
+)
+from nerfsys_tpu.scripts.create_clusters import (
+    compute_voronoi,
+    grid_centroids,
+    kmeans_centroids,
+)
+
+
+# --------------------------- geodesy -----------------------------------------
+def test_geodetic_ecef_roundtrip():
+    lat, lon, alt = 51.549, 7.373, 232.9  # the drz site
+    x, y, z = geodetic_to_ecef(lat, lon, alt)
+    lat2, lon2, alt2 = ecef_to_geodetic(x, y, z)
+    assert abs(float(lat2) - lat) < 1e-9
+    assert abs(float(lon2) - lon) < 1e-9
+    assert abs(float(alt2) - alt) < 1e-6
+
+
+def test_enu_roundtrip_and_axes():
+    ref = (51.549, 7.373, 232.9)
+    # 100 m east
+    xyz = enu_to_ecef(100.0, 0.0, 0.0, *ref)
+    enu = ecef_to_enu(xyz[..., 0], xyz[..., 1], xyz[..., 2], *ref)
+    np.testing.assert_allclose(enu, [100, 0, 0], atol=1e-6)
+    # up changes altitude
+    xyz_up = enu_to_ecef(0.0, 0.0, 50.0, *ref)
+    _, _, alt = ecef_to_geodetic(xyz_up[..., 0], xyz_up[..., 1], xyz_up[..., 2])
+    assert abs(float(alt) - (232.9 + 50)) < 1e-3
+
+
+def test_is_likely_ecef():
+    ecef_pts = np.stack(geodetic_to_ecef(
+        np.full(10, 51.5), np.linspace(7.3, 7.4, 10), np.full(10, 200.0)), -1)
+    assert is_likely_ecef(ecef_pts)
+    assert not is_likely_ecef(np.random.randn(10, 3) * 100)
+
+
+def test_enu_to_drb_axes():
+    # ENU (E, N, U) -> DRB (D=-U, R=E, B=-N)
+    np.testing.assert_allclose(ENU_TO_DRB @ [1, 0, 0], [0, 1, 0])
+    np.testing.assert_allclose(ENU_TO_DRB @ [0, 1, 0], [0, 0, -1])
+    np.testing.assert_allclose(ENU_TO_DRB @ [0, 0, 1], [-1, 0, 0])
+
+
+# --------------------------- colmap ------------------------------------------
+def test_qvec_rotmat_roundtrip():
+    q = np.array([0.9, 0.1, -0.2, 0.3])
+    q /= np.linalg.norm(q)
+    R = qvec2rotmat(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    q2 = rotmat2qvec(R)
+    np.testing.assert_allclose(np.abs(q2), np.abs(q), atol=1e-9)
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    cams = {1: Camera(1, "PINHOLE", 640, 480, np.array([500.0, 500, 320, 240]))}
+    imgs = {
+        7: Image(7, np.array([1.0, 0, 0, 0]), np.array([0.1, 0.2, 0.3]), 1,
+                 "img_007.jpg", np.array([[1.0, 2.0]]), np.array([42])),
+    }
+    pts = {42: Point3D(42, np.array([1.0, 2, 3]), np.array([255, 0, 0]), 0.5,
+                       np.array([7]), np.array([0]))}
+    write_cameras_binary(cams, tmp_path / "cameras.bin")
+    write_images_binary(imgs, tmp_path / "images.bin")
+    write_points3D_binary(pts, tmp_path / "points3D.bin")
+    c2, i2, p2 = read_model(tmp_path)
+    assert c2[1].model == "PINHOLE" and c2[1].width == 640
+    np.testing.assert_allclose(i2[7].tvec, [0.1, 0.2, 0.3])
+    assert i2[7].name == "img_007.jpg"
+    np.testing.assert_allclose(p2[42].xyz, [1, 2, 3])
+    np.testing.assert_array_equal(i2[7].point3D_ids, [42])
+
+
+def test_get_cam_intrinsics_models():
+    c = Camera(0, "SIMPLE_RADIAL", 10, 10, np.array([100.0, 5, 5, 0.01]))
+    intr, dist, how = get_cam_intrinsics(c)
+    np.testing.assert_allclose(intr, [100, 100, 5, 5])
+    assert how == "opencv" and dist[0] == 0.01
+    c = Camera(0, "OPENCV_FISHEYE", 10, 10,
+               np.array([100.0, 101, 5, 5, 0.1, 0.2, 0.3, 0.4]))
+    _, _, how = get_cam_intrinsics(c)
+    assert how == "fisheye"
+
+
+# --------------------------- clustering --------------------------------------
+def test_grid_centroids_2d():
+    cams = np.array([[0, -2, -2], [1, 2, 2]], np.float32)
+    c = grid_centroids(cams, 1, 2, 2, cluster_2d=True)
+    assert c.shape == (4, 3)
+    np.testing.assert_allclose(c[:, 0], 0.5)  # mid altitude
+    np.testing.assert_allclose(sorted(c[:, 1].tolist()), [-1, -1, 1, 1])
+
+
+def test_kmeans_centroids_separates_clusters():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(50, 2)) * 0.1 + [0, 0]
+    b = rng.normal(size=(50, 2)) * 0.1 + [5, 5]
+    cents = kmeans_centroids(np.concatenate([a, b]).astype(np.float32), 2, seed=1)
+    cents = cents[np.argsort(cents[:, 0])]
+    np.testing.assert_allclose(cents[0], [0, 0], atol=0.15)
+    np.testing.assert_allclose(cents[1], [5, 5], atol=0.15)
+
+
+def test_compute_voronoi_hard_and_soft():
+    # two centroids on the y axis; rays pointing down through each
+    cents = np.array([[0, -1, 0], [0, 1, 0]], np.float32)
+    rays = np.array([
+        [0, -1, 0, 1, 0, 0, 0.0, 1.0],   # down-axis ray near centroid 0
+        [0, 1, 0, 1, 0, 0, 0.0, 1.0],    # near centroid 1
+        [0, 0, 0, 1, 0, 0, 0.0, 1.0],    # equidistant
+    ], np.float32)
+    mins = np.full((2, 3), np.inf, np.float32)
+    maxs = np.full((2, 3), -np.inf, np.float32)
+    cnts = np.zeros(2, np.int64)
+    hard = compute_voronoi(rays, cents, ray_samples=16, cluster_2d=True,
+                           boundary_margin=1.0, mins_out=mins, maxs_out=maxs,
+                           counts_out=cnts)
+    assert hard[0].tolist() == [True, False]
+    assert hard[1].tolist() == [False, True]
+    assert cnts.sum() == 3 * 16
+    # streamed AABB covers the sampled segment (x in [0, 1])
+    assert mins[0, 0] >= 0.0 and maxs[0, 0] <= 1.0
+
+    soft = compute_voronoi(rays, cents, ray_samples=16, cluster_2d=True,
+                           boundary_margin=2.0)
+    assert soft[2].tolist() == [True, True]  # equidistant joins both
+
+
+def test_compute_voronoi_invalid_rays_excluded():
+    cents = np.array([[0, -1, 0], [0, 1, 0]], np.float32)
+    rays = np.full((3, 8), np.inf, np.float32)
+    mask = compute_voronoi(rays, cents, ray_samples=8, cluster_2d=True,
+                           boundary_margin=1.0)
+    assert not mask.any()
+
+
+# --------------------------- video paths --------------------------------------
+def test_rub_pose_orthonormal_looks_at():
+    c2w = rub_pose_from_pos(np.zeros(3), np.array([0, 0, 3], np.float32))
+    R = c2w[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    # back column points from center to camera
+    np.testing.assert_allclose(R[:, 2], [0, 0, 1], atol=1e-6)
+
+
+@pytest.mark.parametrize("name", list(PATH_GENERATORS))
+def test_path_generators_shapes(name):
+    center = np.zeros(3, np.float32)
+    extent = np.array([0.5, 2.0, 2.0], np.float32)
+    poses = PATH_GENERATORS[name](center, extent, 24)
+    assert poses.shape == (24, 4, 4)
+    for p in poses[:: 6]:
+        R = p[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # cameras stay within ~the scene bounds (loose sanity)
+    assert np.abs(poses[:, :3, 3]).max() < 4.0
+
+
+def test_full_coverage_padding():
+    poses = gen_path_full_coverage(np.zeros(3), np.ones(3), 7, rows=2, cols=2)
+    assert poses.shape == (7, 4, 4)
+
+
+def test_suppress_fog():
+    rgb = np.ones((4, 3), np.float32) * 0.5
+    w = np.zeros((4, 8), np.float32)
+    w[0, 0] = 0.9          # solid pixel
+    w[1] = 0.01            # hazy: low acc, flat weights
+    w[2, 0] = 0.03         # low-acc (below acc_thr=0.05)
+    w[3, 0] = 0.5          # solid-ish
+    acc = w.sum(1)
+    out, stats = suppress_fog(rgb, w, acc, bg_val=1.0)
+    np.testing.assert_allclose(out[0], 0.5)  # untouched
+    np.testing.assert_allclose(out[1], 1.0)  # fogged -> bg
+    np.testing.assert_allclose(out[2], 1.0)  # low acc -> bg
+    assert stats["pct_low"] > 0
