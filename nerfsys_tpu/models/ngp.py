@@ -34,7 +34,7 @@ from nerfsys_tpu.ops.encodings import (
     HashGridConfig,
     frequency_encode,
     frequency_out_dim,
-    hash_grid_encode,
+    hash_grid_encode_fused,
     hash_grid_init,
     sh_encode,
     sh_out_dim,
@@ -148,7 +148,7 @@ def ngp_density(
 ):
     """Density (and optionally geometry features). Spec: meta_ngp.py:192-225."""
     x01 = world_to_unit(x, aabb, cfg.enc_eps)
-    h = hash_grid_encode(params["hash_table"], x01, cfg.hash)
+    h = hash_grid_encode_fused(params["hash_table"], x01, cfg.hash)
     h = _mlp(h, params["sigma_trunk"], activate_last=True)
     sigma_raw = h @ params["sigma_head"]["w"] + params["sigma_head"]["b"]
     sigma = trunc_exp(sigma_raw[..., 0])

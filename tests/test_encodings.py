@@ -169,3 +169,40 @@ def test_hash_encode_continuity():
     a = hash_grid_encode(t, jnp.array([[0.25 - eps, 0.4, 0.4]]), CFG)
     b = hash_grid_encode(t, jnp.array([[0.25 + eps, 0.4, 0.4]]), CFG)
     np.testing.assert_allclose(a, b, atol=1e-3 * CFG.hash_init_scale * 100)
+
+
+def test_fused_encode_matches_reference_impl():
+    from nerfsys_tpu.ops.encodings import hash_grid_encode_fused
+
+    for mode in ("Linear", "Smoothstep"):
+        cfg = HashGridConfig(levels=3, min_res=4, max_res=16, log2_hashmap_size=9,
+                             interpolation=mode)
+        t = hash_grid_init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=0.01,
+                               maxval=0.99)
+        a = hash_grid_encode(t, x, cfg)
+        b = hash_grid_encode_fused(t, x, cfg)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_encode_grad_matches():
+    from nerfsys_tpu.ops.encodings import hash_grid_encode_fused
+
+    cfg = HashGridConfig(levels=2, min_res=4, max_res=8, log2_hashmap_size=8)
+    t = hash_grid_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.full((16, 3), 0.37)
+    g1 = jax.grad(lambda tab: jnp.sum(hash_grid_encode(tab, x, cfg) ** 2))(t)
+    g2 = jax.grad(lambda tab: jnp.sum(hash_grid_encode_fused(tab, x, cfg) ** 2))(t)
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-8)
+
+
+def test_fused_encode_bf16_compute():
+    from nerfsys_tpu.ops.encodings import hash_grid_encode_fused
+
+    cfg = HashGridConfig(levels=2, min_res=4, max_res=8, log2_hashmap_size=8)
+    t = hash_grid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+    out = hash_grid_encode_fused(t, x, cfg, compute_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.bfloat16
+    ref = hash_grid_encode(t, x, cfg)
+    np.testing.assert_allclose(out.astype(jnp.float32), ref, atol=2e-2)
