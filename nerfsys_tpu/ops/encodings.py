@@ -247,24 +247,45 @@ _CORNERS = np.array(
 )  # (8, 3)
 
 
+def _corner_sum_matrix(L: int, F: int, f: int, dtype=np.float32) -> np.ndarray:
+    """(L*8, L*F) selector: column l*F+f sums the 8 corners of level l.
+
+    Turns the per-level corner reduction into one MXU matmul with both
+    operand trailing dims lane-sized, instead of a (..., L, 8) reduce whose
+    size-8 trailing axis XLA pads 16x to the 128 lane width.
+    """
+    S = np.zeros((L * 8, L * F), dtype)
+    for level in range(L):
+        S[level * 8 : (level + 1) * 8, level * F + f] = 1.0
+    return S
+
+
 def hash_grid_encode_fused(
     table: Array,
     x01: Array,
     cfg: HashGridConfig,
     compute_dtype=None,
 ) -> Array:
-    """TPU-optimized hash encode: ONE batched gather + fused contraction.
+    """TPU-optimized hash encode, mathematically identical to
+    hash_grid_encode (up to fp reassociation) but laid out for the TPU
+    memory system:
 
-    Mathematically identical to hash_grid_encode (up to fp reassociation) but
-    restructured for the TPU memory system: the 8 per-corner gathers collapse
-    into a single (..., L, 8) index gather, and the trilinear lerp becomes a
-    corner-weight contraction that XLA fuses into the gather consumer — no
-    8x (..., L, F) corner intermediates ever hit HBM. `compute_dtype`
-    (e.g. bfloat16) selects the post-gather math precision; indices/weights
-    are always derived in fp32.
+      - Every large intermediate is (N, L*8) — the trailing axis is the
+        flattened level x corner product (128 lanes exactly at the default
+        L=16), so nothing gets the catastrophic 16x lane padding a trailing
+        8 would (a 768MB corner tensor padding to 12GB is what this avoids).
+      - Index math runs per axis, so no (..., 8, 3) coordinate tensors exist.
+      - Per-feature column gathers from the table, with in-bounds promise
+        (indices are masked to the table by construction), so XLA emits no
+        bounds-check predicate tensors.
+      - The trilinear corner reduction is one (N, L*8) @ (L*8, L*F) matmul
+        on the MXU per feature, emitting the final (N, L*F) directly in the
+        reference's level-major feature order.
 
-    Only 'Linear' and 'Smoothstep' interpolation (the hot paths) are
-    supported; 'Nearest' falls back to the reference implementation.
+    `compute_dtype` (e.g. bfloat16) selects the post-gather math precision;
+    indices/weights are always derived in fp32. Only 'Linear' and
+    'Smoothstep' interpolation (the hot paths) are supported here;
+    'Nearest' falls back to the reference implementation.
     """
     assert x01.shape[-1] == 3
     L, F = cfg.levels, cfg.features_per_level
@@ -272,34 +293,50 @@ def hash_grid_encode_fused(
     if mode == "Nearest":
         return hash_grid_encode(table, x01, cfg)
 
+    lead = x01.shape[:-1]
+    x = x01.reshape(-1, 3).astype(jnp.float32)
     res = jnp.asarray(cfg.level_resolutions(), dtype=jnp.float32)  # (L,)
-    level_offsets = jnp.arange(L, dtype=jnp.int32) * cfg.table_size
+    level_offsets = (jnp.arange(L, dtype=jnp.uint32)
+                     * jnp.uint32(cfg.table_size))  # (L,)
+    mask = jnp.uint32(2**cfg.log2_hashmap_size - 1)
 
-    scaled = x01.astype(jnp.float32)[..., None, :] * res[:, None]  # (..., L, 3)
-    floor = jnp.floor(scaled)
-    frac = scaled - floor
-    base = floor.astype(jnp.int32)  # (..., L, 3)
+    # per-axis scaled coords (N, L): no trailing-3 tensors anywhere
+    hashed = []  # per axis: (h(floor), h(floor+1)) each (N, L) uint32
+    fracs = []
+    for a in range(3):
+        s = x[:, a : a + 1] * res[None, :]  # (N, L)
+        fl = jnp.floor(s)
+        fr = s - fl
+        if mode == "Smoothstep":
+            fr = fr * fr * (3.0 - 2.0 * fr)
+        fracs.append(fr)
+        i0 = fl.astype(jnp.int32).astype(jnp.uint32) * _HASH_PRIMES[a]
+        i1 = (fl.astype(jnp.int32) + 1).astype(jnp.uint32) * _HASH_PRIMES[a]
+        hashed.append((i0, i1))
 
-    # corner integer coords: (..., L, 8, 3)
-    corners = base[..., None, :] + jnp.asarray(_CORNERS)
-    h = _hash3(
-        corners[..., 0], corners[..., 1], corners[..., 2], cfg.log2_hashmap_size
-    )  # (..., L, 8)
-    idx = h + level_offsets[:, None]
+    idx_cols = []  # 8 x (N, L) int32 table rows, corner-major (_CORNERS order)
+    w_cols = []  # 8 x (N, L) trilinear corner weights
+    for bx, by, bz in _CORNERS:
+        h = hashed[0][bx] ^ hashed[1][by] ^ hashed[2][bz]
+        idx_cols.append(((h & mask) + level_offsets).astype(jnp.int32))
+        wx = fracs[0] if bx else (1.0 - fracs[0])
+        wy = fracs[1] if by else (1.0 - fracs[1])
+        wz = fracs[2] if bz else (1.0 - fracs[2])
+        w_cols.append(wx * wy * wz)
 
-    feats = jnp.take(table, idx, axis=0)  # (..., L, 8, F) — single gather
+    # (N, L, 8) -> (N, L*8): level-major, corner-minor flattened lane axis
+    idx = jnp.stack(idx_cols, axis=-1).reshape(-1, L * 8)
+    w = jnp.stack(w_cols, axis=-1).reshape(-1, L * 8)
 
-    if mode == "Smoothstep":
-        frac = frac * frac * (3.0 - 2.0 * frac)
-    # per-axis corner weights: w_axis = frac if corner bit else (1 - frac)
-    cbits = jnp.asarray(_CORNERS, jnp.float32)  # (8, 3)
-    w = jnp.prod(
-        cbits * frac[..., None, :] + (1.0 - cbits) * (1.0 - frac[..., None, :]),
-        axis=-1,
-    )  # (..., L, 8)
-
-    if compute_dtype is not None:
-        feats = feats.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    out = jnp.einsum("...c,...cf->...f", w, feats)  # (..., L, F)
-    return out.reshape(*x01.shape[:-1], L * F)
+    cdt = compute_dtype or table.dtype
+    out = None
+    for f in range(F):
+        col = jax.lax.slice_in_dim(table, f, f + 1, axis=1)[:, 0]  # (T*L,)
+        feats = col.at[idx].get(mode="promise_in_bounds")  # (N, L*8)
+        p = (w * feats).astype(cdt)
+        S = jnp.asarray(_corner_sum_matrix(L, F, f), cdt)
+        contrib = jax.lax.dot(p, S, precision=None,
+                              preferred_element_type=jnp.float32)
+        out = contrib if out is None else out + contrib
+    out_dtype = compute_dtype if compute_dtype is not None else table.dtype
+    return out.astype(out_dtype).reshape(*lead, L * F)

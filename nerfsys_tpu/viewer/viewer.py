@@ -1,0 +1,396 @@
+"""Interactive web viewer: Viser UI over a jitted, shape-bucketed renderer.
+
+Counterpart of /root/reference/adaptive_nerf/viewer/viewer.py:77-855. Split
+in two so the compute path is testable headless:
+
+  - RenderEngine: everything between "client camera pose" and "uint8 frame" —
+    RUB->DRB conversion, optional metric->normalized translation, ray
+    generation, bucketed jitted chunk rendering (fixed compile shapes while
+    the user resizes), depth/opacity colormaps, exposure/gamma tonemap,
+    non-finite scrubbing. No viser dependency.
+  - launch_viewer(ctx): the Viser GUI (gated import) wiring reference
+    controls — Visuals, Postprocessing, camera buttons, Operation Mode with
+    Start/Pause/Resume/Stop/Step, continual batch Scan & Verify, live LR /
+    ray hyperparameters, viewer checkpoints — to a Controller and the engine.
+
+TPU-first notes: render requests land on one of a few precompiled chunk
+sizes (powers of two), so interactive resizing never triggers recompiles;
+params arrive as immutable pytree snapshots from the controller so training
+steps and rendering overlap instead of serializing on a model lock.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from nerfsys_tpu.viewer.colormap import (
+    apply_colormap,
+    apply_depth_colormap,
+    tonemap_frame,
+)
+from nerfsys_tpu.viewer.utils import (
+    load_continual_batch_metadata,
+    rub_pose_to_drb,
+    safe_active_module,
+    safe_bg,
+    verify_continual_batch_dir,
+)
+
+
+class RenderEngine:
+    """Camera pose -> frame, with compile-shape bucketing."""
+
+    def __init__(
+        self,
+        cfg,
+        statics,
+        base_params,
+        *,
+        coordinate_info: Optional[dict] = None,
+        global_aabb: Optional[np.ndarray] = None,
+        near: Optional[float] = None,
+        far: Optional[float] = None,
+        chunk_rays: int = 65536,
+        default_samples: int = 64,
+    ):
+        self.cfg = cfg
+        self.statics = statics
+        self.base_params = base_params
+        self.global_aabb = (
+            np.asarray(global_aabb, np.float32) if global_aabb is not None else None
+        )
+        self.near, self.far = near, far
+        self.chunk_rays = int(chunk_rays)
+        self.default_samples = int(default_samples)
+        self.origin = None
+        self.scale = 1.0
+        if coordinate_info:
+            self.origin = np.asarray(coordinate_info["origin_drb"], np.float32)
+            self.scale = float(coordinate_info["pose_scale_factor"])
+        self._renderers: Dict[Tuple, object] = {}
+        self._dir_cache: Dict[Tuple, np.ndarray] = {}
+
+    # ------------------------------- plumbing ---------------------------------
+    def _renderer(self, samples: int, bg_policy: str, active: Optional[int]):
+        key = (int(samples), str(bg_policy), active)
+        r = self._renderers.get(key)
+        if r is None:
+            from nerfsys_tpu.pipelines.online.runtime_adapt import (
+                make_chunk_renderer,
+            )
+
+            r = make_chunk_renderer(
+                self.cfg, ray_samples=int(samples), bg_policy=str(bg_policy),
+                active_expert=active,
+            )
+            self._renderers[key] = r
+        return r
+
+    def _ray_dirs(self, W: int, H: int, fov_y: float) -> np.ndarray:
+        key = (W, H, round(float(fov_y), 5))
+        dirs = self._dir_cache.get(key)
+        if dirs is None:
+            from nerfsys_tpu.data.ram_rays import np_ray_directions
+
+            fy = H / (2.0 * np.tan(0.5 * fov_y))
+            dirs = np_ray_directions(
+                H, W, fy, fy, W / 2.0, H / 2.0, center_pixels=True
+            )
+            if len(self._dir_cache) > 16:
+                self._dir_cache.clear()
+            self._dir_cache[key] = dirs
+        return dirs
+
+    # ------------------------------- rendering --------------------------------
+    def render(
+        self,
+        c2w_rub: np.ndarray,  # (3,4)/(4,4) client camera in RUB world
+        W: int,
+        H: int,
+        fov_y: float,
+        params=None,  # adapted params snapshot; None -> base checkpoint
+        *,
+        pose_is_metric: bool = False,
+        output: str = "rgb",  # rgb | depth | opacity
+        bg_policy: str = "white",
+        active_expert=None,
+        ray_samples: Optional[int] = None,
+        exposure: float = 0.0,
+        gamma: float = 2.2,
+        depth_cmap: str = "turbo",
+        near_clip_m: Optional[float] = None,
+        far_clip_m: Optional[float] = None,
+    ) -> np.ndarray:
+        """Returns (H, W, 3) uint8. Never raises on bad poses — non-finite
+        inputs are scrubbed and OOM degrades to a blank frame (reference
+        viewer.py:779-801)."""
+        import jax.numpy as jnp
+
+        from nerfsys_tpu.data.ram_rays import np_clamp_rays, np_get_rays
+
+        p = params if params is not None else self.base_params
+        samples = int(ray_samples or self.default_samples)
+        active = safe_active_module(active_expert, self.cfg.num_experts)
+        bg = safe_bg(bg_policy)
+        if bg in ("nerf", "none", "last_sample", "random"):
+            bg = "white" if bg != "nerf" else "white"  # learned bg comes via bg_fn
+
+        c2w = rub_pose_to_drb(np.nan_to_num(np.asarray(c2w_rub, np.float32)))
+        if pose_is_metric and self.origin is not None:
+            c2w[:, 3] = (c2w[:, 3] - self.origin) / self.scale
+
+        near = self.near
+        far = self.far
+        if near_clip_m is not None:
+            near = float(near_clip_m) / self.scale
+        if far_clip_m is not None:
+            far = float(far_clip_m) / self.scale
+        if self.global_aabb is None and (near is None or far is None):
+            near = 0.05 if near is None else near
+            far = 100.0 if far is None else far
+
+        dirs = self._ray_dirs(W, H, fov_y)
+        rays = np_get_rays(dirs, c2w, aabb=self.global_aabb, near=near, far=far)
+        rays = rays.reshape(-1, 8).astype(np.float32)
+        rays, valid = np_clamp_rays(rays, near, far)
+        rays = np.nan_to_num(rays, posinf=1e10, neginf=-1e10)
+
+        n = rays.shape[0]
+        renderer = self._renderer(samples, bg, active)
+        rgb = np.zeros((n, 3), np.float32)
+        depth = np.zeros((n,), np.float32)
+        acc = np.zeros((n,), np.float32)
+        try:
+            for s in range(0, n, self.chunk_rays):
+                chunk = rays[s : s + self.chunk_rays]
+                pad = self.chunk_rays - chunk.shape[0]
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad, 8), np.float32)], 0
+                    )
+                r, d, a = renderer(p, self.statics, jnp.asarray(chunk))
+                m = self.chunk_rays - pad
+                rgb[s : s + m] = np.asarray(r)[:m]
+                depth[s : s + m] = np.asarray(d)[:m]
+                acc[s : s + m] = np.asarray(a)[:m]
+        except Exception as e:  # device OOM etc. -> blank frame, keep serving
+            print(f"[viewer] render failed ({type(e).__name__}: {e})")
+            return np.zeros((H, W, 3), np.uint8)
+
+        rgb = np.where(valid[:, None], rgb, 0.0).reshape(H, W, 3)
+        depth = np.where(valid, depth, 0.0).reshape(H, W)
+        acc = np.where(valid, acc, 0.0).reshape(H, W)
+
+        if output == "depth":
+            frame = apply_depth_colormap(
+                depth * self.scale, accumulation=acc, cmap=depth_cmap
+            )
+        elif output == "opacity":
+            frame = apply_colormap(acc, cmap="gray", normalize=False)
+        else:
+            frame = tonemap_frame(rgb, exposure=exposure, gamma=gamma)
+        frame = np.nan_to_num(frame)
+        return (np.clip(frame, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+# --------------------------------- viser UI ----------------------------------
+def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
+    """Start the Viser web viewer on ctx (runner.py --op view).
+
+    Mirrors the reference GUI surface (viewer.py:137-691): Visuals,
+    Postprocessing, camera utilities, and Operation Mode (View /
+    Runtime-Adapt with Start/Pause/Resume/Stop/Step, batch Scan & Verify,
+    live LR scaling, viewer checkpoints).
+    """
+    try:
+        import viser
+    except ImportError as e:
+        raise RuntimeError(
+            "the interactive viewer requires the optional 'viser' package; "
+            "install it or use --op video for offline rendering"
+        ) from e
+
+    import dataclasses as _dc
+
+    from nerfsys_tpu.viewer.engine.controller import Controller
+    from nerfsys_tpu.viewer.engine.runners.base import ViewRunner
+    from nerfsys_tpu.viewer.engine.runners.runtime_adapt import RuntimeAdaptRunner
+
+    P = ctx["P"]
+    cfg, statics, params = ctx["cfg"], ctx["statics"], ctx["params"]
+    engine = RenderEngine(
+        cfg, statics, params,
+        coordinate_info=ctx.get("coordinate_info"),
+        global_aabb=ctx.get("global_aabb"),
+        near=getattr(P, "near", None), far=getattr(P, "far", None),
+        default_samples=min(int(getattr(P, "ray_samples", 64)), 128),
+    )
+
+    from nerfsys_tpu.runner import optim_config_from_args
+
+    def runner_factory(mode: str):
+        if mode == "runtime_adapt":
+            return RuntimeAdaptRunner(
+                params, cfg, statics, metadata=[],
+                optim_cfg=_dc.replace(optim_config_from_args(P),
+                                      use_scheduler=False),
+                ray_samples=int(getattr(P, "ray_samples", 96)),
+                support_batch=int(getattr(P, "support_rays", 4096)),
+                color_space=getattr(P, "color_space", "linear"),
+                bg_policy=getattr(P, "bg_color_default", "random"),
+                global_aabb=ctx.get("global_aabb"),
+                near=getattr(P, "near", None), far=getattr(P, "far", None),
+                seed=int(getattr(P, "seed", 0)),
+            )
+        return ViewRunner(params)
+
+    ctrl = Controller(runner_factory, mode="view")
+
+    server = viser.ViserServer(host="0.0.0.0", port=port)
+    state = {
+        "output": "rgb", "bg": "white", "expert": "all", "samples":
+        engine.default_samples, "exposure": 0.0, "gamma": 2.2,
+        "max_res": 512, "terminate": False,
+    }
+
+    with server.gui.add_folder("Visuals"):
+        gui_bg = server.gui.add_dropdown(
+            "Background", ("white", "black", "nerf"), initial_value="white")
+        gui_expert = server.gui.add_dropdown(
+            "Active expert",
+            ("all",) + tuple(str(i) for i in range(cfg.num_experts)),
+            initial_value="all")
+        gui_samples = server.gui.add_slider(
+            "Samples/ray", min=8, max=256, step=8,
+            initial_value=state["samples"])
+
+    with server.gui.add_folder("Postprocessing"):
+        gui_output = server.gui.add_dropdown(
+            "Display", ("rgb", "depth", "opacity"), initial_value="rgb")
+        gui_exposure = server.gui.add_slider(
+            "Exposure", min=-4.0, max=4.0, step=0.1, initial_value=0.0)
+        gui_gamma = server.gui.add_slider(
+            "Gamma", min=1.0, max=4.0, step=0.1, initial_value=2.2)
+        gui_res = server.gui.add_slider(
+            "Max resolution", min=64, max=1024, step=64, initial_value=512)
+
+    with server.gui.add_folder("Operation Mode"):
+        gui_mode = server.gui.add_dropdown(
+            "Mode", ("View", "Runtime-Adapt"), initial_value="View")
+        gui_steps = server.gui.add_number("Steps", initial_value=200)
+        gui_start = server.gui.add_button("Start")
+        gui_pause = server.gui.add_button("Pause")
+        gui_resume = server.gui.add_button("Resume")
+        gui_stop = server.gui.add_button("Stop")
+        gui_step1 = server.gui.add_button("Step")
+        gui_reset = server.gui.add_button("Reset fast weights")
+        gui_batch = server.gui.add_text("Batch dir", initial_value="")
+        gui_scan = server.gui.add_button("Scan & Verify")
+        gui_lr = server.gui.add_slider(
+            "LR scale", min=0.01, max=10.0, step=0.01, initial_value=1.0)
+        gui_save = server.gui.add_button("Save viewer checkpoint")
+        gui_status = server.gui.add_markdown("status: idle")
+        gui_term = server.gui.add_button("Terminate")
+
+    def _sync_mode(_=None):
+        want = "runtime_adapt" if gui_mode.value == "Runtime-Adapt" else "view"
+        if not ctrl.is_running and ctrl.mode != want:
+            ctrl.set_mode(want)
+
+    gui_mode.on_update(_sync_mode)
+    gui_start.on_click(lambda _: (_sync_mode(), ctrl.start(int(gui_steps.value))))
+    gui_pause.on_click(lambda _: ctrl.pause())
+    gui_resume.on_click(lambda _: ctrl.resume())
+    gui_stop.on_click(lambda _: ctrl.stop(join=False))
+    gui_reset.on_click(lambda _: ctrl.reset_fast())
+    gui_lr.on_update(lambda _: ctrl.update_train_hparams(lr_scale=float(gui_lr.value)))
+
+    def _step1(_):
+        _sync_mode()
+        try:
+            ctrl.step_once()
+        except Exception as e:
+            gui_status.content = f"status: step failed: {e}"
+
+    gui_step1.on_click(_step1)
+
+    def _scan(_):
+        ok, problems, summary = verify_continual_batch_dir(gui_batch.value)
+        if not ok:
+            gui_status.content = "status: batch INVALID: " + "; ".join(problems[:5])
+            return
+        md = load_continual_batch_metadata(
+            gui_batch.value, float(getattr(P, "downscale", 1.0)))
+        _sync_mode()
+        r = ctrl.runner
+        if isinstance(r, RuntimeAdaptRunner):
+            r.set_metadata(md)
+        gui_status.content = f"status: batch OK ({summary['count']} images)"
+
+    gui_scan.on_click(_scan)
+    gui_save.on_click(lambda _: ctrl.save_checkpoint(
+        Path(ctx.get("run_dir", "logs")) / "viewer_ckpt.model"))
+
+    def _terminate(_):
+        state["terminate"] = True
+
+    gui_term.on_click(_terminate)
+
+    @server.on_client_connect
+    def _on_client(client: "viser.ClientHandle"):
+        @client.camera.on_update
+        def _on_cam(_):
+            _render_to(client)
+
+    def _render_to(client):
+        cam = client.camera
+        import viser.transforms as vtf
+
+        R = vtf.SO3(np.asarray(cam.wxyz)).as_matrix()
+        c2w = np.concatenate(
+            [R, np.asarray(cam.position, np.float32).reshape(3, 1)], axis=1)
+        max_res = int(gui_res.value)
+        aspect = float(cam.aspect) if cam.aspect else 4 / 3
+        H = min(max_res, 1024)
+        W = int(round(H * aspect))
+        frame = engine.render(
+            c2w, W, H, float(cam.fov),
+            params=ctrl.get_render_params(),
+            output=gui_output.value,
+            bg_policy=gui_bg.value,
+            active_expert=None if gui_expert.value == "all" else gui_expert.value,
+            ray_samples=int(gui_samples.value),
+            exposure=float(gui_exposure.value),
+            gamma=float(gui_gamma.value),
+        )
+        client.scene.set_background_image(frame, format="jpeg")
+
+    print(f"[viewer] serving on http://0.0.0.0:{port}")
+    if not blocking:
+        return server, ctrl, engine
+
+    timeout = float(getattr(P, "viewer_timeout", 0) or 0)
+    t0 = time.time()
+    try:
+        while not state["terminate"]:
+            st = ctrl.status()
+            if st["running"] or st["steps"]:
+                gui_status.content = (
+                    f"status: steps {st['steps']}/{st['target_steps']} "
+                    f"{'running' if st['running'] else 'idle'} "
+                    f"{st['last_metrics']}"
+                )
+            for client in server.get_clients().values():
+                if ctrl.is_running:
+                    _render_to(client)
+            time.sleep(0.5 if ctrl.is_running else 2.0)
+            if timeout and time.time() - t0 > timeout:
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ctrl.stop(join=False)
+        server.stop()

@@ -1,0 +1,326 @@
+"""Viewer subsystem tests: colormaps, geometry utils, batch verification,
+controller/runner lifecycle, and the headless RenderEngine.
+
+The viser UI itself is import-gated (optional dependency); everything under
+it — the render path, the controller thread, the runtime-adapt runner — is
+exercised here without a browser.
+"""
+import json
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nerfsys_tpu.viewer.colormap import (
+    apply_colormap,
+    apply_depth_colormap,
+    apply_pca_colormap,
+    tonemap_frame,
+    turbo,
+)
+from nerfsys_tpu.viewer.engine.controller import Controller
+from nerfsys_tpu.viewer.engine.runners.base import BaseRunner, ViewRunner
+from nerfsys_tpu.viewer.utils import (
+    DRB_TO_RUB,
+    RUB_TO_DRB,
+    look_at_rub,
+    rub_pose_to_drb,
+    safe_active_module,
+    safe_bg,
+    verify_continual_batch_dir,
+)
+
+
+# --------------------------------- colormaps ---------------------------------
+def test_turbo_range_and_shape():
+    x = np.linspace(0, 1, 64).reshape(8, 8)
+    rgb = turbo(x)
+    assert rgb.shape == (8, 8, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # turbo goes blue -> red (poly fit is loose at the exact endpoints)
+    lo, hi = turbo(np.array(0.15)), turbo(np.array(0.95))
+    assert lo[2] > lo[0]  # blue-dominant low
+    assert hi[0] > hi[2]  # red-dominant high
+
+
+def test_apply_colormap_passthrough_and_scalar():
+    img3 = np.random.rand(4, 4, 3).astype(np.float32)
+    assert np.allclose(apply_colormap(img3), np.clip(img3, 0, 1))
+    out = apply_colormap(np.random.rand(4, 4).astype(np.float32), "gray")
+    assert out.shape == (4, 4, 3)
+    assert np.allclose(out[..., 0], out[..., 1])
+
+
+def test_depth_colormap_acc_fade():
+    depth = np.ones((4, 4), np.float32)
+    acc = np.zeros((4, 4), np.float32)
+    out = apply_depth_colormap(depth, accumulation=acc)
+    assert np.allclose(out, 0.0)  # fully faded where nothing accumulated
+
+
+def test_pca_colormap():
+    feats = np.random.randn(10, 10, 7).astype(np.float32)
+    rgb = apply_pca_colormap(feats)
+    assert rgb.shape == (10, 10, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+
+def test_tonemap_exposure_monotone():
+    x = np.full((2, 2, 3), 0.2, np.float32)
+    assert tonemap_frame(x, exposure=1.0).mean() > tonemap_frame(x).mean()
+
+
+# --------------------------------- geometry ----------------------------------
+def test_rub_drb_roundtrip():
+    assert np.allclose(RUB_TO_DRB @ DRB_TO_RUB, np.eye(3))
+    v_rub = np.array([1.0, 2.0, 3.0])  # right, up, back
+    v_drb = RUB_TO_DRB @ v_rub
+    assert np.allclose(v_drb, [-2.0, 1.0, 3.0])  # down=-up, right, back
+
+
+def test_rub_pose_to_drb_translation_and_rotation():
+    c2w = np.eye(4)[:3]
+    c2w[:, 3] = [1.0, 2.0, 3.0]
+    out = rub_pose_to_drb(c2w)
+    assert out.shape == (3, 4)
+    assert np.allclose(out[:, 3], [-2.0, 1.0, 3.0])
+    assert np.allclose(out[:, :3], RUB_TO_DRB)
+
+
+def test_look_at_rub():
+    eye = np.array([0.0, 0.0, 5.0])
+    c2w = look_at_rub(eye, np.zeros(3))
+    # camera looks along -z_cam; back column points from target to eye
+    assert np.allclose(c2w[:, 2], [0, 0, 1], atol=1e-6)
+    assert np.allclose(c2w[:, 3], eye)
+    # columns orthonormal
+    R = c2w[:, :3]
+    assert np.allclose(R.T @ R, np.eye(3), atol=1e-6)
+
+
+def test_safe_helpers():
+    assert safe_bg("WHITE") == "white"
+    assert safe_bg("bogus") == "white"
+    assert safe_active_module("2", 4) == 2
+    assert safe_active_module("all", 4) is None
+    assert safe_active_module(7, 4) is None
+
+
+# ----------------------------- batch verification -----------------------------
+def _make_batch_dir(tmp_path: Path, n: int = 2, break_it: str = "") -> Path:
+    import torch
+    from PIL import Image
+
+    b = tmp_path / "batch_0001"
+    (b / "metadata").mkdir(parents=True)
+    (b / "rgbs").mkdir()
+    items = []
+    for i in range(n):
+        img_id = f"{i:06d}"
+        torch.save(
+            {
+                "H": 8, "W": 8,
+                "c2w": torch.eye(4)[:3],
+                "intrinsics": torch.tensor([8.0, 8.0, 4.0, 4.0]),
+                "distortion": torch.zeros(4),
+            },
+            b / "metadata" / f"{img_id}.pt",
+        )
+        Image.fromarray(
+            np.random.randint(0, 255, (8, 8, 3), np.uint8)
+        ).save(b / "rgbs" / f"{img_id}.jpg")
+        items.append({"image_name": f"src_{i}.jpg", "id": img_id})
+    (b / "manifest.json").write_text(
+        json.dumps({"batch_tag": "batch_0001", "count": n, "items": items})
+    )
+    if break_it == "missing_rgb":
+        (b / "rgbs" / "000000.jpg").unlink()
+    elif break_it == "bad_manifest":
+        (b / "manifest.json").write_text("{not json")
+    return b
+
+
+def test_verify_continual_batch_ok(tmp_path):
+    b = _make_batch_dir(tmp_path)
+    ok, problems, summary = verify_continual_batch_dir(b)
+    assert ok, problems
+    assert summary["count"] == 2
+
+
+def test_verify_continual_batch_missing_rgb(tmp_path):
+    b = _make_batch_dir(tmp_path, break_it="missing_rgb")
+    ok, problems, _ = verify_continual_batch_dir(b)
+    assert not ok
+    assert any("rgbs/000000" in p for p in problems)
+
+
+def test_verify_continual_batch_bad_manifest(tmp_path):
+    b = _make_batch_dir(tmp_path, break_it="bad_manifest")
+    ok, problems, _ = verify_continual_batch_dir(b)
+    # falls back to directory scan but reports the unreadable manifest
+    assert any("manifest" in p for p in problems)
+    assert not ok
+
+
+# --------------------------------- controller ---------------------------------
+class CountingRunner(BaseRunner):
+    name = "counting"
+
+    def __init__(self, delay=0.0, fail_at=None):
+        super().__init__(params={"w": np.zeros(1)})
+        self.delay = delay
+        self.fail_at = fail_at
+
+    def step(self):
+        if self.fail_at is not None and self.steps + 1 >= self.fail_at:
+            raise RuntimeError("boom")
+        if self.delay:
+            time.sleep(self.delay)
+        self.steps += 1
+        self.loss_history.append(1.0 / self.steps)
+        return {"loss": self.loss_history[-1], "steps": self.steps}
+
+
+def _ctrl(runner):
+    return Controller(lambda mode: runner, mode="runtime_adapt")
+
+
+def test_controller_start_runs_to_target():
+    ctrl = _ctrl(CountingRunner())
+    ctrl.start(25)
+    for _ in range(100):
+        if not ctrl.is_running:
+            break
+        time.sleep(0.02)
+    assert not ctrl.is_running
+    assert ctrl.runner.steps == 25
+    assert ctrl.status()["last_metrics"]["steps"] == 25
+
+
+def test_controller_start_extends_target():
+    ctrl = _ctrl(CountingRunner(delay=0.005))
+    ctrl.start(20)
+    ctrl.start(20)  # extend while running
+    for _ in range(400):
+        if not ctrl.is_running:
+            break
+        time.sleep(0.01)
+    assert ctrl.runner.steps == 40
+
+
+def test_controller_pause_resume_stop():
+    ctrl = _ctrl(CountingRunner(delay=0.002))
+    ctrl.start(10_000)
+    time.sleep(0.05)
+    ctrl.pause()
+    time.sleep(0.1)  # let any in-flight step drain
+    frozen = ctrl.runner.steps
+    time.sleep(0.1)
+    assert ctrl.runner.steps == frozen  # paused: no progress
+    ctrl.resume()
+    deadline = time.time() + 5.0
+    while ctrl.runner.steps == frozen and time.time() < deadline:
+        time.sleep(0.02)
+    assert ctrl.runner.steps > frozen
+    ctrl.stop()
+    assert not ctrl.is_running
+
+
+def test_controller_step_once_and_reset():
+    ctrl = _ctrl(CountingRunner())
+    m = ctrl.step_once()
+    assert m["steps"] == 1
+    ctrl.reset_fast()
+    assert ctrl.runner.steps == 0
+    assert ctrl.runner.loss_history == []
+
+
+def test_controller_surfaces_runner_error():
+    ctrl = _ctrl(CountingRunner(fail_at=3))
+    ctrl.start(10)
+    for _ in range(100):
+        if not ctrl.is_running:
+            break
+        time.sleep(0.02)
+    assert ctrl.last_error is not None and "boom" in ctrl.last_error
+    assert ctrl.runner.steps == 2
+
+
+def test_controller_view_mode_has_no_render_params():
+    ctrl = Controller(lambda mode: CountingRunner(), mode="view")
+    assert ctrl.get_render_params() is None
+
+
+def test_runner_checkpoint_roundtrip(tmp_path):
+    r = CountingRunner()
+    r.step(); r.step()
+    r.params = {"w": np.array([42.0])}
+    p = r.save_checkpoint(tmp_path / "ck.model")
+    r2 = CountingRunner()
+    r2.load_checkpoint(p)
+    assert float(r2.params["w"][0]) == 42.0
+    assert r2.steps == 2
+
+
+# ------------------------------- render engine --------------------------------
+@pytest.fixture(scope="module")
+def tiny_engine():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.viewer.viewer import RenderEngine
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(
+            hidden=16, sigma_depth=1, color_hidden=16, color_depth=1,
+            geo_feat_dim=7,
+            hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                log2_hashmap_size=8),
+        ),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.0, c + 1.0]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    )
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+    engine = RenderEngine(
+        cfg, statics, params,
+        global_aabb=np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32),
+        chunk_rays=1024, default_samples=8,
+    )
+    return engine
+
+
+def test_render_engine_rgb(tiny_engine):
+    c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    frame = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+    assert frame.shape == (12, 16, 3)
+    assert frame.dtype == np.uint8
+
+
+def test_render_engine_outputs_and_expert(tiny_engine):
+    c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    for output in ("depth", "opacity"):
+        f = tiny_engine.render(c2w, 8, 8, fov_y=0.8, output=output)
+        assert f.shape == (8, 8, 3)
+    f = tiny_engine.render(c2w, 8, 8, fov_y=0.8, active_expert="1")
+    assert f.shape == (8, 8, 3)
+
+
+def test_render_engine_scrubs_bad_pose(tiny_engine):
+    c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    c2w[0, 3] = np.nan
+    frame = tiny_engine.render(c2w, 8, 8, fov_y=0.8)
+    assert frame.shape == (8, 8, 3)  # no crash, finite output
