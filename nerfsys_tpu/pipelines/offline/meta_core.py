@@ -116,6 +116,10 @@ def task_adapt(
     """
     iterations = meta.inner_iter if iterations is None else iterations
     lr = meta.inner_lr if inner_lr is None else inner_lr
+    if iterations <= 0:
+        # tto=0: no adaptation; report a zero inner loss so metric shapes
+        # stay static (reference eval supports tto 0, nerf_runner.py:339)
+        return expert_params, jnp.zeros((1,))
     bg_const = jax.lax.stop_gradient(bg_params) if bg_params is not None else None
 
     def loss_fn(p, k):

@@ -190,3 +190,28 @@ def test_maml_differs_from_fomaml():
     gb = np.asarray(grads["fomaml"]["experts"]["sigma_head"]["w"][0])
     assert np.isfinite(ga).all() and np.isfinite(gb).all()
     assert not np.allclose(ga, gb)
+
+
+def test_eval_step_tto_zero():
+    """tto=0 must evaluate at the base params without crashing
+    (reference eval supports tto lists containing 0)."""
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    ev = make_eval_step(META, CFG, tto=0)
+    batch = make_batch(jax.random.PRNGKey(1))
+    out = ev(params, st, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["psnr_out"]))
+
+
+def test_task_adapt_zero_iterations_identity():
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    p0 = jax.tree_util.tree_map(lambda a: a[0], params["experts"])
+    rays = make_batch(jax.random.PRNGKey(1))["support_rays"][0, 0]
+    rgbs = jnp.full((S, 3), 0.3)
+    fast, losses = task_adapt(
+        META, CFG, p0, st.expert_aabbs[0], params["bg"], rays, rgbs,
+        jax.random.PRNGKey(3), iterations=0,
+    )
+    np.testing.assert_array_equal(fast["sigma_head"]["w"], p0["sigma_head"]["w"])
+    assert losses.shape == (1,)
