@@ -41,7 +41,7 @@ def main():
         hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
         geo_feat_dim=15,
         hash=HashGridConfig(levels=16, min_res=16, max_res=4096,
-                            log2_hashmap_size=20),
+                            log2_hashmap_size=20, packed=True),
     )
     cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
                           bg_hidden=32)
@@ -77,17 +77,18 @@ def main():
     }
     batch = jax.device_put(batch)
 
-    # warmup/compile
+    # warmup/compile; float() forces a device->host sync (block_until_ready
+    # alone does not reliably block under the axon remote backend)
     key = jax.random.PRNGKey(1)
     params, opt_state, aux = step(params, opt_state, statics, batch, key)
-    jax.block_until_ready(aux["loss_out"])
+    _ = float(aux["loss_out"])
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
         params, opt_state, aux = step(params, opt_state, statics, batch, k)
-    jax.block_until_ready(aux["loss_out"])
+    _ = float(aux["loss_out"])
     dt = (time.perf_counter() - t0) / iters
 
     # rays processed per outer step: inner loop touches S rays x INNER times

@@ -1,0 +1,168 @@
+// Native host data-loader kernels: per-image ray precompute.
+//
+// C++ counterpart of the Python math in nerfsys_tpu/data/ram_rays.py
+// (np_ray_directions / np_get_rays / np_ray_aabb_intersect / np_clamp_rays),
+// which itself mirrors the reference's per-image worker
+// (/root/reference/adaptive_nerf/data/ram_rays_dataset.py:46-121). The
+// reference parallelizes this with a ProcessPoolExecutor; here one C++ call
+// handles a whole image with internal threading, removing the Python
+// per-pixel array traffic entirely.
+//
+// Build: g++ -O3 -fPIC -shared (see native/__init__.py; loaded via ctypes).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr float kMiss = 1e10f;
+
+struct Cam {
+  int H, W;
+  float fx, fy, cx, cy;
+  bool center_pixels;
+  const float* c2w;   // (3,4) row-major
+  const float* aabb;  // 6 floats or nullptr: [min x y z, max x y z]
+  float near_override;  // < 0 -> unset
+  float far_override;   // < 0 -> unset
+};
+
+inline void slab_intersect(const float* aabb, const float o[3],
+                           const float d[3], float* tmin_out,
+                           float* tmax_out) {
+  const float eps = 1e-8f;
+  float tmin = -kMiss, tmax = kMiss;
+  for (int a = 0; a < 3; ++a) {
+    float da = d[a];
+    if (std::fabs(da) < eps) da = (da >= 0.f) ? eps : -eps;
+    const float inv = 1.0f / da;
+    float t0 = (aabb[a] - o[a]) * inv;
+    float t1 = (aabb[3 + a] - o[a]) * inv;
+    if (t0 > t1) { const float tmp = t0; t0 = t1; t1 = tmp; }
+    if (t0 > tmin) tmin = t0;
+    if (t1 < tmax) tmax = t1;
+  }
+  if (tmin < 0.f) tmin = 0.f;
+  if (tmin > kMiss) tmin = kMiss;
+  if (tmax < -kMiss) tmax = -kMiss;
+  if (tmax > kMiss) tmax = kMiss;
+  const bool valid = tmax > tmin;
+  *tmin_out = valid ? tmin : kMiss;
+  *tmax_out = valid ? tmax : kMiss;
+}
+
+void rows_worker(const Cam cam, int j0, int j1, float* out_rays,
+                 uint8_t* out_valid, std::atomic<long long>* n_valid) {
+  const float* R = cam.c2w;  // rows: R[0..3], R[4..7], R[8..11] (3x4)
+  const float ox = R[3], oy = R[7], oz = R[11];
+  const float off = cam.center_pixels ? 0.5f : 0.0f;
+  long long local_valid = 0;
+  for (int j = j0; j < j1; ++j) {
+    const float v = -((static_cast<float>(j) + off) - cam.cy) / cam.fy;
+    float* row = out_rays + static_cast<long long>(j) * cam.W * 8;
+    uint8_t* vrow = out_valid + static_cast<long long>(j) * cam.W;
+    for (int i = 0; i < cam.W; ++i) {
+      const float u = ((static_cast<float>(i) + off) - cam.cx) / cam.fx;
+      // camera RUB dir (u, v, -1), normalized
+      const float inv_n = 1.0f / std::sqrt(u * u + v * v + 1.0f);
+      const float dc[3] = {u * inv_n, v * inv_n, -inv_n};
+      // world dir = R(:, :3) @ dc
+      const float d[3] = {
+          R[0] * dc[0] + R[1] * dc[1] + R[2] * dc[2],
+          R[4] * dc[0] + R[5] * dc[1] + R[6] * dc[2],
+          R[8] * dc[0] + R[9] * dc[1] + R[10] * dc[2],
+      };
+      const float o[3] = {ox, oy, oz};
+
+      float tn, tf;
+      if (cam.aabb != nullptr) {
+        slab_intersect(cam.aabb, o, d, &tn, &tf);
+      } else {
+        tn = cam.near_override >= 0.f ? cam.near_override : 0.0f;
+        tf = cam.far_override >= 0.f ? cam.far_override : kMiss;
+      }
+      // clamp overrides (np_clamp_rays)
+      if (cam.near_override >= 0.f && tn < cam.near_override)
+        tn = cam.near_override;
+      if (cam.far_override >= 0.f && tf > cam.far_override)
+        tf = cam.far_override;
+      const bool valid =
+          std::isfinite(tn) && std::isfinite(tf) && (tf > tn + 1e-6f) &&
+          (tn < 1e9f) && (tf < 1e10f);
+
+      float* px = row + static_cast<long long>(i) * 8;
+      px[0] = o[0]; px[1] = o[1]; px[2] = o[2];
+      px[3] = d[0]; px[4] = d[1]; px[5] = d[2];
+      const float inf = std::numeric_limits<float>::infinity();
+      px[6] = valid ? tn : inf;
+      px[7] = valid ? tf : inf;
+      vrow[i] = valid ? 1 : 0;
+      local_valid += valid ? 1 : 0;
+    }
+  }
+  n_valid->fetch_add(local_valid, std::memory_order_relaxed);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compute all H*W rays of one pinhole image. Returns the number of valid
+// rays. out_rays: (H*W, 8) float32 [o, d, near, far] (invalid -> near/far
+// = +inf, matching np_clamp_rays); out_valid: (H*W,) uint8.
+long long nerfsys_compute_rays(
+    int H, int W, float fx, float fy, float cx, float cy, int center_pixels,
+    const float* c2w, const float* aabb, float near_override,
+    float far_override, float* out_rays, uint8_t* out_valid, int n_threads) {
+  Cam cam{H, W, fx, fy, cx, cy, center_pixels != 0,
+          c2w, aabb, near_override, far_override};
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > H) n_threads = H > 0 ? H : 1;
+
+  std::atomic<long long> n_valid{0};
+  if (n_threads == 1) {
+    rows_worker(cam, 0, H, out_rays, out_valid, &n_valid);
+  } else {
+    std::vector<std::thread> ts;
+    ts.reserve(n_threads);
+    const int rows = (H + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      const int j0 = t * rows;
+      const int j1 = std::min(H, j0 + rows);
+      if (j0 >= j1) break;
+      ts.emplace_back(rows_worker, cam, j0, j1, out_rays, out_valid, &n_valid);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return n_valid.load();
+}
+
+// Compact rays/rgb by a keep-mask AND validity; rgb is converted
+// uint8 -> float32/255 in the same pass. Returns rows written.
+long long nerfsys_compact_rays(
+    const float* rays, const uint8_t* valid, const uint8_t* keep /*or null*/,
+    const uint8_t* rgb_u8, long long n, float* out_rays, float* out_rgb) {
+  long long m = 0;
+  for (long long i = 0; i < n; ++i) {
+    if (!valid[i]) continue;
+    if (keep != nullptr && !keep[i]) continue;
+    const float* src = rays + i * 8;
+    float* dst = out_rays + m * 8;
+    for (int k = 0; k < 8; ++k) dst[k] = src[k];
+    const uint8_t* c = rgb_u8 + i * 3;
+    float* oc = out_rgb + m * 3;
+    oc[0] = c[0] * (1.0f / 255.0f);
+    oc[1] = c[1] * (1.0f / 255.0f);
+    oc[2] = c[2] * (1.0f / 255.0f);
+    ++m;
+  }
+  return m;
+}
+
+}  // extern "C"

@@ -146,6 +146,29 @@ def process_single_image(
     if keep is not None and keep.sum() == 0:
         return None
 
+    no, fo = near_far_override or (None, None)
+
+    # native C++ fast path (data/native): one threaded call per image
+    from nerfsys_tpu.data import native as _native
+
+    if _native.native_available():
+        out = _native.compute_rays_native(
+            md.H, md.W, md.intrinsics, md.c2w, aabb=aabb, near=no, far=fo,
+            center_pixels=center_pixels,
+        )
+        if out is not None:
+            all_rays, valid = out
+            keep_flat = keep.reshape(-1) if keep is not None else None
+            compact = _native.compact_rays_native(
+                all_rays, valid, keep_flat, img.reshape(-1, 3)
+            )
+            if compact is not None:
+                rays, rgb = compact
+                if rays.shape[0] == 0:
+                    return None
+                idx = np.full((rgb.shape[0],), md.image_index, dtype=np.int32)
+                return rgb, rays, idx
+
     fx, fy, cx, cy = md.intrinsics
     dirs = np_ray_directions(md.H, md.W, fx, fy, cx, cy, center_pixels)
     rays = np_get_rays(dirs, md.c2w, aabb=aabb).reshape(-1, 8)
@@ -156,7 +179,6 @@ def process_single_image(
         rays = rays[flat]
         rgb = rgb[flat]
 
-    no, fo = near_far_override or (None, None)
     rays, valid = np_clamp_rays(rays, no, fo)
     if not valid.any():
         return None

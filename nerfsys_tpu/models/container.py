@@ -288,7 +288,7 @@ def param_group_labels(params: Params) -> Params:
         return {
             k: jax.tree_util.tree_map(
                 lambda _: (
-                    "encoding" if k in ("hash_table",) else
+                    "encoding" if k in ("hash_table", "planes_enc") else
                     "color" if k == "color_mlp" else "sigma"
                 ),
                 v,

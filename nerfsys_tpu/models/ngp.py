@@ -35,9 +35,15 @@ from nerfsys_tpu.ops.encodings import (
     frequency_encode,
     frequency_out_dim,
     hash_grid_encode_fused,
+    hash_grid_encode_packed,
     hash_grid_init,
     sh_encode,
     sh_out_dim,
+)
+from nerfsys_tpu.ops.planes import (
+    PlaneEncodingConfig,
+    plane_encode,
+    plane_encoding_init,
 )
 
 Array = jax.Array
@@ -57,8 +63,21 @@ class NGPConfig:
     dir_encoding: str = "spherical"  # 'spherical' | 'frequency'
     sh_levels: int = 4
     freq_pe_dim: int = 4
+    # xyz encoding: 'hash' (reference Instant-NGP parity) or 'planes'
+    # (factorized plane/line VM encoding — the TPU-fast path, ~7x fewer
+    # gather transactions per point; see ops/planes.py)
+    xyz_encoding: str = "hash"
     hash: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
+    planes: "PlaneEncodingConfig" = dataclasses.field(
+        default_factory=lambda: PlaneEncodingConfig()
+    )
     enc_eps: float = 1e-6  # clamp margin for world->unit mapping
+
+    @property
+    def xyz_enc_dim(self) -> int:
+        if self.xyz_encoding == "planes":
+            return self.planes.out_dim
+        return self.hash.out_dim
 
     @property
     def dir_enc_dim(self) -> int:
@@ -84,10 +103,15 @@ def init_ngp_params(key: jax.Array, cfg: NGPConfig, dtype=jnp.float32) -> Params
     n_keys = 4 + cfg.sigma_depth + cfg.color_depth
     keys = list(jax.random.split(key, n_keys))
 
-    params: Params = {"hash_table": hash_grid_init(keys.pop(), cfg.hash, dtype)}
+    if cfg.xyz_encoding == "planes":
+        params: Params = {
+            "planes_enc": plane_encoding_init(keys.pop(), cfg.planes, dtype)
+        }
+    else:
+        params = {"hash_table": hash_grid_init(keys.pop(), cfg.hash, dtype)}
 
     trunk = []
-    last = cfg.hash.out_dim
+    last = cfg.xyz_enc_dim
     for _ in range(max(cfg.sigma_depth, 0)):
         trunk.append(_linear_init(keys.pop(), last, cfg.hidden, dtype))
         last = cfg.hidden
@@ -148,7 +172,14 @@ def ngp_density(
 ):
     """Density (and optionally geometry features). Spec: meta_ngp.py:192-225."""
     x01 = world_to_unit(x, aabb, cfg.enc_eps)
-    h = hash_grid_encode_fused(params["hash_table"], x01, cfg.hash)
+    if cfg.xyz_encoding == "planes":
+        h = plane_encode(params["planes_enc"], x01, cfg.planes)
+    elif cfg.hash.packed and cfg.hash.features_per_level == 2 and (
+        cfg.hash.interpolation != "Nearest"
+    ):
+        h = hash_grid_encode_packed(params["hash_table"], x01, cfg.hash)
+    else:
+        h = hash_grid_encode_fused(params["hash_table"], x01, cfg.hash)
     h = _mlp(h, params["sigma_trunk"], activate_last=True)
     sigma_raw = h @ params["sigma_head"]["w"] + params["sigma_head"]["b"]
     sigma = trunc_exp(sigma_raw[..., 0])

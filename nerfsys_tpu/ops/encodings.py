@@ -137,6 +137,9 @@ class HashGridConfig:
     features_per_level: int = 2
     hash_init_scale: float = 1e-3
     interpolation: str = "Linear"  # Nearest | Linear | Smoothstep
+    # TPU fast path: one uint32 gather per corner carrying both bf16 features
+    # (tcnn-fp16-equivalent precision; ~2x fewer gathers). F must be 2.
+    packed: bool = False
 
     @property
     def table_size(self) -> int:
@@ -294,39 +297,8 @@ def hash_grid_encode_fused(
         return hash_grid_encode(table, x01, cfg)
 
     lead = x01.shape[:-1]
-    x = x01.reshape(-1, 3).astype(jnp.float32)
-    res = jnp.asarray(cfg.level_resolutions(), dtype=jnp.float32)  # (L,)
-    level_offsets = (jnp.arange(L, dtype=jnp.uint32)
-                     * jnp.uint32(cfg.table_size))  # (L,)
-    mask = jnp.uint32(2**cfg.log2_hashmap_size - 1)
-
-    # per-axis scaled coords (N, L): no trailing-3 tensors anywhere
-    hashed = []  # per axis: (h(floor), h(floor+1)) each (N, L) uint32
-    fracs = []
-    for a in range(3):
-        s = x[:, a : a + 1] * res[None, :]  # (N, L)
-        fl = jnp.floor(s)
-        fr = s - fl
-        if mode == "Smoothstep":
-            fr = fr * fr * (3.0 - 2.0 * fr)
-        fracs.append(fr)
-        i0 = fl.astype(jnp.int32).astype(jnp.uint32) * _HASH_PRIMES[a]
-        i1 = (fl.astype(jnp.int32) + 1).astype(jnp.uint32) * _HASH_PRIMES[a]
-        hashed.append((i0, i1))
-
-    idx_cols = []  # 8 x (N, L) int32 table rows, corner-major (_CORNERS order)
-    w_cols = []  # 8 x (N, L) trilinear corner weights
-    for bx, by, bz in _CORNERS:
-        h = hashed[0][bx] ^ hashed[1][by] ^ hashed[2][bz]
-        idx_cols.append(((h & mask) + level_offsets).astype(jnp.int32))
-        wx = fracs[0] if bx else (1.0 - fracs[0])
-        wy = fracs[1] if by else (1.0 - fracs[1])
-        wz = fracs[2] if bz else (1.0 - fracs[2])
-        w_cols.append(wx * wy * wz)
-
-    # (N, L, 8) -> (N, L*8): level-major, corner-minor flattened lane axis
-    idx = jnp.stack(idx_cols, axis=-1).reshape(-1, L * 8)
-    w = jnp.stack(w_cols, axis=-1).reshape(-1, L * 8)
+    # shared per-axis index/weight math, (N, L*8) lane-aligned (see below)
+    idx, w = _encode_indices_weights(x01, cfg)
 
     cdt = compute_dtype or table.dtype
     out = None
@@ -340,3 +312,122 @@ def hash_grid_encode_fused(
         out = contrib if out is None else out + contrib
     out_dtype = compute_dtype if compute_dtype is not None else table.dtype
     return out.astype(out_dtype).reshape(*lead, L * F)
+
+
+# ===================== packed-pair gather (TPU fast path) ====================
+# TPU random-gather throughput is issue-rate bound (~10^8 elements/s measured
+# on v5e, independent of table size or element width). With F=2 features per
+# level the dominant cost is therefore the NUMBER of gathered elements, not
+# bytes. Packing both features of a table entry into ONE uint32 (2 x bf16)
+# halves the gather count — the same precision trade tiny-cuda-nn makes with
+# its fp16 tables. Positions get no gradient here (rays are not learnable
+# anywhere in the system); the table gradient is an explicit scatter-add.
+
+
+def _encode_indices_weights(x01: Array, cfg: HashGridConfig):
+    """Shared index/weight computation, (N, L*8) lane-aligned layouts."""
+    L = cfg.levels
+    x = x01.reshape(-1, 3).astype(jnp.float32)
+    res = jnp.asarray(cfg.level_resolutions(), dtype=jnp.float32)
+    level_offsets = (jnp.arange(L, dtype=jnp.uint32)
+                     * jnp.uint32(cfg.table_size))
+    mask = jnp.uint32(2**cfg.log2_hashmap_size - 1)
+    mode = cfg.interpolation or "Linear"
+
+    hashed, fracs = [], []
+    for a in range(3):
+        s = x[:, a : a + 1] * res[None, :]
+        fl = jnp.floor(s)
+        fr = s - fl
+        if mode == "Smoothstep":
+            fr = fr * fr * (3.0 - 2.0 * fr)
+        fracs.append(fr)
+        i0 = fl.astype(jnp.int32).astype(jnp.uint32) * _HASH_PRIMES[a]
+        i1 = (fl.astype(jnp.int32) + 1).astype(jnp.uint32) * _HASH_PRIMES[a]
+        hashed.append((i0, i1))
+
+    idx_cols, w_cols = [], []
+    for bx, by, bz in _CORNERS:
+        h = hashed[0][bx] ^ hashed[1][by] ^ hashed[2][bz]
+        idx_cols.append(((h & mask) + level_offsets).astype(jnp.int32))
+        wx = fracs[0] if bx else (1.0 - fracs[0])
+        wy = fracs[1] if by else (1.0 - fracs[1])
+        wz = fracs[2] if bz else (1.0 - fracs[2])
+        w_cols.append(wx * wy * wz)
+    idx = jnp.stack(idx_cols, axis=-1).reshape(-1, L * 8)
+    w = jnp.stack(w_cols, axis=-1).reshape(-1, L * 8)
+    return idx, w
+
+
+def pack_table_pairs(table: Array) -> Array:
+    """(T, 2) float table -> (T,) uint32 of two bf16s (hi=f0, lo=f1)."""
+    tb = table.astype(jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(tb[:, 0], jnp.uint16).astype(jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(tb[:, 1], jnp.uint16).astype(jnp.uint32)
+    return (hi << 16) | lo
+
+
+def _unpack_pairs(g: Array):
+    """uint32 (N, C) -> (f0, f1) bf16 arrays of the same shape."""
+    hi = jax.lax.bitcast_convert_type((g >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type((g & 0xFFFF).astype(jnp.uint16),
+                                      jnp.bfloat16)
+    return hi, lo
+
+
+def _packed_encode_fwd_impl(table: Array, x01: Array, cfg: HashGridConfig):
+    L, F = cfg.levels, cfg.features_per_level
+    assert F == 2, "packed gather requires features_per_level == 2"
+    idx, w = _encode_indices_weights(x01, cfg)
+    packed = pack_table_pairs(table)
+    g = packed.at[idx].get(mode="promise_in_bounds")  # ONE gather for both feats
+    f0, f1 = _unpack_pairs(g)
+    wb = w.astype(jnp.bfloat16)
+    S0 = jnp.asarray(_corner_sum_matrix(L, F, 0), jnp.bfloat16)
+    S1 = jnp.asarray(_corner_sum_matrix(L, F, 1), jnp.bfloat16)
+    out = jax.lax.dot(wb * f0, S0, preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot(wb * f1, S1, preferred_element_type=jnp.float32)
+    return out, (idx, w)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_grid_encode_packed(table: Array, x01: Array, cfg: HashGridConfig):
+    """Hash encode with ONE uint32 gather per corner (both bf16 features).
+
+    ~2x fewer gathered elements than hash_grid_encode_fused on the forward
+    pass; table values are read at bf16 precision (tcnn-fp16-equivalent).
+    Gradients flow to `table` only (explicit scatter-add); positions are
+    treated as constants — correct for this system, where sample positions
+    are ray geometry, never parameters.
+    Returns (..., L * 2) float32.
+    """
+    out, _ = _packed_encode_fwd_impl(table, x01, cfg)
+    return out.reshape(*x01.shape[:-1], cfg.levels * 2)
+
+
+def _packed_fwd(table, x01, cfg):
+    out, (idx, w) = _packed_encode_fwd_impl(table, x01, cfg)
+    return out.reshape(*x01.shape[:-1], cfg.levels * 2), (idx, w, table.shape)
+
+
+def _packed_bwd(cfg, res, dout):
+    idx, w, tshape = res
+    L, F = cfg.levels, cfg.features_per_level
+    g = dout.reshape(-1, L * F).astype(jnp.float32)
+    S0 = jnp.asarray(_corner_sum_matrix(L, F, 0), jnp.float32)
+    S1 = jnp.asarray(_corner_sum_matrix(L, F, 1), jnp.float32)
+    # d(w*f_k) = dout @ S_k^T  -> per-corner contribution, times w
+    d0 = jax.lax.dot(g, S0.T, preferred_element_type=jnp.float32) * w
+    d1 = jax.lax.dot(g, S1.T, preferred_element_type=jnp.float32) * w
+    dt0 = jnp.zeros(tshape[0], jnp.float32).at[idx].add(
+        d0, mode="promise_in_bounds")
+    dt1 = jnp.zeros(tshape[0], jnp.float32).at[idx].add(
+        d1, mode="promise_in_bounds")
+    dtable = jnp.stack([dt0, dt1], axis=-1)
+    return dtable, jnp.zeros((*dout.shape[:-1], 3), jnp.float32)
+
+
+hash_grid_encode_packed.defvjp(_packed_fwd, _packed_bwd)

@@ -35,6 +35,7 @@ def meta_trainer(
     seed: int = 0,
     start_step: int = 0,
     best: float = float("-inf"),
+    trace_steps: int = 0,
 ):
     """Run the outer loop; returns (params, opt_state, best)."""
     log = logger.log if logger else print
@@ -54,8 +55,20 @@ def meta_trainer(
             best = state.get("best", best)
             log(f"[resume] restored step {start_step}, best {best:.3f}")
 
+    # optional device trace window (utils/profiling.py): a few steady-state
+    # steps after warmup, written into the run dir for TensorBoard/Perfetto
+    trace_window = ()
+    if trace_steps > 0 and run_dir is not None:
+        t_begin = start_step + min(10, max(outer_steps - start_step - trace_steps, 0))
+        trace_window = range(t_begin, t_begin + trace_steps)
+
     t_last = time.perf_counter()
     for step in range(start_step, outer_steps):
+        if trace_window and step == trace_window[0]:
+            import jax.profiler
+
+            jax.profiler.start_trace(str(run_dir))
+            log(f"[trace] started device trace @ step {step}")
         t0 = time.perf_counter()
         batch = next(train_iter)
         t_data = time.perf_counter() - t0
@@ -95,6 +108,12 @@ def meta_trainer(
                 logger.scalar(f"train/region_{cid}/psnr_out", v, step)
         if step % 50 == 0:
             log(f"step {step}/{outer_steps}  {meters}")
+
+        if trace_window and step == trace_window[-1]:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            log(f"[trace] device trace written to {run_dir}")
 
         # ----- periodic eval + save-best (trainer.py:52-74) -----
         if eval_step is not None and eval_iter is not None and eval_every > 0 \

@@ -55,12 +55,15 @@ def container_config_from_args(P) -> ContainerConfig:
     """Map the flat flag namespace onto the static model config
     (nerf_runner.py:101-170 wiring)."""
     if P.nerf_variant == "instant":
+        from nerfsys_tpu.ops.planes import PlaneEncodingConfig
+
         expert = NGPConfig(
             hidden=P.dim_hidden,
             sigma_depth=P.sigma_depth,
             color_hidden=P.color_hidden,
             color_depth=P.color_depth,
             dir_encoding=P.dir_encoding,
+            xyz_encoding="planes" if P.xyz_encoding == "planes" else "hash",
             hash=HashGridConfig(
                 levels=getattr(P, "high_levels", 16),
                 features_per_level=getattr(P, "high_features_per_level", 2),
@@ -68,6 +71,14 @@ def container_config_from_args(P) -> ContainerConfig:
                 max_res=P.max_res,
                 min_res=getattr(P, "high_min_res", 16),
                 interpolation=getattr(P, "interpolation", "Linear"),
+                packed=bool(getattr(P, "packed_gather", False)),
+            ),
+            planes=PlaneEncodingConfig(
+                levels=P.plane_levels,
+                base_res=P.plane_base_res,
+                growth=P.plane_growth,
+                features=P.plane_features,
+                include_lines=not P.plane_no_lines,
             ),
         )
     else:
@@ -248,6 +259,7 @@ def train(ctx):
         run_dir=ctx["run_dir"],
         logger=ctx["logger"],
         seed=P.seed,
+        trace_steps=getattr(P, "trace_steps", 0),
     )
     ctx["params"] = params
     return params

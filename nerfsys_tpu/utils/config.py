@@ -36,6 +36,12 @@ ARCH_KEYS = {
     "no_bg_nerf",
     "bg_hidden",
     "bg_encoding",
+    # factorized plane encoding topology
+    "plane_levels",
+    "plane_base_res",
+    "plane_growth",
+    "plane_features",
+    "plane_no_lines",
 }
 
 
@@ -51,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute in the render/MLP path")
     p.add_argument("--log_method", type=str, default="step",
                    choices=["step", "patch"])
+    p.add_argument("--trace_steps", type=int, default=0,
+                   help="capture a jax.profiler device trace of this many "
+                        "training steps (written to the run dir)")
 
     # --- io / logging cadence
     p.add_argument("--eval_step", type=int, default=200)
@@ -97,7 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log2_hashmap_size", type=int, default=20)
     p.add_argument("--use_occ", action="store_true")
     p.add_argument("--xyz_encoding", type=str, default="hash",
-                   choices=["frequency", "hash"])
+                   choices=["frequency", "hash", "planes"])
+    p.add_argument("--packed_gather", action="store_true",
+                   help="hash tables read as packed bf16 pairs (one gather "
+                        "per corner; tcnn-fp16-equivalent precision)")
+    # --- factorized plane/line encoding (xyz_encoding=planes, TPU-fast)
+    p.add_argument("--plane_levels", type=int, default=3)
+    p.add_argument("--plane_base_res", type=int, default=128)
+    p.add_argument("--plane_growth", type=float, default=2.0)
+    p.add_argument("--plane_features", type=int, default=8)
+    p.add_argument("--plane_no_lines", action="store_true")
     p.add_argument("--dir_encoding", type=str, default="spherical",
                    choices=["frequency", "spherical"])
 

@@ -206,3 +206,75 @@ def test_fused_encode_bf16_compute():
     assert out.dtype == jnp.bfloat16
     ref = hash_grid_encode(t, x, cfg)
     np.testing.assert_allclose(out.astype(jnp.float32), ref, atol=2e-2)
+
+
+def test_packed_encode_matches_reference_bf16():
+    from nerfsys_tpu.ops.encodings import (
+        hash_grid_encode, hash_grid_encode_packed,
+    )
+
+    cfg = HashGridConfig(levels=4, min_res=4, max_res=32, log2_hashmap_size=10)
+    t = hash_grid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = hash_grid_encode_packed(t, x, cfg)
+    ref = hash_grid_encode(t, x, cfg)
+    assert out.shape == ref.shape
+    # bf16 table reads: ~3 decimal digits of precision
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2 * float(np.abs(ref).max() + 1e-3),
+                               rtol=2e-2)
+
+
+def test_packed_encode_table_gradient():
+    from nerfsys_tpu.ops.encodings import (
+        hash_grid_encode_fused, hash_grid_encode_packed,
+    )
+
+    cfg = HashGridConfig(levels=3, min_res=4, max_res=16, log2_hashmap_size=9)
+    t = hash_grid_init(jax.random.PRNGKey(0), cfg) * 100  # non-trivial scale
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (32, cfg.out_dim))
+
+    def loss_packed(tt):
+        return jnp.mean((hash_grid_encode_packed(tt, x, cfg) - tgt) ** 2)
+
+    def loss_fused(tt):
+        return jnp.mean((hash_grid_encode_fused(tt, x, cfg) - tgt) ** 2)
+
+    gp = np.asarray(jax.grad(loss_packed)(t))
+    gf = np.asarray(jax.grad(loss_fused)(t))
+    assert gp.shape == gf.shape
+    # same sparsity pattern and close values (bf16 forward rounding only)
+    np.testing.assert_allclose(gp, gf, atol=3e-2 * np.abs(gf).max() + 1e-6)
+    assert (np.abs(gp) > 0).sum() > 0
+
+
+def test_packed_encode_jit_and_positions_no_grad():
+    from nerfsys_tpu.ops.encodings import hash_grid_encode_packed
+
+    cfg = HashGridConfig(levels=2, min_res=4, max_res=8, log2_hashmap_size=8)
+    t = hash_grid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+    out = jax.jit(lambda tt, xx: hash_grid_encode_packed(tt, xx, cfg))(t, x)
+    assert out.shape == (16, cfg.out_dim)
+    # position grads are defined (zero): whole pipeline stays differentiable
+    gx = jax.grad(lambda xx: jnp.sum(hash_grid_encode_packed(t, xx, cfg)))(x)
+    np.testing.assert_array_equal(np.asarray(gx), 0.0)
+
+
+def test_ngp_packed_flag_runs():
+    from nerfsys_tpu.models.ngp import NGPConfig, init_ngp_params, ngp_apply
+
+    cfg = NGPConfig(
+        hidden=16, sigma_depth=1, color_hidden=16, color_depth=1,
+        geo_feat_dim=7,
+        hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                            log2_hashmap_size=8, packed=True),
+    )
+    aabb = jnp.array([[-1.0, -1, -1], [1, 1, 1]], jnp.float32)
+    p = init_ngp_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1, maxval=1)
+    d = jnp.tile(jnp.array([[0.0, 0, -1]]), (32, 1))
+    rgb, sigma = ngp_apply(p, cfg, aabb, x, d)
+    assert rgb.shape == (32, 3) and sigma.shape == (32,)
+    assert np.isfinite(np.asarray(rgb)).all()

@@ -123,3 +123,25 @@ def test_mediator_end_to_end(tmp_path):
     while not marker.exists() and time.time() < deadline:
         time.sleep(0.2)
     assert marker.exists()
+
+
+def test_distributed_helpers_single_process():
+    import numpy as np
+
+    from nerfsys_tpu.parallel.distributed import (
+        all_reduce_host_scalars,
+        broadcast_from_host0,
+        local_stride,
+        maybe_initialize,
+        process_info,
+    )
+
+    assert maybe_initialize() is False  # single-process: no-op
+    rank, world = process_info()
+    assert rank == 0 and world >= 1
+    idx = local_stride(10)
+    np.testing.assert_array_equal(idx, np.arange(0, 10, world))
+    out = all_reduce_host_scalars({"a": 1.0, "b": 2.0})
+    assert out == {"a": 1.0, "b": 2.0}
+    tree = {"x": np.ones(3)}
+    np.testing.assert_array_equal(broadcast_from_host0(tree)["x"], tree["x"])

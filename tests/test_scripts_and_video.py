@@ -203,3 +203,21 @@ def test_suppress_fog():
     np.testing.assert_allclose(out[1], 1.0)  # fogged -> bg
     np.testing.assert_allclose(out[2], 1.0)  # low acc -> bg
     assert stats["pct_low"] > 0
+
+
+def test_phase_timer_and_memory_stats():
+    import time as _time
+
+    from nerfsys_tpu.utils.profiling import PhaseTimer, memory_stats
+
+    pt = PhaseTimer()
+    with pt.phase("data"):
+        _time.sleep(0.01)
+    with pt.phase("step"):
+        _time.sleep(0.02)
+    s = pt.scalars()
+    assert s["time_data"] >= 0.01
+    assert s["time_step"] >= 0.02
+    assert s["batch_time"] >= s["time_data"] + s["time_step"]
+    assert "time_misc" in s
+    memory_stats()  # must not raise regardless of backend support
