@@ -1,10 +1,17 @@
 """Headline benchmark: meta-training ray throughput on one chip.
 
-Runs the REAL jitted meta-training step (FoMAML inner loop + outer update) on
-the reference demo-scale configuration (configs/train.json: 4 experts, hash
-2^20 x 16 levels, 64-wide MLPs, 4000 support + 2000 query rays/task, 3
-tasks/region, 8 inner iterations, 96 samples/ray) with synthetic episode data,
-and reports processed training rays per second per chip.
+Runs the REAL jitted meta-training step (FoMAML inner loop + outer update) at
+the reference demo scale (configs/train.json: 4 experts, 64-wide MLPs, 4000
+support + 2000 query rays/task, 3 tasks/region, 8 inner iterations, 96
+samples/ray) with synthetic episode data, and reports processed training rays
+per second per chip. Timing uses host-level syncs (float() of the loss) —
+block_until_ready alone does not reliably block under the axon backend.
+
+Position encoding is the TPU-recommended factorized plane/line encoder
+(--xyz_encoding planes): measured on v5e it is ~8x faster per training point
+than the Instant-NGP hash grid, whose 256 scalar gathers/point are hostile to
+the TPU's issue-rate-bound gather unit (see BASELINE.md for the comparison;
+the hash path remains available for reference parity).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
@@ -29,7 +36,7 @@ def main():
         param_group_labels,
     )
     from nerfsys_tpu.models.ngp import NGPConfig
-    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.ops.planes import PlaneEncodingConfig
     from nerfsys_tpu.pipelines.offline.meta_core import MetaConfig
     from nerfsys_tpu.pipelines.offline.meta_train_step import make_train_step
     from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
@@ -40,8 +47,9 @@ def main():
     expert = NGPConfig(
         hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
         geo_feat_dim=15,
-        hash=HashGridConfig(levels=16, min_res=16, max_res=4096,
-                            log2_hashmap_size=20, packed=True),
+        xyz_encoding="planes",
+        planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
+                                   features=8),
     )
     cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
                           bg_hidden=32)
@@ -83,12 +91,12 @@ def main():
     params, opt_state, aux = step(params, opt_state, statics, batch, key)
     _ = float(aux["loss_out"])
 
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
         params, opt_state, aux = step(params, opt_state, statics, batch, k)
-    _ = float(aux["loss_out"])
+        _ = float(aux["loss_out"])  # per-step device sync
     dt = (time.perf_counter() - t0) / iters
 
     # rays processed per outer step: inner loop touches S rays x INNER times

@@ -156,6 +156,7 @@ class DatasetBundle:
     val_sets: Optional[List[RamRaysDataset]] = None
     train_set: Optional[RamRaysDataset] = None  # flat mode
     val_set: Optional[RamRaysDataset] = None
+    train_metadata: Optional[List[ImageMetadata]] = None  # cameras (occ premark)
 
 
 def get_dataset(
@@ -183,6 +184,7 @@ def get_dataset(
         if cap_images is not None:
             train_md = cap_metadata(train_md, cap_images)
             val_md = cap_metadata(val_md, cap_images)
+        bundle.train_metadata = train_md
         # Flat mode uses camera-pose-derived bounds only when explicit near/far
         # are not given; rays fall back to near/far override entirely.
         bundle.train_set = (
@@ -207,6 +209,12 @@ def get_dataset(
         )
     bundle.clustering = load_clustering_meta(mask_root)
     bundle.global_aabb, bundle.expert_aabbs = load_scene_boxes(mask_root)
+
+    # camera metadata for occupancy visibility premark (mask-independent)
+    all_train_md, _ = get_image_metadata(root, downscale)
+    if cap_images is not None:
+        all_train_md = cap_metadata(all_train_md, cap_images)
+    bundle.train_metadata = all_train_md
 
     train_sets, val_sets = [], []
     for cid in range(n_cells):

@@ -43,22 +43,46 @@ def compute_mse_loss(
     bg_policy: str = "white",
     bg_fn=None,
     sigma_scale: float = 1.0,
+    binary_fn=None,  # occupancy query (pts (M,3) -> bool); None = stratified
+    occ_on=None,  # traced bool: occupancy grid ready (render_rays dispatch)
+    n_probes: int = 128,
 ) -> Tuple[Array, dict]:
     """Render support/query rays and compute color-space-aligned MSE.
 
     Returns (loss, aux) where aux carries rgb_map/psnr for logging.
-    Spec: reference losses.py:10-32.
+    Spec: reference losses.py:10-32; when an occupancy field is provided the
+    renderer dispatch mirrors reference render_rays (ray_rendering.py:564-574):
+    stratified warmup until occ_on, occupancy-guided after.
     """
-    rgb_map, depth, weights, acc = render_rays_stratified(
-        field_fn,
-        rays,
-        ray_samples,
-        key=key,
-        randomized=randomized,
-        bg_policy=bg_policy,
-        bg_fn=bg_fn,
-        sigma_scale=sigma_scale,
-    )
+
+    def strat():
+        return render_rays_stratified(
+            field_fn,
+            rays,
+            ray_samples,
+            key=key,
+            randomized=randomized,
+            bg_policy=bg_policy,
+            bg_fn=bg_fn,
+            sigma_scale=sigma_scale,
+        )
+
+    if binary_fn is None:
+        rgb_map, depth, weights, acc = strat()
+    else:
+        from nerfsys_tpu.ops.occupancy import render_rays_occ_field
+
+        def occ():
+            return render_rays_occ_field(
+                field_fn, binary_fn, rays, ray_samples, key,
+                randomized=randomized, n_probes=n_probes,
+                bg_policy=bg_policy, bg_fn=bg_fn, sigma_scale=sigma_scale,
+            )
+
+        if occ_on is None:
+            rgb_map, depth, weights, acc = occ()
+        else:
+            rgb_map, depth, weights, acc = jax.lax.cond(occ_on, occ, strat)
     pred, gt = color_space_transformer(rgb_map, rgbs, color_space)
     loss = mse(pred, gt)
     aux = {

@@ -277,3 +277,66 @@ def occupancy_sample_tvals(
     t_vals = near[:, None] + (far - near)[:, None] * s
     t_vals = jnp.sort(t_vals, axis=1)
     return t_vals, alive
+
+
+def render_rays_occ_field(
+    field_fn,  # (pts (M,3), dirs (M,3)) -> (rgb (M,3), sigma (M,))
+    binary_fn,  # (pts (M,3)) -> (M,) bool occupancy
+    rays,  # (N, 8)
+    n_samples: int,
+    key=None,
+    *,
+    randomized: bool = False,
+    n_probes: int = 128,
+    bg_policy: str = "white",
+    bg_fn=None,
+    sigma_scale: float = 1.0,
+):
+    """Occupancy-guided dense render of ONE field (no MoE routing).
+
+    The single-expert analogue of models.occupancy.render_rays_occ — used by
+    the meta inner loop, which always trains the active expert in isolation
+    (reference render path via occupancy_marching, meta_ngp.py:389-443).
+    Samples concentrate in occupied space; sigma is hard-zeroed outside the
+    occupancy field so empty space contributes exactly zero.
+    """
+    from nerfsys_tpu.ops.volrend import (
+        background_rgb,
+        t_to_points,
+        volume_render,
+    )
+
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    n_rays = o.shape[0]
+
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (far < 1e9)
+    near_s = jnp.where(valid, near, 0.0)
+    far_s = jnp.where(valid, far, 1.0)
+
+    k_samp = k_bg = None
+    if key is not None:
+        k_samp, k_bg = jax.random.split(key)
+    t_vals, alive = occupancy_sample_tvals(
+        binary_fn, o, d, near_s, far_s, n_samples, n_probes=n_probes,
+        key=k_samp, randomized=randomized,
+    )
+    pts = t_to_points(o, d, t_vals)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+
+    flat_pts = pts.reshape(-1, 3)
+    rgb, sigma = field_fn(flat_pts, dirs.reshape(-1, 3))
+    rgb = rgb.reshape(n_rays, n_samples, 3)
+    sigma = sigma.reshape(n_rays, n_samples)
+    occ_mask = binary_fn(flat_pts).reshape(n_rays, n_samples)
+    sigma = jnp.where(occ_mask & alive[:, None] & valid[:, None], sigma, 0.0)
+
+    if bg_fn is not None:
+        bg = bg_fn(d)
+    else:
+        bg = background_rgb(
+            bg_policy, n_rays, key=k_bg, last_sample_rgb=rgb[:, -1, :],
+            dtype=rgb.dtype,
+        )
+    rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+    return volume_render(rgb_sigma, t_vals, bg_rgb=bg, sigma_scale=sigma_scale)

@@ -69,8 +69,13 @@ def _expert_loss_fn(
     rgbs: Array,
     key: Optional[jax.Array],
     randomized: bool,
+    occ_binary: Optional[Array] = None,  # (L, R, R, R) this expert's grid
+    occ_on: Optional[Array] = None,  # traced bool: grid ready
 ):
-    """Single-expert render loss (reference compute_loss with active_module)."""
+    """Single-expert render loss (reference compute_loss with active_module).
+
+    With an occupancy grid attached, rendering dispatches stratified->occ
+    exactly like the reference render_rays once the grid is ready."""
     apply_fn, _ = _expert_apply_fn(cfg)
 
     def field(pts, dirs):
@@ -80,6 +85,13 @@ def _expert_loss_fn(
     if cfg.use_bg_nerf and bg_params is not None:
         def bg_fn(dirs):
             return background_color({"bg": bg_params}, cfg, dirs)
+
+    binary_fn = None
+    if occ_binary is not None:
+        from nerfsys_tpu.ops.occupancy import query_binary
+
+        def binary_fn(pts):
+            return query_binary(occ_binary, aabb, pts)
 
     loss, aux = compute_mse_loss(
         field,
@@ -92,6 +104,8 @@ def _expert_loss_fn(
         bg_policy=meta.bg_policy,
         bg_fn=bg_fn,
         sigma_scale=meta.sigma_scale,
+        binary_fn=binary_fn,
+        occ_on=occ_on,
     )
     return loss, aux
 
@@ -107,6 +121,8 @@ def task_adapt(
     key: jax.Array,
     iterations: Optional[int] = None,
     inner_lr: Optional[float] = None,
+    occ_binary: Optional[Array] = None,
+    occ_on: Optional[Array] = None,
 ) -> Tuple[Params, Array]:
     """Inner-loop adaptation: `iterations` SGD steps on the support loss.
 
@@ -126,6 +142,7 @@ def task_adapt(
         loss, _ = _expert_loss_fn(
             meta, cfg, p, aabb, bg_const, support_rays, support_rgbs, k,
             randomized=meta.randomized,
+            occ_binary=occ_binary, occ_on=occ_on,
         )
         return loss
 
@@ -167,11 +184,14 @@ def query_loss(
     query_rays: Array,
     query_rgbs: Array,
     key: Optional[jax.Array] = None,
+    occ_binary: Optional[Array] = None,
+    occ_on: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Query-set loss at the adapted weights -> (loss, psnr)."""
     loss, aux = _expert_loss_fn(
         meta, cfg, fast_params, aabb, bg_params, query_rays, query_rgbs, key,
         randomized=meta.randomized and key is not None,
+        occ_binary=occ_binary, occ_on=occ_on,
     )
     return loss, aux["psnr"]
 

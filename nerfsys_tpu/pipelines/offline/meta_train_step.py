@@ -53,36 +53,53 @@ def _per_task_slice(
     slice_b: Dict[str, Array],  # one task per region: (K, S, 8) etc.
     keys: Array,  # (K, 2, key)
     tto: Optional[int] = None,
+    occ_binary: Optional[Array] = None,  # (K, L, R, R, R) stacked grids
+    occ_on: Optional[Array] = None,  # traced bool scalar
 ):
     """Adapt+query for one task of every region at once (vmap over K).
 
     Returns (fast (K, ...), qloss (K,), qpsnr (K,), inner_last (K,)).
     """
 
-    def one(p_k, aabb_k, sup_r, sup_c, qry_r, qry_c, kk):
+    def one(p_k, aabb_k, sup_r, sup_c, qry_r, qry_c, kk, occ_k):
         fast, inner_losses = task_adapt(
             meta, cfg, p_k, aabb_k, bg_params, sup_r, sup_c, kk[0],
-            iterations=tto,
+            iterations=tto, occ_binary=occ_k, occ_on=occ_on,
         )
         qloss, qpsnr = query_loss(
-            meta, cfg, fast, aabb_k, bg_params, qry_r, qry_c, kk[1]
+            meta, cfg, fast, aabb_k, bg_params, qry_r, qry_c, kk[1],
+            occ_binary=occ_k, occ_on=occ_on,
         )
         return fast, qloss, qpsnr, inner_losses[-1]
 
-    return jax.vmap(one)(
-        experts,
-        expert_aabbs,
-        slice_b["support_rays"],
-        slice_b["support_rgbs"],
-        slice_b["query_rays"],
-        slice_b["query_rgbs"],
-        keys,
+    if occ_binary is None:
+        one_fn = lambda p, a, sr, sc, qr, qc, kk: one(
+            p, a, sr, sc, qr, qc, kk, None
+        )
+        return jax.vmap(one_fn)(
+            experts, expert_aabbs,
+            slice_b["support_rays"], slice_b["support_rgbs"],
+            slice_b["query_rays"], slice_b["query_rgbs"], keys,
+        )
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+        experts, expert_aabbs,
+        slice_b["support_rays"], slice_b["support_rgbs"],
+        slice_b["query_rays"], slice_b["query_rgbs"], keys, occ_binary,
     )
 
 
 def _batch_to_task_major(batch: Dict[str, Array]) -> Dict[str, Array]:
     """(K, B, ...) -> (B, K, ...) so lax.scan iterates the task axis."""
     return {k: jnp.swapaxes(v, 0, 1) for k, v in batch.items()}
+
+
+def _occ_args(occ_state):
+    """(stacked binary (K, L, R, R, R), ready scalar) or (None, None)."""
+    if occ_state is None:
+        return None, None
+    from nerfsys_tpu.models.occupancy import occ_ready
+
+    return occ_state["binary"], occ_ready(occ_state)
 
 
 def _finalize_metrics(region_q_sum, region_in_sum, region_n, total_n):
@@ -108,17 +125,19 @@ def make_train_step(
     """Build the jitted outer step: (params, opt_state, statics, batch, key)
     -> (params, opt_state, metrics)."""
 
-    def maml_like_step(params, opt_state, statics: ContainerStatics, batch, key):
+    def maml_like_step(params, opt_state, statics: ContainerStatics, batch,
+                       key, occ_state=None):
         K, B = batch["valid"].shape
         valid = batch["valid"].astype(jnp.float32)
         total_n = jnp.maximum(valid.sum(), 1e-8)
         tm = _batch_to_task_major(batch)
         all_keys = jax.random.split(key, B * K * 2).reshape(B, K, 2, -1)
+        occ_binary, occ_on = _occ_args(occ_state)
 
         def loss_b(p, slice_b, keys_b):
             fast, qloss, qpsnr, inner_last = _per_task_slice(
                 meta, cfg, p["experts"], statics.expert_aabbs, p.get("bg"),
-                slice_b, keys_b,
+                slice_b, keys_b, occ_binary=occ_binary, occ_on=occ_on,
             )
             v = slice_b["valid"].astype(jnp.float32)  # (K,)
             qloss = jnp.where(v > 0, qloss, 0.0)
@@ -163,12 +182,14 @@ def make_train_step(
         aux["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return new_params, new_opt_state, aux
 
-    def reptile_step(params, opt_state, statics: ContainerStatics, batch, key):
+    def reptile_step(params, opt_state, statics: ContainerStatics, batch,
+                     key, occ_state=None):
         K, B = batch["valid"].shape
         valid = batch["valid"].astype(jnp.float32)
         total_n = jnp.maximum(valid.sum(), 1e-8)
         tm = _batch_to_task_major(batch)
         all_keys = jax.random.split(key, B * K * 2).reshape(B, K, 2, -1)
+        occ_binary, occ_on = _occ_args(occ_state)
         experts = params["experts"]
 
         zero_delta = jax.tree_util.tree_map(jnp.zeros_like, experts)
@@ -179,7 +200,7 @@ def make_train_step(
             slice_b, keys_b = xs
             fast, qloss, qpsnr, inner_last = _per_task_slice(
                 meta, cfg, experts, statics.expert_aabbs, params.get("bg"),
-                slice_b, keys_b,
+                slice_b, keys_b, occ_binary=occ_binary, occ_on=occ_on,
             )
             v = slice_b["valid"].astype(jnp.float32)  # (K,)
             qloss = jnp.where(v > 0, qloss, 0.0)
@@ -223,12 +244,14 @@ def make_eval_step(meta: MetaConfig, cfg: ContainerConfig, tto: int):
     regions, same memory layout as training.
     """
 
-    def eval_step(params, statics: ContainerStatics, batch, key):
+    def eval_step(params, statics: ContainerStatics, batch, key,
+                  occ_state=None):
         K, B = batch["valid"].shape
         valid = batch["valid"].astype(jnp.float32)
         total_n = jnp.maximum(valid.sum(), 1e-8)
         tm = _batch_to_task_major(batch)
         all_keys = jax.random.split(key, B * K * 2).reshape(B, K, 2, -1)
+        occ_binary, occ_on = _occ_args(occ_state)
 
         zero_m = (jnp.zeros(K), jnp.zeros(K), jnp.zeros(K))
 
@@ -237,6 +260,7 @@ def make_eval_step(meta: MetaConfig, cfg: ContainerConfig, tto: int):
             _, qloss, qpsnr, inner_last = _per_task_slice(
                 meta, cfg, params["experts"], statics.expert_aabbs,
                 params.get("bg"), slice_b, keys_b, tto=tto,
+                occ_binary=occ_binary, occ_on=occ_on,
             )
             v = slice_b["valid"].astype(jnp.float32)
             qloss = jnp.where(v > 0, qloss, 0.0)

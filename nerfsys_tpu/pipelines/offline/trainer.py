@@ -36,8 +36,15 @@ def meta_trainer(
     start_step: int = 0,
     best: float = float("-inf"),
     trace_steps: int = 0,
+    occ_state=None,  # stacked expert occupancy pytree, or None
+    occ_update_fn=None,  # jitted (occ_state, params, statics, step, key)
 ):
-    """Run the outer loop; returns (params, opt_state, best)."""
+    """Run the outer loop; returns (params, opt_state, best).
+
+    With occupancy enabled, each outer step ends with
+    maybe_update_expert_occupancies (reference meta_train_step.py:176-177)
+    and the train/eval steps render occupancy-guided once the grid is ready.
+    """
     log = logger.log if logger else print
     meters = MetricLogger()
     key = jax.random.PRNGKey(seed)
@@ -54,6 +61,11 @@ def meta_trainer(
             start_step = state["step"]
             best = state.get("best", best)
             log(f"[resume] restored step {start_step}, best {best:.3f}")
+            if occ_state is not None:
+                occ_restored = ckpt.load_aux_state(run_dir, "occ", occ_state)
+                if occ_restored is not None:
+                    occ_state = occ_restored
+                    log("[resume] occupancy grids restored")
 
     # optional device trace window (utils/profiling.py): a few steady-state
     # steps after warmup, written into the run dir for TensorBoard/Perfetto
@@ -75,9 +87,21 @@ def meta_trainer(
 
         key, k_step = jax.random.split(key)
         t1 = time.perf_counter()
-        params, opt_state, aux = train_step(params, opt_state, statics, batch, k_step)
+        if occ_state is not None:
+            params, opt_state, aux = train_step(
+                params, opt_state, statics, batch, k_step, occ_state
+            )
+        else:
+            params, opt_state, aux = train_step(
+                params, opt_state, statics, batch, k_step
+            )
         loss_out = float(aux["loss_out"])  # blocks on device
         t_step = time.perf_counter() - t1
+
+        # occupancy EMA update cadence (reference meta_train_step.py:176-177)
+        if occ_state is not None and occ_update_fn is not None:
+            key, k_occ = jax.random.split(key)
+            occ_state = occ_update_fn(occ_state, params, statics, step, k_occ)
 
         meters.update(
             loss_in=float(aux["loss_in"]),
@@ -119,7 +143,11 @@ def meta_trainer(
         if eval_step is not None and eval_iter is not None and eval_every > 0 \
                 and (step + 1) % eval_every == 0:
             key, k_eval = jax.random.split(key)
-            ev = eval_step(params, statics, next(eval_iter), k_eval)
+            if occ_state is not None:
+                ev = eval_step(params, statics, next(eval_iter), k_eval,
+                               occ_state)
+            else:
+                ev = eval_step(params, statics, next(eval_iter), k_eval)
             eval_psnr = float(ev["psnr_out"])
             if logger:
                 logger.scalars(ev, step, prefix="eval/")
@@ -130,6 +158,8 @@ def meta_trainer(
                     run_dir, "best", ckpt.tree_to_host(params),
                     ckpt.tree_to_host(opt_state), config, step + 1, best, True,
                 )
+                if occ_state is not None:
+                    ckpt.save_aux_state(run_dir, "best", "occ", occ_state)
                 log(f"[ckpt] new best ({best:.3f}) saved")
 
         if run_dir is not None and save_every > 0 and (step + 1) % save_every == 0:
@@ -137,6 +167,8 @@ def meta_trainer(
                 run_dir, f"step{step + 1}", ckpt.tree_to_host(params),
                 ckpt.tree_to_host(opt_state), config, step + 1, best,
             )
+            if occ_state is not None:
+                ckpt.save_aux_state(run_dir, f"step{step + 1}", "occ", occ_state)
             log(f"[ckpt] step{step + 1} saved")
 
     if run_dir is not None:
@@ -144,5 +176,7 @@ def meta_trainer(
             run_dir, "last", ckpt.tree_to_host(params),
             ckpt.tree_to_host(opt_state), config, outer_steps, best,
         )
+        if occ_state is not None:
+            ckpt.save_aux_state(run_dir, "last", "occ", occ_state)
         log("[ckpt] last saved")
     return params, opt_state, best

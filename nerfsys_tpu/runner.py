@@ -243,6 +243,29 @@ def train(ctx):
     step_fn = make_train_step(meta, ctx["cfg"], tx)
     eval_fn = make_eval_step(meta, ctx["cfg"], tto=P.inner_iter)
 
+    # occupancy acceleration (reference nerf_runner.py:125-149,191-199)
+    occ_state = occ_update_fn = None
+    if getattr(P, "use_occ", False):
+        from nerfsys_tpu.models.occupancy import (
+            make_occ_update_fn,
+            premark_invisible_expert_cells,
+        )
+        from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+        occ_cfg = OccGridConfig()
+        occ_state = init_occ_state(occ_cfg, P.num_submodules)
+        train_md = getattr(ctx.get("bundle"), "train_metadata", None)
+        if train_md:
+            c2ws = jnp.stack([jnp.asarray(m.c2w) for m in train_md])
+            intr = jnp.stack([jnp.asarray(m.intrinsics[:4]) for m in train_md])
+            wh = jnp.asarray([[m.W, m.H] for m in train_md], jnp.float32)
+            occ_state = premark_invisible_expert_cells(
+                occ_state, ctx["statics"], occ_cfg, c2ws, intr, wh,
+                near=P.near or 0.0,
+            )
+            print(f"[occ] premarked invisible cells from {len(train_md)} cams")
+        occ_update_fn = make_occ_update_fn(ctx["cfg"], occ_cfg)
+
     params, opt_state, best = meta_trainer(
         params=ctx["params"],
         opt_state=opt_state,
@@ -260,6 +283,8 @@ def train(ctx):
         logger=ctx["logger"],
         seed=P.seed,
         trace_steps=getattr(P, "trace_steps", 0),
+        occ_state=occ_state,
+        occ_update_fn=occ_update_fn,
     )
     ctx["params"] = params
     return params

@@ -146,3 +146,34 @@ def tree_to_host(tree):
     import numpy as np
 
     return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+
+
+def save_aux_state(run_dir, tag: str, name: str, state) -> Path:
+    """Save an auxiliary pytree alongside a checkpoint: <tag>.<name>.
+
+    Used for occupancy grids (the reference stores occ grids inside the
+    model state_dict; here they live in their own file so params stay a
+    pure learnable pytree)."""
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    path = run_dir / f"{tag}.{name}"
+    path.write_bytes(serialization.to_bytes(tree_to_host(state)))
+    return path
+
+
+def load_aux_state(run_dir, name: str, template, tag: Optional[str] = None):
+    """Load <tag>.<name> (default: 'last', else latest step tag); None if
+    absent or unreadable."""
+    run_dir = Path(run_dir)
+    tags = [tag] if tag else ["last", latest_step_tag(run_dir), "best"]
+    for t in tags:
+        if t is None:
+            continue
+        path = run_dir / f"{t}.{name}"
+        if path.exists():
+            try:
+                return serialization.from_bytes(template, path.read_bytes())
+            except Exception as e:
+                print(f"[WARN] aux state {path.name} unreadable ({e})")
+                return None
+    return None

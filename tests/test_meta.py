@@ -215,3 +215,49 @@ def test_task_adapt_zero_iterations_identity():
     )
     np.testing.assert_array_equal(fast["sigma_head"]["w"], p0["sigma_head"]["w"])
     assert losses.shape == (1,)
+
+
+def test_train_step_with_occupancy():
+    """Occ-enabled meta step runs, dispatches stratified->occ, stays finite."""
+    from nerfsys_tpu.models.occupancy import make_occ_update_fn, occ_ready
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    st = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    occ_cfg = OccGridConfig(resolution=8, levels=2, warmup_steps=0,
+                            update_interval=1, occ_thre=1e-6)
+    occ_state = init_occ_state(occ_cfg, K)
+    tx = build_optimizer(OptimConfig(outer_steps=10), param_group_labels(params))
+    opt_state = tx.init(params)
+    step = make_train_step(META, CFG, tx)
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    # grid not ready -> stratified branch
+    assert not bool(occ_ready(occ_state))
+    p1, o1, aux = step(params, opt_state, st, batch, jax.random.PRNGKey(2),
+                       occ_state)
+    assert np.isfinite(float(aux["loss_out"]))
+
+    # run an occupancy update, then step through the occ branch
+    upd = make_occ_update_fn(CFG, occ_cfg)
+    occ_state = upd(occ_state, p1, st, 0, jax.random.PRNGKey(3))
+    assert int(occ_state["num_updates"]) == 1
+    p2, o2, aux2 = step(p1, o1, st, batch, jax.random.PRNGKey(4), occ_state)
+    assert np.isfinite(float(aux2["loss_out"]))
+    # eval step with occ as well
+    ev = make_eval_step(META, CFG, tto=1)
+    out = ev(p2, st, batch, jax.random.PRNGKey(5), occ_state)
+    assert np.isfinite(float(out["psnr_out"]))
+
+
+def test_aux_state_checkpoint_roundtrip(tmp_path):
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.utils.checkpoint import load_aux_state, save_aux_state
+
+    occ = init_occ_state(OccGridConfig(resolution=4, levels=2), 2)
+    occ = {**occ, "num_updates": jnp.asarray(7)}
+    save_aux_state(tmp_path, "last", "occ", occ)
+    tpl = init_occ_state(OccGridConfig(resolution=4, levels=2), 2)
+    restored = load_aux_state(tmp_path, "occ", tpl)
+    assert restored is not None
+    assert int(restored["num_updates"]) == 7
