@@ -72,6 +72,10 @@ class NGPConfig:
         default_factory=lambda: PlaneEncodingConfig()
     )
     enc_eps: float = 1e-6  # clamp margin for world->unit mapping
+    # bfloat16 MLP compute (the TPU-native analogue of the reference's AMP
+    # autocast, meta_core.py:34-66): params stay fp32; activations/matmuls
+    # run bf16 on the MXU; sigma/rgb heads return fp32.
+    use_bf16: bool = False
 
     @property
     def xyz_enc_dim(self) -> int:
@@ -147,10 +151,15 @@ def world_to_unit(x: Array, aabb: Array, eps: float = 1e-6) -> Array:
     return jnp.clip(x01, eps, 1.0 - eps)
 
 
-def _mlp(x: Array, layers, activate_last: bool = False) -> Array:
+def _mlp(x: Array, layers, activate_last: bool = False, dtype=None) -> Array:
+    if dtype is not None:
+        x = x.astype(dtype)
     n = len(layers)
     for i, lyr in enumerate(layers):
-        x = x @ lyr["w"] + lyr["b"]
+        w, b = lyr["w"], lyr["b"]
+        if dtype is not None:
+            w, b = w.astype(dtype), b.astype(dtype)
+        x = x @ w + b
         if activate_last or i < n - 1:
             x = jax.nn.relu(x)
     return x
@@ -180,12 +189,17 @@ def ngp_density(
         h = hash_grid_encode_packed(params["hash_table"], x01, cfg.hash)
     else:
         h = hash_grid_encode_fused(params["hash_table"], x01, cfg.hash)
-    h = _mlp(h, params["sigma_trunk"], activate_last=True)
-    sigma_raw = h @ params["sigma_head"]["w"] + params["sigma_head"]["b"]
+    dt = jnp.bfloat16 if cfg.use_bf16 else None
+    h = _mlp(h, params["sigma_trunk"], activate_last=True, dtype=dt)
+    sh = params["sigma_head"]
+    w, b = (sh["w"].astype(dt), sh["b"].astype(dt)) if dt else (sh["w"], sh["b"])
+    sigma_raw = (h @ w + b).astype(jnp.float32)  # exp needs fp32 range
     sigma = trunc_exp(sigma_raw[..., 0])
     if not return_feats:
         return sigma
-    geo = h @ params["geo_head"]["w"] + params["geo_head"]["b"]
+    gh = params["geo_head"]
+    w, b = (gh["w"].astype(dt), gh["b"].astype(dt)) if dt else (gh["w"], gh["b"])
+    geo = (h @ w + b).astype(jnp.float32)
     return sigma, geo
 
 
@@ -195,7 +209,10 @@ def ngp_color(
     """View-dependent color from direction + geometry features."""
     d_enc = encode_dir(d, cfg)
     h = jnp.concatenate([geo_feat, d_enc], axis=-1)
-    rgb = _mlp(h, params["color_mlp"], activate_last=False)
+    dt = jnp.bfloat16 if cfg.use_bf16 else None
+    rgb = _mlp(h, params["color_mlp"], activate_last=False, dtype=dt).astype(
+        jnp.float32
+    )
     if cfg.use_sigmoid_rgb:
         rgb = jax.nn.sigmoid(rgb)
     return rgb

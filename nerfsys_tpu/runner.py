@@ -63,6 +63,7 @@ def container_config_from_args(P) -> ContainerConfig:
             color_hidden=P.color_hidden,
             color_depth=P.color_depth,
             dir_encoding=P.dir_encoding,
+            use_bf16=bool(getattr(P, "use_amp", False)),
             xyz_encoding="planes" if P.xyz_encoding == "planes" else "hash",
             hash=HashGridConfig(
                 levels=getattr(P, "high_levels", 16),

@@ -118,3 +118,33 @@ def test_jit_apply_compiles_once():
     r1 = fn(p, x, d)
     r2 = fn(p, x + 0.1, d)
     assert r1[0].shape == r2[0].shape
+
+
+def test_bf16_compute_close_to_fp32():
+    """use_bf16 (reference AMP analogue) stays numerically close to fp32."""
+    import dataclasses
+
+    from nerfsys_tpu.models.ngp import NGPConfig, init_ngp_params, ngp_apply
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+
+    cfg32 = NGPConfig(
+        hidden=16, sigma_depth=1, color_hidden=16, color_depth=1,
+        geo_feat_dim=7,
+        hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                            log2_hashmap_size=8),
+    )
+    cfg16 = dataclasses.replace(cfg32, use_bf16=True)
+    aabb = jnp.array([[-1.0, -1, -1], [1, 1, 1]], jnp.float32)
+    p = init_ngp_params(jax.random.PRNGKey(0), cfg32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1, maxval=1)
+    d = jnp.tile(jnp.array([[0.0, 0, -1]]), (64, 1))
+    rgb32, sig32 = ngp_apply(p, cfg32, aabb, x, d)
+    rgb16, sig16 = ngp_apply(p, cfg16, aabb, x, d)
+    assert rgb16.dtype == jnp.float32 and sig16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(rgb16), np.asarray(rgb32), atol=3e-2)
+    np.testing.assert_allclose(np.asarray(sig16), np.asarray(sig32),
+                               rtol=1e-1, atol=1e-2)
+    # gradients flow in bf16 mode
+    g = jax.grad(lambda pp: float(0) + jnp.mean(
+        ngp_apply(pp, cfg16, aabb, x, d)[0]))(p)
+    assert float(jnp.abs(g["sigma_trunk"][0]["w"]).sum()) > 0
