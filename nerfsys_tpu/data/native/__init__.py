@@ -68,6 +68,13 @@ def get_lib():
         lib.nerfsys_compact_rays.argtypes = [
             f32p, u8p, u8p, u8p, ctypes.c_longlong, f32p, f32p,
         ]
+        i64p = ctypes.POINTER(ctypes.c_longlong)
+        lib.nerfsys_route_rays.restype = None
+        lib.nerfsys_route_rays.argtypes = [
+            f32p, ctypes.c_longlong, f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, i64p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -147,3 +154,28 @@ def compact_rays_native(
         _f32p(out_rays), _f32p(out_rgb),
     )
     return out_rays[:m].copy(), out_rgb[:m].copy()
+
+
+def route_rays_native(
+    rays: np.ndarray,  # (N, 8) float32
+    aabb: np.ndarray,  # (2, 3)
+    cells: Tuple[int, int, int],
+    ts: np.ndarray,  # (P,) sample fractions
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Max-overlap micro-cell per ray, (N,) int64 with -1 = miss."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "nerfsys_route_rays"):
+        return None
+    rays = np.ascontiguousarray(rays, np.float32)
+    aabb6 = np.ascontiguousarray(aabb, np.float32).reshape(6)
+    ts = np.ascontiguousarray(ts, np.float32)
+    out = np.empty((rays.shape[0],), np.int64)
+    lib.nerfsys_route_rays(
+        _f32p(rays), rays.shape[0], _f32p(aabb6),
+        int(cells[0]), int(cells[1]), int(cells[2]),
+        _f32p(ts), ts.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        int(n_threads),
+    )
+    return out

@@ -10,9 +10,11 @@
 //
 // Build: g++ -O3 -fPIC -shared (see native/__init__.py; loaded via ctypes).
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -163,6 +165,80 @@ long long nerfsys_compact_rays(
     ++m;
   }
   return m;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Route each ray to the micro-cell it overlaps most (majority vote over P
+// uniform samples in [near, far]); -1 when the ray misses the grid. The
+// native counterpart of data/task_dataset.route_rays_to_cells — numpy
+// broadcasting materializes (N, P, 3) temporaries that crush small hosts.
+void nerfsys_route_rays(
+    const float* rays,       // (N, 8)
+    long long n,
+    const float* aabb,       // 6 floats [min xyz, max xyz]
+    int dx, int dy, int dz,  // cell grid dims
+    const float* ts,         // (P,) sample fractions in [0, 1)
+    int P,
+    long long* out_cell,     // (N,)
+    int n_threads) {
+  const int n_cells = dx * dy * dz;
+  const float lox = aabb[0], loy = aabb[1], loz = aabb[2];
+  const float ex = std::max(aabb[3] - aabb[0], 1e-8f);
+  const float ey = std::max(aabb[4] - aabb[1], 1e-8f);
+  const float ez = std::max(aabb[5] - aabb[2], 1e-8f);
+
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+
+  auto worker = [&](long long i0, long long i1) {
+    std::vector<int> counts(n_cells);
+    for (long long i = i0; i < i1; ++i) {
+      const float* r = rays + i * 8;
+      float near = r[6], far = r[7];
+      if (!std::isfinite(near) || !std::isfinite(far) || !(far > near)) {
+        out_cell[i] = -1;
+        continue;
+      }
+      std::fill(counts.begin(), counts.end(), 0);
+      for (int p = 0; p < P; ++p) {
+        const float t = near + (far - near) * ts[p];
+        const float x = r[0] + r[3] * t;
+        const float y = r[1] + r[4] * t;
+        const float z = r[2] + r[5] * t;
+        const int ix = static_cast<int>(std::floor((x - lox) / ex * dx));
+        const int iy = static_cast<int>(std::floor((y - loy) / ey * dy));
+        const int iz = static_cast<int>(std::floor((z - loz) / ez * dz));
+        if (ix < 0 || ix >= dx || iy < 0 || iy >= dy || iz < 0 || iz >= dz)
+          continue;
+        const int c = (ix * dy + iy) * dz + iz;
+        ++counts[c];
+      }
+      // argmax with lowest-index tie-break (numpy argmax parity)
+      int best = -1, best_n = 0;
+      for (int c = 0; c < n_cells; ++c) {
+        if (counts[c] > best_n) { best_n = counts[c]; best = c; }
+      }
+      out_cell[i] = best;
+    }
+  };
+
+  if (n_threads == 1 || n < 4096) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> thr;
+    const long long step = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      const long long i0 = t * step, i1 = std::min(n, i0 + step);
+      if (i0 >= i1) break;
+      thr.emplace_back(worker, i0, i1);
+    }
+    for (auto& th : thr) th.join();
+  }
 }
 
 }  // extern "C"

@@ -54,6 +54,18 @@ def route_rays_to_cells(
 
     out = np.full(rays.shape[0], -1, dtype=np.int64)
     ts = rng.uniform(0.0, 1.0, size=samples_per_ray).astype(np.float32)
+
+    # native C++ fast path (data/native): the numpy version below broadcasts
+    # (N, P, 3) temporaries, which is brutal on small hosts
+    from nerfsys_tpu.data import native as _native
+
+    if _native.native_available():
+        routed = _native.route_rays_native(
+            rays.astype(np.float32, copy=False), np.asarray(aabb, np.float32),
+            tuple(int(c) for c in cells), ts,
+        )
+        if routed is not None:
+            return routed
     for s in range(0, rays.shape[0], chunk):
         r = rays[s : s + chunk]
         o, d = r[:, :3], r[:, 3:6]
@@ -67,11 +79,14 @@ def route_rays_to_cells(
         ijk = np.clip(ijk, 0, dims - 1)
         flat = (ijk[..., 0] * dims[1] + ijk[..., 1]) * dims[2] + ijk[..., 2]
         flat = np.where(inside, flat, n_cells)  # out-of-box -> overflow bin
-        # per-ray majority vote over cells (vectorized bincount)
+        # per-ray majority vote over cells: one flat bincount (np.add.at is
+        # ~100x slower on scattered updates at this scale)
         M = flat.shape[0]
-        counts = np.zeros((M, n_cells + 1), dtype=np.int32)
-        rows = np.repeat(np.arange(M), flat.shape[1])
-        np.add.at(counts, (rows, flat.reshape(-1)), 1)
+        rows = np.repeat(np.arange(M, dtype=np.int64), flat.shape[1])
+        comb = rows * (n_cells + 1) + flat.reshape(-1)
+        counts = np.bincount(comb, minlength=M * (n_cells + 1)).reshape(
+            M, n_cells + 1
+        )
         counts[:, n_cells] = 0  # never pick the overflow bin
         best = counts.argmax(1)
         hit = counts[np.arange(M), best] > 0

@@ -102,3 +102,31 @@ def test_ram_rays_dataset_uses_native(tmp_path):
     np.testing.assert_allclose(ds.rays[:, :6], ds_py.rays[:, :6], atol=1e-5)
     np.testing.assert_allclose(ds.rgbs, ds_py.rgbs, atol=1e-6)
     np.testing.assert_array_equal(ds.img_indices, ds_py.img_indices)
+
+
+def test_route_rays_native_matches_numpy():
+    import nerfsys_tpu.data.native as nat
+    from nerfsys_tpu.data.task_dataset import route_rays_to_cells
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.3
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile(np.array([0.1, 2.0], np.float32), (n, 1))
+    nf[::17] = np.inf  # some invalid rays
+    rays = np.concatenate([o, d, nf], 1)
+    aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+
+    out_native = route_rays_to_cells(rays, aabb, (1, 5, 5),
+                                     rng=np.random.default_rng(0))
+    old = nat._lib, nat._lib_failed
+    try:
+        nat._lib, nat._lib_failed = None, True
+        out_numpy = route_rays_to_cells(rays, aabb, (1, 5, 5),
+                                        rng=np.random.default_rng(0))
+    finally:
+        nat._lib, nat._lib_failed = old
+    np.testing.assert_array_equal(out_native, out_numpy)
+    assert (out_native[::17] == -1).all()
+    assert (out_native >= 0).mean() > 0.5
