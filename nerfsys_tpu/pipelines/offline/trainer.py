@@ -10,6 +10,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.profiler  # noqa: F401  (trace window)
 import numpy as np
 
 from nerfsys_tpu.utils import checkpoint as ckpt
@@ -77,8 +78,6 @@ def meta_trainer(
     t_last = time.perf_counter()
     for step in range(start_step, outer_steps):
         if trace_window and step == trace_window[0]:
-            import jax.profiler
-
             jax.profiler.start_trace(str(run_dir))
             log(f"[trace] started device trace @ step {step}")
         t0 = time.perf_counter()
@@ -134,8 +133,6 @@ def meta_trainer(
             log(f"step {step}/{outer_steps}  {meters}")
 
         if trace_window and step == trace_window[-1]:
-            import jax.profiler
-
             jax.profiler.stop_trace()
             log(f"[trace] device trace written to {run_dir}")
 
