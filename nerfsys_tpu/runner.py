@@ -235,12 +235,61 @@ def _load_params_from_checkpoint(ctx):
 
 
 # --------------------------- ops ----------------------------------------------
+class _ShardedLoader:
+    """Wrap a batch iterator, placing every batch with mesh shardings."""
+
+    def __init__(self, source, mesh):
+        from nerfsys_tpu.parallel.mesh import shard_batch
+
+        self._source = source
+        self._mesh = mesh
+        self._shard = shard_batch
+
+    def __iter__(self):
+        for batch in self._source:
+            yield self._shard(batch, self._mesh)
+
+
+def maybe_shard_training(ctx, params, opt_state):
+    """Multi-chip data/expert parallelism (parallel/mesh.py): shard episode
+    ray axes on 'data', optionally experts on 'expert'; params replicated.
+    Single-device: no-op. Returns (params, opt_state, mesh or None)."""
+    P = ctx["P"]
+    mesh_spec = getattr(P, "mesh_shape", None)
+    if jax.device_count() == 1 and not mesh_spec:
+        return params, opt_state, None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from nerfsys_tpu.parallel.mesh import make_mesh, shard_params
+
+    mesh = make_mesh(mesh_spec)
+    shard_experts = mesh.shape.get("expert", 1) > 1
+    if shard_experts and P.num_submodules % mesh.shape["expert"] != 0:
+        raise ValueError(
+            f"expert mesh axis {mesh.shape['expert']} must divide "
+            f"num_submodules={P.num_submodules}"
+        )
+    params = shard_params(params, mesh, shard_experts=shard_experts)
+    opt_state = jax.device_put(
+        opt_state, NamedSharding(mesh, PartitionSpec())
+    )
+    ctx["train_loader"] = _ShardedLoader(ctx["train_loader"], mesh)
+    if ctx.get("eval_loader") is not None:
+        ctx["eval_loader"] = _ShardedLoader(ctx["eval_loader"], mesh)
+    print(f"[mesh] training over {dict(mesh.shape)} "
+          f"({jax.device_count()} devices)")
+    return params, opt_state, mesh
+
+
 def train(ctx):
     P = ctx["P"]
     meta = meta_config_from_args(P)
     opt_cfg = optim_config_from_args(P)
     tx = build_optimizer(opt_cfg, param_group_labels(ctx["params"]))
     opt_state = tx.init(ctx["params"])
+    ctx["params"], opt_state, _mesh = maybe_shard_training(
+        ctx, ctx["params"], opt_state
+    )
     step_fn = make_train_step(meta, ctx["cfg"], tx)
     eval_fn = make_eval_step(meta, ctx["cfg"], tto=P.inner_iter)
 

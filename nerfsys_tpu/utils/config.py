@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace_steps", type=int, default=0,
                    help="capture a jax.profiler device trace of this many "
                         "training steps (written to the run dir)")
+    p.add_argument("--mesh_shape", type=str, default=None,
+                   help="device mesh 'D' or 'DxE' (data x expert); default: "
+                        "all devices on the data axis when more than one "
+                        "device is visible")
 
     # --- io / logging cadence
     p.add_argument("--eval_step", type=int, default=200)
