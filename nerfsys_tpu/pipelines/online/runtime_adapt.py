@@ -46,15 +46,26 @@ def make_adapt_step(
     bg_policy: str = "random",
     active_expert: Optional[int] = None,
 ):
-    """Jitted single optimization step over a support-ray batch."""
+    """Jitted single optimization step over a support-ray batch.
 
-    def step(params, opt_state, statics, rays, rgbs, key):
+    Pass occ_state (stacked expert occupancy) to render occupancy-guided
+    once the grids are ready (reference render_rays dispatch)."""
+
+    def step(params, opt_state, statics, rays, rgbs, key, occ_state=None):
+        binary_fn = occ_on = None
+        if occ_state is not None:
+            from nerfsys_tpu.models.occupancy import occ_ready, union_binary_fn
+
+            binary_fn = union_binary_fn(occ_state, statics)
+            occ_on = occ_ready(occ_state)
+
         def loss_fn(p):
             field = container_field_fn(p, cfg, statics, active_expert)
             loss, aux = compute_mse_loss(
                 field, rays, rgbs, ray_samples=ray_samples, key=key,
                 randomized=True, color_space=color_space, bg_policy=bg_policy,
                 bg_fn=container_bg_fn(p, cfg),
+                binary_fn=binary_fn, occ_on=occ_on,
             )
             return loss, aux
 
@@ -114,9 +125,24 @@ def make_chunk_renderer(
     ray_samples: int,
     bg_policy: str = "white",
     active_expert: Optional[int] = None,
+    occ_state=None,
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
-    (rgb (C,3), depth (C,), acc (C,))."""
+    (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
+    in occupied space (reference render_rays occ path)."""
+
+    if occ_state is not None:
+        from nerfsys_tpu.models.occupancy import render_rays_occ
+
+        def render_occ(params, statics, rays):
+            rgb, depth, _, acc = render_rays_occ(
+                params, cfg, statics, occ_state, rays, ray_samples,
+                randomized=False, bg_policy=bg_policy,
+                active_expert=active_expert,
+            )
+            return rgb, depth, acc
+
+        return jax.jit(render_occ)
 
     def render(params, statics, rays):
         field = container_field_fn(params, cfg, statics, active_expert)
@@ -194,6 +220,7 @@ def runtime_evaluate(
     seed: int = 0,
     lpips_weights_path: Optional[str] = None,
     chunk_rays: int = 65536,
+    occ_state=None,
 ) -> Dict[str, float]:
     """Adapt on the test images' support rays, then render + score them."""
     log = logger.log if logger is not None else print
@@ -210,6 +237,13 @@ def runtime_evaluate(
         test_metadata, scene_aabb=global_aabb, near_far_override=(near, far),
     )
     log(f"  support rays: {len(support_ds):,} from {support_ds.num_images} images")
+    if occ_state is not None:
+        base_adapt = adapt_step
+
+        def adapt_step(params, opt_state, statics, rays, rgbs, key):  # noqa
+            return base_adapt(params, opt_state, statics, rays, rgbs, key,
+                              occ_state)
+
     if tto_steps > 0 and len(support_ds) > 0:
         loader = EpochBatchSampler(support_ds, support_batch, seed=seed)
         out = runtime_adapt(
@@ -224,7 +258,7 @@ def runtime_evaluate(
     # ---- Phase B: render + metrics ----
     log("[Phase 2] rendering test images")
     renderer = make_chunk_renderer(
-        cfg, ray_samples=ray_samples, bg_policy="white",
+        cfg, ray_samples=ray_samples, bg_policy="white", occ_state=occ_state,
     )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []

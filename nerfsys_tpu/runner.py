@@ -232,6 +232,17 @@ def _load_params_from_checkpoint(ctx):
         ctx["params"] = params
         ctx["ckpt_state"] = state
         print(f"Loaded checkpoint {P.prefix} @ step {state['step']}")
+        # restore occupancy grids when the run trained with --use_occ
+        if getattr(P, "use_occ", False):
+            from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+            tpl = init_occ_state(OccGridConfig(), P.num_submodules)
+            occ = ckpt.load_aux_state(
+                P.checkpoint_path, "occ", tpl, tag=P.prefix
+            )
+            if occ is not None:
+                ctx["occ_state"] = occ
+                print("Restored occupancy grids from checkpoint")
 
 
 # --------------------------- ops ----------------------------------------------
@@ -357,6 +368,7 @@ def evaluate(ctx):
             params=base_params,  # reset to meta-learned base each time
             cfg=ctx["cfg"],
             statics=ctx["statics"],
+            occ_state=ctx.get("occ_state"),
             optimizer=tx,
             test_metadata=ctx["test_metadata"],
             tto_steps=tto,

@@ -60,10 +60,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace_steps", type=int, default=0,
                    help="capture a jax.profiler device trace of this many "
                         "training steps (written to the run dir)")
-    p.add_argument("--mesh_shape", type=str, default=None,
-                   help="device mesh 'D' or 'DxE' (data x expert); default: "
-                        "all devices on the data axis when more than one "
-                        "device is visible")
 
     # --- io / logging cadence
     p.add_argument("--eval_step", type=int, default=200)
@@ -168,6 +164,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated list of TTO iteration counts")
 
     # --- video & viewer
+    p.add_argument("--video_frames", type=int, default=120)
+    p.add_argument("--video_fps", type=int, default=24)
+    p.add_argument("--video_width", type=int, default=800)
+    p.add_argument("--video_height", type=int, default=600)
     p.add_argument("--camera_path", type=str, default="full_coverage",
                    choices=["spiral_in", "turntable", "east_west",
                             "north_south", "full_coverage"])

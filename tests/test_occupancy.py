@@ -213,3 +213,61 @@ def test_premark_and_step_sizes():
     assert bool((occ["occs"] < 0).any())
     ss = expert_render_step_sizes(st)
     np.testing.assert_allclose(np.asarray(ss), np.sqrt(12) / 1000, rtol=1e-5)
+
+
+def test_online_adapt_and_render_with_occ():
+    """make_adapt_step / make_chunk_renderer with an occupancy state."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig, ContainerStatics, init_container_params,
+        param_group_labels,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        make_adapt_step, make_chunk_renderer,
+    )
+    from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(hidden=8, sigma_depth=1, color_hidden=8,
+                         color_depth=1, geo_feat_dim=3,
+                         hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                             log2_hashmap_size=8)),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -1, 0], [0.0, 1, 0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.5, c + 1.5]) for c in cents])
+    statics = ContainerStatics(cents, boxes,
+                               jnp.array([[-3.0, -3, -3], [3, 3, 3]]))
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=2), 2)
+    occ = {**occ, "binary": jnp.ones_like(occ["binary"]),
+           "num_updates": jnp.asarray(1)}
+
+    n = 64
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.2
+    d = np.tile(np.array([0, 0, -1.0], np.float32), (n, 1))
+    nf = np.tile(np.array([0.5, 2.0], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], 1))
+    rgbs = jnp.full((n, 3), 0.4)
+
+    tx = build_optimizer(OptimConfig(use_scheduler=False),
+                         param_group_labels(params))
+    st = make_adapt_step(cfg, tx, ray_samples=8)
+    p2, opt2, loss = st(params, tx.init(params), statics, rays, rgbs,
+                        jax.random.PRNGKey(1), occ)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(
+        np.asarray(p2["experts"]["sigma_head"]["w"]),
+        np.asarray(params["experts"]["sigma_head"]["w"]))
+
+    r = make_chunk_renderer(cfg, ray_samples=8, occ_state=occ)
+    rgb, depth, acc = r(p2, statics, rays)
+    assert rgb.shape == (n, 3) and np.isfinite(np.asarray(rgb)).all()
