@@ -55,10 +55,13 @@ class RenderEngine:
         far: Optional[float] = None,
         chunk_rays: int = 65536,
         default_samples: int = 64,
+        occ_state=None,  # stacked expert occupancy (viewer occ toggle)
     ):
         self.cfg = cfg
         self.statics = statics
         self.base_params = base_params
+        self.occ_state = occ_state
+        self.use_occ = occ_state is not None
         self.global_aabb = (
             np.asarray(global_aabb, np.float32) if global_aabb is not None else None
         )
@@ -75,7 +78,8 @@ class RenderEngine:
 
     # ------------------------------- plumbing ---------------------------------
     def _renderer(self, samples: int, bg_policy: str, active: Optional[int]):
-        key = (int(samples), str(bg_policy), active)
+        occ = self.occ_state if self.use_occ else None
+        key = (int(samples), str(bg_policy), active, occ is not None)
         r = self._renderers.get(key)
         if r is None:
             from nerfsys_tpu.pipelines.online.runtime_adapt import (
@@ -84,7 +88,7 @@ class RenderEngine:
 
             r = make_chunk_renderer(
                 self.cfg, ray_samples=int(samples), bg_policy=str(bg_policy),
-                active_expert=active,
+                active_expert=active, occ_state=occ,
             )
             self._renderers[key] = r
         return r
@@ -227,6 +231,7 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         global_aabb=ctx.get("global_aabb"),
         near=getattr(P, "near", None), far=getattr(P, "far", None),
         default_samples=min(int(getattr(P, "ray_samples", 64)), 128),
+        occ_state=ctx.get("occ_state"),
     )
 
     from nerfsys_tpu.runner import optim_config_from_args
@@ -266,6 +271,12 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         gui_samples = server.gui.add_slider(
             "Samples/ray", min=8, max=256, step=8,
             initial_value=state["samples"])
+        gui_occ = server.gui.add_checkbox(
+            "Occupancy sampling", initial_value=engine.use_occ,
+            disabled=engine.occ_state is None)
+        gui_occ.on_update(lambda _: setattr(
+            engine, "use_occ",
+            bool(gui_occ.value) and engine.occ_state is not None))
 
     with server.gui.add_folder("Postprocessing"):
         gui_output = server.gui.add_dropdown(

@@ -324,3 +324,24 @@ def test_render_engine_scrubs_bad_pose(tiny_engine):
     c2w[0, 3] = np.nan
     frame = tiny_engine.render(c2w, 8, 8, fov_y=0.8)
     assert frame.shape == (8, 8, 3)  # no crash, finite output
+
+
+def test_render_engine_with_occupancy(tiny_engine):
+    """Occ toggle: engine renders through the occupancy-guided path."""
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=2), 2)
+    occ = {**occ, "binary": jnp.ones_like(occ["binary"]),
+           "num_updates": jnp.asarray(1)}
+    tiny_engine.occ_state = occ
+    tiny_engine.use_occ = True
+    try:
+        c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+        f = tiny_engine.render(c2w, 8, 8, fov_y=0.8)
+        assert f.shape == (8, 8, 3)
+        assert np.isfinite(f.astype(float)).all()
+    finally:
+        tiny_engine.occ_state = None
+        tiny_engine.use_occ = False
