@@ -261,16 +261,15 @@ class _ShardedLoader:
             yield self._shard(batch, self._mesh)
 
 
-def maybe_shard_training(ctx, params, opt_state):
+def maybe_shard_training(ctx, params):
     """Multi-chip data/expert parallelism (parallel/mesh.py): shard episode
     ray axes on 'data', optionally experts on 'expert'; params replicated.
-    Single-device: no-op. Returns (params, opt_state, mesh or None)."""
+    Single-device: no-op. Returns (params, mesh or None). Build the
+    optimizer state AFTER this so its moments inherit the param shardings."""
     P = ctx["P"]
     mesh_spec = getattr(P, "mesh_shape", None)
     if jax.device_count() == 1 and not mesh_spec:
-        return params, opt_state, None
-    from jax.sharding import NamedSharding, PartitionSpec
-
+        return params, None
     from nerfsys_tpu.parallel.mesh import make_mesh, shard_params
 
     mesh = make_mesh(mesh_spec)
@@ -281,26 +280,21 @@ def maybe_shard_training(ctx, params, opt_state):
             f"num_submodules={P.num_submodules}"
         )
     params = shard_params(params, mesh, shard_experts=shard_experts)
-    opt_state = jax.device_put(
-        opt_state, NamedSharding(mesh, PartitionSpec())
-    )
     ctx["train_loader"] = _ShardedLoader(ctx["train_loader"], mesh)
     if ctx.get("eval_loader") is not None:
         ctx["eval_loader"] = _ShardedLoader(ctx["eval_loader"], mesh)
     print(f"[mesh] training over {dict(mesh.shape)} "
           f"({jax.device_count()} devices)")
-    return params, opt_state, mesh
+    return params, mesh
 
 
 def train(ctx):
     P = ctx["P"]
     meta = meta_config_from_args(P)
     opt_cfg = optim_config_from_args(P)
+    ctx["params"], _mesh = maybe_shard_training(ctx, ctx["params"])
     tx = build_optimizer(opt_cfg, param_group_labels(ctx["params"]))
-    opt_state = tx.init(ctx["params"])
-    ctx["params"], opt_state, _mesh = maybe_shard_training(
-        ctx, ctx["params"], opt_state
-    )
+    opt_state = tx.init(ctx["params"])  # inherits param shardings
     step_fn = make_train_step(meta, ctx["cfg"], tx)
     eval_fn = make_eval_step(meta, ctx["cfg"], tto=P.inner_iter)
 
