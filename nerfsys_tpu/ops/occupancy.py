@@ -152,7 +152,19 @@ def update_occ_grid(
     jitter = (jax.random.uniform(k1, centers.shape) - 0.5) * cell_size[:, None, :]
     pts = centers + jitter
 
-    sigma = jax.vmap(density_fn)(pts.reshape(L, -1, 3))  # (L, R^3)
+    # Chunked density eval: L*R^3 cells (8.4M at defaults) in one vmapped
+    # call would materialize tens of GB of encode intermediates; lax.map
+    # keeps the live set to one chunk (HBM fits on v5e).
+    flat_pts = pts.reshape(-1, 3)
+    n_pts = flat_pts.shape[0]
+    chunk = min(131072, n_pts)
+    pad = (-n_pts) % chunk
+    if pad:
+        flat_pts = jnp.concatenate(
+            [flat_pts, jnp.zeros((pad, 3), flat_pts.dtype)], axis=0
+        )
+    sigma = jax.lax.map(density_fn, flat_pts.reshape(-1, chunk, 3))
+    sigma = sigma.reshape(-1)[:n_pts].reshape(L, -1)  # (L, R^3)
     new_val = sigma * render_step_size
 
     # nerfacc: during warmup update ALL cells; after, a random subset
@@ -197,23 +209,32 @@ def mark_invisible_cells(
 
     R_w2c = jnp.swapaxes(c2ws[:, :3, :3], 1, 2)  # (N, 3, 3) world->cam
     t = c2ws[:, :3, 3]  # (N, 3)
-    # cam coords: x_c = R^T (x - t)
-    rel = pts[None, :, :] - t[:, None, :]  # (N, M, 3)
-    cam = jnp.einsum("nij,nmj->nmi", R_w2c, rel)  # (N, M, 3) RUB frame
-    # RUB: forward is -z
-    z = -cam[..., 2]
-    in_front = z > near
-    x = cam[..., 0] / jnp.maximum(z, 1e-8)
-    y = cam[..., 1] / jnp.maximum(z, 1e-8)
     fx, fy, cx, cy = (
         intrinsics[:, 0:1], intrinsics[:, 1:2], intrinsics[:, 2:3],
         intrinsics[:, 3:4],
     )
-    u = fx * x + cx
-    v = -fy * y + cy  # image v grows downward; camera y is up
     W, H = wh[:, 0:1], wh[:, 1:2]
-    in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    visible = jnp.any(in_front & in_img, axis=0)  # (M,)
+
+    def visible_chunk(p):  # (C, 3) -> (C,) bool
+        rel = p[None, :, :] - t[:, None, :]  # (N, C, 3)
+        cam = jnp.einsum("nij,ncj->nci", R_w2c, rel)  # RUB frame
+        z = -cam[..., 2]  # RUB: forward is -z
+        in_front = z > near
+        x = cam[..., 0] / jnp.maximum(z, 1e-8)
+        y = cam[..., 1] / jnp.maximum(z, 1e-8)
+        u = fx * x + cx
+        v = -fy * y + cy  # image v grows downward; camera y is up
+        in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        return jnp.any(in_front & in_img, axis=0)
+
+    # chunk over cells: (N_cams, L*R^3, 3) at once is GBs of HBM
+    n_pts = pts.shape[0]
+    chunk = min(131072, n_pts)
+    pad = (-n_pts) % chunk
+    if pad:
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], axis=0)
+    visible = jax.lax.map(visible_chunk, pts.reshape(-1, chunk, 3))
+    visible = visible.reshape(-1)[:n_pts]
     occs = jnp.where(visible, 0.0, -1.0)
     return occs.reshape(L, cfg.resolution, cfg.resolution, cfg.resolution)
 
