@@ -111,21 +111,28 @@ def query_binary(
     levels: Optional[int] = None,
 ) -> Array:
     """Occupancy at world points: the FINEST level containing each point
-    decides (nerfacc query convention). Points outside all levels -> False."""
+    decides (nerfacc query convention). Points outside all levels -> False.
+
+    Laid out TPU-first: one flat (M,) gather per level instead of a single
+    gather with a trailing (.., L) axis — a small trailing axis lane-pads
+    32x on TPU (a 512MB index tensor became 16GB and OOM'd HBM)."""
     L, R = binary.shape[0], binary.shape[1]
     la = level_aabbs(aabb, L)  # (L, 2, 3)
-    x = pts[..., None, :]  # (..., 1, 3)
-    rel = (x - la[:, 0]) / (la[:, 1] - la[:, 0])  # (..., L, 3)
-    inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)  # (..., L)
-    ijk = jnp.clip((rel * R).astype(jnp.int32), 0, R - 1)  # (..., L, 3)
-    lvl = jnp.arange(L)
-    occ = binary[lvl, ijk[..., 0], ijk[..., 1], ijk[..., 2]]  # (..., L)
-    occ = occ & inside
-    # finest containing level = first l with inside; take its occupancy
-    first = jnp.argmax(inside, axis=-1)  # (...,)
-    has_any = jnp.any(inside, axis=-1)
-    picked = jnp.take_along_axis(occ, first[..., None], axis=-1)[..., 0]
-    return picked & has_any
+    lead = pts.shape[:-1]
+    flat_binary = binary.reshape(L, -1)
+
+    result = jnp.zeros(lead, bool)
+    decided = jnp.zeros(lead, bool)
+    for l in range(L):  # finest level first (level 0 = innermost aabb)
+        lo, hi = la[l, 0], la[l, 1]
+        rel = (pts - lo) / (hi - lo)  # (..., 3) elementwise, transient
+        inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+        ijk = jnp.clip((rel * R).astype(jnp.int32), 0, R - 1)
+        flat_idx = (ijk[..., 0] * R + ijk[..., 1]) * R + ijk[..., 2]  # (...,)
+        occ_l = flat_binary[l].at[flat_idx].get(mode="promise_in_bounds")
+        result = jnp.where(~decided & inside, occ_l, result)
+        decided = decided | inside
+    return result
 
 
 # ------------------------------ updates --------------------------------------
