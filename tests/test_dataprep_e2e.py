@@ -1,0 +1,149 @@
+"""End-to-end L1 data-prep pipeline on a synthetic COLMAP scene:
+
+    COLMAP binary model + images
+      -> scripts.prepare_dataset  (poses, undistort, splits, coordinates)
+      -> scripts.create_clusters  (Voronoi masks, scene boxes)
+      -> data.get_dataset         (per-expert masked ray datasets)
+
+This is the producer side of the on-disk contract that
+tests/test_example_data.py checks from the consumer side.
+"""
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from nerfsys_tpu.data.colmap_utils import (
+    Camera,
+    Image as CImage,
+    Point3D,
+    write_cameras_binary,
+    write_images_binary,
+    write_points3D_binary,
+)
+
+
+def _look_down_rdf(yaw: float) -> np.ndarray:
+    """World->cam rotation for a camera looking straight down (ENU world,
+    RDF camera): forward = -Up, right/down spin by yaw in the ground plane."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    right = np.array([c, s, 0.0])
+    fwd = np.array([0.0, 0.0, -1.0])
+    down = np.cross(fwd, right)
+    R_c2w = np.stack([right, down, fwd], axis=1)  # columns = cam axes in world
+    return R_c2w.T  # world->cam
+
+
+def _rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> COLMAP wxyz quaternion."""
+    K = np.array([
+        [R[0, 0] - R[1, 1] - R[2, 2], 0, 0, 0],
+        [R[0, 1] + R[1, 0], R[1, 1] - R[0, 0] - R[2, 2], 0, 0],
+        [R[0, 2] + R[2, 0], R[1, 2] + R[2, 1], R[2, 2] - R[0, 0] - R[1, 1], 0],
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1],
+         R[0, 0] + R[1, 1] + R[2, 2]],
+    ]) / 3.0
+    vals, vecs = np.linalg.eigh(K)
+    q = vecs[[3, 0, 1, 2], np.argmax(vals)]
+    return q * np.sign(q[0]) if q[0] != 0 else q
+
+
+@pytest.fixture(scope="module")
+def colmap_scene(tmp_path_factory):
+    from PIL import Image as PILImage
+
+    root = tmp_path_factory.mktemp("colmap_scene")
+    (root / "model").mkdir()
+    (root / "images").mkdir()
+
+    rng = np.random.default_rng(0)
+    W, H = 64, 48
+    cams = {1: Camera(1, "PINHOLE", W, H, np.array([60.0, 60.0, W / 2, H / 2]))}
+
+    imgs = {}
+    n_imgs = 8
+    for i in range(n_imgs):
+        # aerial ring 60m up over a 40m ground square (ENU world)
+        ang = 2 * np.pi * i / n_imgs
+        C = np.array([20 * np.cos(ang), 20 * np.sin(ang), 60.0])
+        R_w2c = _look_down_rdf(yaw=ang)
+        t = -R_w2c @ C
+        name = f"aerial_{i:03d}.jpg"
+        imgs[i + 1] = CImage(
+            i + 1, _rotmat_to_qvec(R_w2c), t, 1, name,
+            np.zeros((0, 2)), np.zeros(0, np.int64),
+        )
+        PILImage.fromarray(
+            rng.integers(0, 255, (H, W, 3), np.uint8)
+        ).save(root / "images" / name)
+
+    pts = {
+        j: Point3D(j, np.array([rng.uniform(-25, 25), rng.uniform(-25, 25),
+                                rng.uniform(0, 3)]),
+                   np.array([128, 128, 128]), 1.0, np.zeros(0, np.int64),
+                   np.zeros(0, np.int64))
+        for j in range(200)
+    }
+    write_cameras_binary(cams, root / "model" / "cameras.bin")
+    write_images_binary(imgs, root / "model" / "images.bin")
+    write_points3D_binary(pts, root / "model" / "points3D.bin")
+    return root
+
+
+def test_prepare_then_cluster_then_load(colmap_scene, tmp_path):
+    from nerfsys_tpu.scripts import create_clusters, prepare_dataset
+
+    out = tmp_path / "out" / "scene"
+    hp = SimpleNamespace(
+        data_path=str(colmap_scene), output_path=str(out), val_split=0.25,
+        ecef_to_enu=False, enu_ref="mean", enu_ref_lat=None, enu_ref_lon=None,
+        enu_ref_alt=None, scale_strategy="camera_max",
+        points_low_alt_percentile=0.05, maximum_allowed_height=150.0,
+        verify_enu_geodetic=False, yes=True,
+    )
+    prepare_dataset.main(hp)
+
+    # ---- prepared-dataset contract ----
+    from nerfsys_tpu.data.dataset import get_image_metadata, load_coordinates
+
+    coords = load_coordinates(out)
+    assert coords["pose_scale_factor"] > 0
+    train, val = get_image_metadata(out, 1.0)
+    assert len(train) == 6 and len(val) == 2
+    for md in train + val:
+        assert np.abs(md.c2w[:, 3]).max() <= 1.0 + 1e-5  # normalized envelope
+        # cameras look downward in DRB (down = +x axis of world)
+        fwd_world = md.c2w[:, :3] @ np.array([0.0, 0, -1])  # RUB fwd = -z
+        assert fwd_world[0] > 0.9  # pointing down
+    assert (out / "mappings.txt").exists()
+
+    # ---- clustering ----
+    ch = create_clusters.parse_args([
+        "--data_path", str(out), "--output", "g22_test",
+        "--grid_dim", "2", "2", "--boundary_margin", "1.1",
+        "--ray_samples", "32", "--downscale", "0.5",
+    ])
+    create_clusters.main(ch)
+
+    mask_dir = out / "masks" / "g22_test"
+    from nerfsys_tpu.data.dataset import (
+        load_clustering_meta,
+        load_scene_boxes,
+    )
+
+    meta = load_clustering_meta(mask_dir)
+    assert meta["centroids"].shape == (4, 3)
+    global_aabb, expert_aabbs = load_scene_boxes(mask_dir)
+    assert expert_aabbs.shape == (4, 2, 3)
+
+    # ---- consume as per-expert masked ray datasets ----
+    from nerfsys_tpu.data.dataset import get_dataset
+
+    bundle = get_dataset(out, 0.5, "g22_test", 4)
+    assert len(bundle.train_sets) >= 3  # corner region may be sparse
+    total = sum(len(d) for d in bundle.train_sets)
+    assert total > 1000
+    for ds in bundle.train_sets:
+        nf = ds.rays[:, 6:8]
+        assert np.isfinite(nf).all() and (nf[:, 1] > nf[:, 0]).all()
