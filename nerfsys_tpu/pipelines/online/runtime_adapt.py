@@ -77,6 +77,70 @@ def make_adapt_step(
     return jax.jit(step)
 
 
+def make_fim_adapt_step(
+    cfg: ContainerConfig,
+    optimizer: optax.GradientTransformation,
+    fim_cfg,  # models.fim.FIMConfig
+    *,
+    ray_samples: int,
+    color_space: str = "linear",
+    bg_policy: str = "random",
+    active_expert: Optional[int] = None,
+):
+    """Fisher-weighted adaptation step (reference --fim, made operational —
+    the reference's silently degrades to plain MSE, SURVEY.md §2.5).
+
+    Threads a Fisher EMA state (pytree like params) through the loop:
+      F <- beta F + (1-beta) g²  from the UNWEIGHTED gradients, then
+      batch mode:      final grads = w(F, g) * g
+      per-sample mode: re-render gradient of mean(w_i * mse_i)
+    """
+    from nerfsys_tpu.models.fim import (
+        fim_batch_weight,
+        fim_sample_weights,
+        update_fisher,
+    )
+    from nerfsys_tpu.ops.color_space import color_space_transformer
+    from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+    def per_ray_mse(p, statics, rays, rgbs, key):
+        field = container_field_fn(p, cfg, statics, active_expert)
+        rgb_map, _, _, _ = render_rays_stratified(
+            field, rays, ray_samples, key=key, randomized=True,
+            bg_policy=bg_policy, bg_fn=container_bg_fn(p, cfg),
+        )
+        pred, gt = color_space_transformer(rgb_map, rgbs, color_space)
+        return jnp.mean(jnp.square(pred - gt), axis=-1)  # (N,)
+
+    def step(params, opt_state, fisher, statics, rays, rgbs, key):
+        def base(p):
+            mse_i = per_ray_mse(p, statics, rays, rgbs, key)
+            return jnp.mean(mse_i), mse_i
+
+        (base_loss, mse_i), grads = jax.value_and_grad(base, has_aux=True)(
+            params
+        )
+        fisher = update_fisher(fisher, grads, fim_cfg)
+
+        if fim_cfg.per_sample:
+            w_i = fim_sample_weights(fisher, mse_i, fim_cfg)
+
+            def weighted(p):
+                return jnp.mean(w_i * per_ray_mse(p, statics, rays, rgbs, key))
+
+            loss, grads = jax.value_and_grad(weighted)(params)
+        else:
+            w = fim_batch_weight(fisher, grads, fim_cfg)
+            grads = jax.tree_util.tree_map(lambda g: w * g, grads)
+            loss = w * base_loss
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, fisher, loss
+
+    return jax.jit(step)
+
+
 def runtime_adapt(
     *,
     params,
@@ -221,6 +285,7 @@ def runtime_evaluate(
     lpips_weights_path: Optional[str] = None,
     chunk_rays: int = 65536,
     occ_state=None,
+    fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
 ) -> Dict[str, float]:
     """Adapt on the test images' support rays, then render + score them."""
     log = logger.log if logger is not None else print
@@ -229,15 +294,32 @@ def runtime_evaluate(
     log(f"[Phase 1] runtime adaptation, tto={tto_steps}")
     t0 = time.time()
     opt_state = optimizer.init(params)
-    adapt_step = make_adapt_step(
-        cfg, optimizer, ray_samples=ray_samples, color_space=color_space,
-        bg_policy=bg_policy,
-    )
+    if fim_cfg is not None:
+        from nerfsys_tpu.models.fim import init_fisher
+
+        fim_step = make_fim_adapt_step(
+            cfg, optimizer, fim_cfg, ray_samples=ray_samples,
+            color_space=color_space, bg_policy=bg_policy,
+        )
+        fisher_box = [init_fisher(params)]
+
+        def adapt_step(p, o, statics_, rays_, rgbs_, key_):
+            p, o, fisher_box[0], loss = fim_step(
+                p, o, fisher_box[0], statics_, rays_, rgbs_, key_
+            )
+            return p, o, loss
+    else:
+        adapt_step = make_adapt_step(
+            cfg, optimizer, ray_samples=ray_samples, color_space=color_space,
+            bg_policy=bg_policy,
+        )
     support_ds = RamRaysDataset(
         test_metadata, scene_aabb=global_aabb, near_far_override=(near, far),
     )
     log(f"  support rays: {len(support_ds):,} from {support_ds.num_images} images")
-    if occ_state is not None:
+    if occ_state is not None and fim_cfg is None:
+        # (FIM adaptation renders stratified; occupancy still applies to
+        # Phase B rendering below)
         base_adapt = adapt_step
 
         def adapt_step(params, opt_state, statics, rays, rgbs, key):  # noqa

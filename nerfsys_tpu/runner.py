@@ -358,11 +358,20 @@ def evaluate(ctx):
             dataclasses.replace(opt_cfg, use_scheduler=False),
             param_group_labels(base_params),
         )
+        fim_cfg = None
+        if getattr(P, "fim", False):
+            from nerfsys_tpu.models.fim import FIMConfig
+
+            fim_cfg = FIMConfig(
+                lam=P.fim_lambda, beta=P.fim_beta, eps=P.fim_epsilon,
+                per_sample=bool(P.fim_per_sample),
+            )
         result = runtime_evaluate(
             params=base_params,  # reset to meta-learned base each time
             cfg=ctx["cfg"],
             statics=ctx["statics"],
             occ_state=ctx.get("occ_state"),
+            fim_cfg=fim_cfg,
             optimizer=tx,
             test_metadata=ctx["test_metadata"],
             tto_steps=tto,
