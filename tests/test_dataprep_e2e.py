@@ -147,3 +147,76 @@ def test_prepare_then_cluster_then_load(colmap_scene, tmp_path):
     for ds in bundle.train_sets:
         nf = ds.rays[:, 6:8]
         assert np.isfinite(nf).all() and (nf[:, 1] > nf[:, 0]).all()
+
+
+def test_update_dataset_appends_continual_batch(colmap_scene, tmp_path):
+    """update_dataset: new captures append as a verified continual batch."""
+    from PIL import Image as PILImage
+
+    from nerfsys_tpu.scripts import prepare_dataset, update_dataset
+
+    out = tmp_path / "out" / "scene"
+    hp = SimpleNamespace(
+        data_path=str(colmap_scene), output_path=str(out), val_split=0.25,
+        ecef_to_enu=False, enu_ref="mean", enu_ref_lat=None, enu_ref_lon=None,
+        enu_ref_alt=None, scale_strategy="camera_max",
+        points_low_alt_percentile=0.05, maximum_allowed_height=150.0,
+        verify_enu_geodetic=False, yes=True,
+    )
+    prepare_dataset.main(hp)
+
+    # an "updated" COLMAP model: original 8 images + 2 new captures
+    from nerfsys_tpu.data.colmap_utils import read_model
+
+    cams, imgs, pts = read_model(colmap_scene / "model")
+    upd = tmp_path / "updated_capture"
+    (upd / "model").mkdir(parents=True)
+    (upd / "images").mkdir()
+    rng = np.random.default_rng(7)
+    W, H = cams[1].width, cams[1].height
+    new_imgs = dict(imgs)
+    for j in range(2):
+        C = np.array([5.0 * j, 3.0, 55.0])
+        R_w2c = _look_down_rdf(yaw=0.3 * j)
+        t = -R_w2c @ C
+        name = f"new_{j:03d}.jpg"
+        iid = 100 + j
+        new_imgs[iid] = CImage(iid, _rotmat_to_qvec(R_w2c), t, 1, name,
+                               np.zeros((0, 2)), np.zeros(0, np.int64))
+        PILImage.fromarray(
+            rng.integers(0, 255, (H, W, 3), np.uint8)
+        ).save(upd / "images" / name)
+    write_cameras_binary(cams, upd / "model" / "cameras.bin")
+    write_images_binary(new_imgs, upd / "model" / "images.bin")
+    write_points3D_binary(pts, upd / "model" / "points3D.bin")
+
+    uh = update_dataset.parse_args([
+        "--data_path", str(upd), "--prepared_dir", str(out),
+    ])
+    update_dataset.main(uh)
+
+    batches = sorted((out / "continual").glob("batch_*"))
+    assert len(batches) == 1
+    # the continual batch passes the viewer's Scan & Verify and loads
+    from nerfsys_tpu.viewer.utils import (
+        load_continual_batch_metadata,
+        verify_continual_batch_dir,
+    )
+
+    ok, problems, summary = verify_continual_batch_dir(batches[0])
+    assert ok, problems
+    assert summary["count"] == 2  # only the NEW images were appended
+    mds = load_continual_batch_metadata(batches[0])
+    assert len(mds) == 2
+    assert all(np.abs(m.c2w[:, 3]).max() <= 1.0 + 1e-5 for m in mds)
+
+    # idempotency: re-running appends nothing new
+    uh2 = update_dataset.parse_args([
+        "--data_path", str(upd), "--prepared_dir", str(out),
+    ])
+    update_dataset.main(uh2)
+    batches2 = sorted((out / "continual").glob("batch_*"))
+    total = sum(
+        len(list((b / "metadata").glob("*.pt"))) for b in batches2
+    )
+    assert total == 2
