@@ -276,6 +276,13 @@ def render_video(ctx) -> Path:
             renderer, params, statics, md, scene_aabb=aabb,
             near=P.near, far=P.far,
         )
+        if getattr(P, "suppress_fog", False):
+            # acc-based haze blanking (the per-sample entropy variant in
+            # suppress_fog() needs sample weights; acc covers the dominant
+            # low-opacity case without shipping (N, S) maps off device)
+            low = acc < 0.05
+            rgb_lin = rgb_lin.copy()
+            rgb_lin[low] = 1.0
         frame = np.asarray(linear_to_srgb(jnp.asarray(rgb_lin)))
         frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
         if i % 10 == 0:

@@ -164,6 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated list of TTO iteration counts")
 
     # --- video & viewer
+    p.add_argument("--suppress_fog", action="store_true",
+                   help="blank low-opacity / hazy pixels in rendered video "
+                        "frames (reference video_gen.py:329-363)")
     p.add_argument("--video_frames", type=int, default=120)
     p.add_argument("--video_fps", type=int, default=24)
     p.add_argument("--video_width", type=int, default=800)

@@ -41,6 +41,7 @@ class RuntimeAdaptRunner(BaseRunner):
         near: Optional[float] = None,
         far: Optional[float] = None,
         seed: int = 0,
+        occ_state=None,  # stacked expert occupancy (occ-guided adaptation)
     ):
         super().__init__(params, hparams={
             "ray_samples": int(ray_samples),
@@ -55,6 +56,7 @@ class RuntimeAdaptRunner(BaseRunner):
         self.optim_cfg = optim_cfg or OptimConfig(use_scheduler=False)
         self.global_aabb = global_aabb
         self.near, self.far = near, far
+        self.occ_state = occ_state
         self.seed = int(seed)
         self._key = jax.random.PRNGKey(seed)
         self._loader_iter = None
@@ -124,10 +126,16 @@ class RuntimeAdaptRunner(BaseRunner):
         self._ensure_step_fn()
         batch = next(self._loader_iter)
         self._key, k = jax.random.split(self._key)
-        new_params, new_opt_state, loss = self._adapt_step(
-            self.params, self.opt_state, self.statics,
-            batch["rays"], batch["rgbs"], k,
-        )
+        if self.occ_state is not None:
+            new_params, new_opt_state, loss = self._adapt_step(
+                self.params, self.opt_state, self.statics,
+                batch["rays"], batch["rgbs"], k, self.occ_state,
+            )
+        else:
+            new_params, new_opt_state, loss = self._adapt_step(
+                self.params, self.opt_state, self.statics,
+                batch["rays"], batch["rgbs"], k,
+            )
         loss_f = float(loss)
         psnr = float(-10.0 * np.log10(max(loss_f, 1e-12)))
         with model_lock:

@@ -249,6 +249,7 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
                 global_aabb=ctx.get("global_aabb"),
                 near=getattr(P, "near", None), far=getattr(P, "far", None),
                 seed=int(getattr(P, "seed", 0)),
+                occ_state=ctx.get("occ_state"),
             )
         return ViewRunner(params)
 
