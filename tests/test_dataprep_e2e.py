@@ -220,3 +220,64 @@ def test_update_dataset_appends_continual_batch(colmap_scene, tmp_path):
         len(list((b / "metadata").glob("*.pt"))) for b in batches2
     )
     assert total == 2
+
+
+def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
+                                                 monkeypatch):
+    """Full runner glue: prepare -> cluster -> build_context -> 2 meta-train
+    steps -> checkpoint -> eval op with TTO — the complete user workflow,
+    hermetic on CPU."""
+    from nerfsys_tpu.scripts import create_clusters, prepare_dataset
+
+    # prepared dataset under the runner's expected <data_path>/out/<name>
+    data_root = tmp_path / "drz"
+    out = data_root / "out" / "scene"
+    hp = SimpleNamespace(
+        data_path=str(colmap_scene), output_path=str(out), val_split=0.25,
+        ecef_to_enu=False, enu_ref="mean", enu_ref_lat=None, enu_ref_lon=None,
+        enu_ref_alt=None, scale_strategy="camera_max",
+        points_low_alt_percentile=0.05, maximum_allowed_height=150.0,
+        verify_enu_geodetic=False, yes=True,
+    )
+    prepare_dataset.main(hp)
+    create_clusters.main(create_clusters.parse_args([
+        "--data_path", str(out), "--output", "g22", "--grid_dim", "2", "2",
+        "--ray_samples", "16",
+    ]))
+
+    monkeypatch.chdir(tmp_path)  # logs/ land in the tmp dir
+    from nerfsys_tpu.runner import build_context, evaluate, train
+    from nerfsys_tpu.utils.config import parse_args
+
+    argv = [
+        "--op", "train", "--data_path", str(data_root),
+        "--data_dirname", "scene", "--mask_dirname", "g22",
+        "--num_submodules", "4", "--downscale", "1.0",
+        "--support_rays", "64", "--query_rays", "32", "--batch_size", "1",
+        "--outer_steps", "2", "--eval_step", "0", "--save_step", "2",
+        "--print_step", "10", "--inner_iter", "1", "--ray_samples", "4",
+        "--dim_hidden", "8", "--color_hidden", "8", "--sigma_depth", "1",
+        "--color_depth", "1", "--xyz_encoding", "planes",
+        "--plane_levels", "1", "--plane_base_res", "8",
+        "--plane_features", "4", "--bg_hidden", "8",
+        "--fname", "it_run",
+    ]
+    P = parse_args(argv)
+    ctx = build_context(P, "train")
+    assert len(ctx["bundle"].train_sets) >= 3
+    train(ctx)
+    run_dir = Path(ctx["run_dir"])
+    assert (run_dir / "last.model").exists()
+    assert (run_dir / "last.config.json").exists()
+
+    # ---- eval op against the saved checkpoint ----
+    P2 = parse_args(argv + [
+        "--op", "eval", "--checkpoint_path", str(run_dir),
+        "--prefix", "last", "--tto", "0,1", "--cap_images", "1",
+        "--fname", "it_eval",
+    ])
+    ctx2 = build_context(P2, "eval")
+    rows = evaluate(ctx2)
+    assert [r["tto"] for r in rows] == [0, 1]
+    assert all(np.isfinite(r["psnr"]) for r in rows)
+    assert (Path(ctx2["run_dir"]) / "eval_results.json").exists()
