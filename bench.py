@@ -49,7 +49,10 @@ def main():
         geo_feat_dim=15,
         xyz_encoding="planes",
         planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
-                                   features=8),
+                                   features=8,
+                                   # gather-free MXU backward: positions are
+                                   # ray-derived, never differentiated
+                                   matmul_bwd=True, pos_grad=False),
     )
     cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
                           bg_hidden=32)

@@ -24,6 +24,7 @@ xyz encoder behind the same (params, x01) -> features contract.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List
 
@@ -48,6 +49,29 @@ class PlaneEncodingConfig:
     include_lines: bool = True  # multiply by the TensoRF line factor
     init_scale: float = 0.1
     line_init: float = 1.0  # lines start near identity so planes dominate
+    # Backward pass strategy. XLA lowers the autodiff table gradient to a
+    # scatter-add, which on TPU is issue-rate bound (~1.1e8 elem/s) just like
+    # gathers. matmul_bwd=True replaces it with a custom VJP that computes
+    # grad_plane = einsum('nu,nv,nf->uvf', Au, Av, g) where Au/Av are the
+    # 2-nonzero bilinear weight profiles — dense one-hot contractions that
+    # ride the MXU. Position gradients are computed exactly (same math as
+    # autodiff), so this is a pure speed knob, not a semantics change.
+    matmul_bwd: bool = True
+    bwd_chunk: int = 8192  # points per contraction chunk (scan step)
+    bwd_dtype: str = "bfloat16"  # contraction dtype: 'bfloat16' | 'float32'
+    # pos_grad=False enables the fastest backward: the forward saves the
+    # interpolated plane/line values as bf16 residuals so the backward needs
+    # NO table re-gathers at all — but gradients w.r.t. the input positions
+    # are returned as ZERO. Only set False when positions are not a function
+    # of anything being differentiated (true everywhere in this framework:
+    # sample positions come from rays/cameras, never from trainable params).
+    pos_grad: bool = True
+    # Forward gather packing: gathers on TPU are TRANSACTION-rate bound
+    # (rows/s, independent of row width up to the 128-lane tile), so the 4
+    # bilinear corner rows are fetched as ONE gather from a 4F-wide packed
+    # table t4[i] = [t[i], t[i+1], t[i+R], t[i+R+1]] built by rolls each call
+    # (bandwidth-trivial). Same trick halves the line gathers. Math identical.
+    packed_corners: bool = True
 
     def level_resolutions(self) -> List[int]:
         return [
@@ -87,10 +111,14 @@ def plane_encoding_init(
     return params
 
 
-def _bilinear_rows(table: Array, u: Array, v: Array, R: int) -> Array:
+def _bilinear_rows(
+    table: Array, u: Array, v: Array, R: int, packed: bool = False
+) -> Array:
     """Bilinear interpolation over a flattened (R*R, F) grid.
 
-    u, v in [0, R-1] continuous. 4 row gathers + fused lerp -> (N, F).
+    u, v in [0, R-1] continuous -> (N, F). packed=False: 4 row gathers +
+    fused lerp. packed=True: one gather from a 4F-wide corner-packed table
+    (gathers are transaction-rate bound; a 4F<=128 row costs one transaction).
     """
     u0f = jnp.floor(jnp.clip(u, 0.0, R - 1 - 1e-6))
     v0f = jnp.floor(jnp.clip(v, 0.0, R - 1 - 1e-6))
@@ -99,10 +127,22 @@ def _bilinear_rows(table: Array, u: Array, v: Array, R: int) -> Array:
     u0 = u0f.astype(jnp.int32)
     v0 = v0f.astype(jnp.int32)
     base = u0 * R + v0
-    g00 = table.at[base].get(mode="promise_in_bounds")
-    g01 = table.at[base + 1].get(mode="promise_in_bounds")
-    g10 = table.at[base + R].get(mode="promise_in_bounds")
-    g11 = table.at[base + R + 1].get(mode="promise_in_bounds")
+    if packed:
+        # u0 <= R-2 and v0 <= R-2 by the clamp, so the rolled wrap rows
+        # (last row / last column pairs) are never addressed
+        t4 = jnp.concatenate(
+            [table, jnp.roll(table, -1, 0), jnp.roll(table, -R, 0),
+             jnp.roll(table, -(R + 1), 0)], axis=-1,
+        )
+        g = t4.at[base].get(mode="promise_in_bounds")  # (N, 4F)
+        F = table.shape[-1]
+        g00, g01, g10, g11 = (g[:, :F], g[:, F:2 * F], g[:, 2 * F:3 * F],
+                              g[:, 3 * F:])
+    else:
+        g00 = table.at[base].get(mode="promise_in_bounds")
+        g01 = table.at[base + 1].get(mode="promise_in_bounds")
+        g10 = table.at[base + R].get(mode="promise_in_bounds")
+        g11 = table.at[base + R + 1].get(mode="promise_in_bounds")
     return (
         g00 * (1 - fu) * (1 - fv)
         + g01 * (1 - fu) * fv
@@ -111,14 +151,320 @@ def _bilinear_rows(table: Array, u: Array, v: Array, R: int) -> Array:
     )
 
 
-def _linear_rows(table: Array, w: Array, R: int) -> Array:
-    """Linear interpolation over a (R, F) line. 2 row gathers -> (N, F)."""
+def _linear_rows(
+    table: Array, w: Array, R: int, packed: bool = False
+) -> Array:
+    """Linear interpolation over a (R, F) line -> (N, F).
+
+    packed=False: 2 row gathers; packed=True: one gather from a 2F-wide
+    neighbor-packed table.
+    """
     w0f = jnp.floor(jnp.clip(w, 0.0, R - 1 - 1e-6))
     fw = (w - w0f)[:, None]
     w0 = w0f.astype(jnp.int32)
-    g0 = table.at[w0].get(mode="promise_in_bounds")
-    g1 = table.at[w0 + 1].get(mode="promise_in_bounds")
+    if packed:
+        t2 = jnp.concatenate([table, jnp.roll(table, -1, 0)], axis=-1)
+        g = t2.at[w0].get(mode="promise_in_bounds")
+        F = table.shape[-1]
+        g0, g1 = g[:, :F], g[:, F:]
+    else:
+        g0 = table.at[w0].get(mode="promise_in_bounds")
+        g1 = table.at[w0 + 1].get(mode="promise_in_bounds")
     return g0 * (1 - fw) + g1 * fw
+
+
+def _plane_encode_parts(params: Dict, x: Array, cfg: PlaneEncodingConfig):
+    """Encode pre-flattened (N,3) points -> (out, [bval...], [lval...]).
+
+    bval/lval are the per-(level, orientation) interpolated plane and line
+    values whose product forms the output features; they're returned so the
+    light backward can save them as residuals (unused ones are DCE'd).
+    """
+    x = jnp.clip(x, 0.0, 1.0)
+    feats, bvals, lvals = [], [], []
+    for l, R in enumerate(cfg.level_resolutions()):
+        planes_l = params["planes"][l]  # (3, R*R, F)
+        lines_l = params.get("lines")
+        coords = x * (R - 1)  # (N, 3)
+        for o, (a, b, c) in enumerate(_ORIENTATIONS):
+            bv = _bilinear_rows(planes_l[o], coords[:, a], coords[:, b], R,
+                                packed=cfg.packed_corners)
+            bvals.append(bv)
+            if lines_l is not None:
+                lv = _linear_rows(lines_l[l][o], coords[:, c], R,
+                                  packed=cfg.packed_corners)
+                lvals.append(lv)
+                feats.append(bv * lv)
+            else:
+                feats.append(bv)
+    return jnp.concatenate(feats, axis=-1), bvals, lvals
+
+
+def _plane_encode_flat(
+    params: Dict, x: Array, cfg: PlaneEncodingConfig
+) -> Array:
+    """Encode pre-flattened (N, 3) points in [0,1]^3 -> (N, out_dim)."""
+    return _plane_encode_parts(params, x, cfg)[0]
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _weight_profile(idx: Array, frac: Array, R: int, cdtype) -> Array:
+    """(C,) int cell + (C,) frac -> (C, R) two-nonzero interp-weight rows.
+
+    Row n is zero except columns idx[n] (weight 1-frac[n]) and idx[n]+1
+    (weight frac[n]) — the dense one-hot form of the linear interpolation
+    stencil, built with vectorized compares (no gather/scatter).
+    """
+    iota = jnp.arange(R, dtype=jnp.int32)[None, :]
+    i = idx[:, None]
+    f = frac[:, None]
+    prof = jnp.where(iota == i, 1.0 - f, 0.0) + jnp.where(iota == i + 1, f, 0.0)
+    return prof.astype(cdtype)
+
+
+def _scatter_grads_mm(
+    u0: Array, fu: Array, v0: Array, fv: Array, gp: Array,
+    w0, fw, gl, R: int, chunk: int, cdtype,
+):
+    """Table gradients as one-hot matmul contractions (chunked lax.scan).
+
+    grad_plane[u*R+v, f] = sum_n Au[n,u] * Av[n,v] * gp[n,f]   ((R*R, F))
+    grad_line[w, f]      = sum_n Aw[n,w] * gl[n,f]             ((R, F))
+
+    This is mathematically the scatter-add of the 4 (resp. 2) weighted
+    corner contributions per point, computed as dense matmuls on the MXU
+    instead of a TPU scatter (which is issue-rate bound at ~1.1e8 elem/s).
+    """
+    n = gp.shape[0]
+    npad = _round_up(max(n, 1), chunk)
+    pad = npad - n
+
+    def padded(a, fill=0):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+
+    # zero cotangents on padded rows -> padded points contribute nothing
+    xs = {
+        "u0": padded(u0).reshape(-1, chunk),
+        "fu": padded(fu).reshape(-1, chunk),
+        "v0": padded(v0).reshape(-1, chunk),
+        "fv": padded(fv).reshape(-1, chunk),
+        "gp": padded(gp).reshape(-1, chunk, gp.shape[-1]),
+    }
+    has_line = gl is not None
+    if has_line:
+        xs["w0"] = padded(w0).reshape(-1, chunk)
+        xs["fw"] = padded(fw).reshape(-1, chunk)
+        xs["gl"] = padded(gl).reshape(-1, chunk, gl.shape[-1])
+
+    F = gp.shape[-1]
+    acc0 = {"plane": jnp.zeros((R * R, F), jnp.float32)}
+    if has_line:
+        acc0["line"] = jnp.zeros((R, F), jnp.float32)
+
+    def body(acc, s):
+        au = _weight_profile(s["u0"], s["fu"], R, cdtype)  # (C, R)
+        av = _weight_profile(s["v0"], s["fv"], R, cdtype)  # (C, R)
+        tmp = av[:, :, None] * s["gp"].astype(cdtype)[:, None, :]  # (C,R,F)
+        gpl = jnp.einsum(
+            "nu,nvf->uvf", au, tmp, preferred_element_type=jnp.float32
+        )
+        out = {"plane": acc["plane"] + gpl.reshape(R * R, F)}
+        if has_line:
+            aw = _weight_profile(s["w0"], s["fw"], R, cdtype)
+            gln = jnp.einsum(
+                "nw,nf->wf", aw, s["gl"].astype(cdtype),
+                preferred_element_type=jnp.float32,
+            )
+            out["line"] = acc["line"] + gln
+        return out, None
+
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc["plane"], (acc["line"] if has_line else None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _plane_encode_mm(params: Dict, x: Array, cfg: PlaneEncodingConfig):
+    return _plane_encode_flat(params, x, cfg)
+
+
+def _plane_encode_mm_fwd(params, x, cfg):
+    return _plane_encode_flat(params, x, cfg), (params, x)
+
+
+def _plane_encode_mm_bwd(cfg: PlaneEncodingConfig, res, ct):
+    """Exact VJP of _plane_encode_flat with MXU-friendly table scatters.
+
+    Corner rows are re-gathered here (same cost as one forward pass) rather
+    than saved as residuals — keeps memory flat under remat'd inner loops.
+    Position gradients use the same piecewise-linear derivative autodiff
+    would produce (clip outside [0,1] -> zero grad).
+    """
+    params, x_raw = res
+    x = jnp.clip(x_raw, 0.0, 1.0)
+    n = x.shape[0]
+    F = cfg.features
+    cdtype = jnp.bfloat16 if cfg.bwd_dtype == "bfloat16" else jnp.float32
+    if cdtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # CPU DotThunk can't execute bf16 x bf16 -> f32; the bf16 fast path
+        # only pays on the MXU anyway.
+        cdtype = jnp.float32
+    has_lines = "lines" in params
+
+    g_planes, g_lines = [], []
+    gx = jnp.zeros((n, 3), jnp.float32)
+    ct = ct.astype(jnp.float32)
+    for l, R in enumerate(cfg.level_resolutions()):
+        chunk = min(cfg.bwd_chunk, _round_up(max(n, 1), 128))
+        coords = x * (R - 1)
+        cf = jnp.floor(jnp.clip(coords, 0.0, R - 1 - 1e-6))
+        frac = coords - cf
+        i0 = cf.astype(jnp.int32)
+        gp_o, gl_o = [], []
+        for o, (a, b, c) in enumerate(_ORIENTATIONS):
+            u0, v0 = i0[:, a], i0[:, b]
+            fu, fv = frac[:, a][:, None], frac[:, b][:, None]  # (N,1)
+            t = params["planes"][l][o]
+            base = u0 * R + v0
+            g00 = t.at[base].get(mode="promise_in_bounds")
+            g01 = t.at[base + 1].get(mode="promise_in_bounds")
+            g10 = t.at[base + R].get(mode="promise_in_bounds")
+            g11 = t.at[base + R + 1].get(mode="promise_in_bounds")
+            bval = (
+                g00 * (1 - fu) * (1 - fv)
+                + g01 * (1 - fu) * fv
+                + g10 * fu * (1 - fv)
+                + g11 * fu * fv
+            )
+            if has_lines:
+                w0 = i0[:, c]
+                fw = frac[:, c][:, None]
+                ln = params["lines"][l][o]
+                l0 = ln.at[w0].get(mode="promise_in_bounds")
+                l1 = ln.at[w0 + 1].get(mode="promise_in_bounds")
+                lval = l0 * (1 - fw) + l1 * fw
+            else:
+                w0 = fw = None
+                lval = None
+
+            g_of = ct[:, (l * 3 + o) * F : (l * 3 + o + 1) * F]  # (N, F)
+            gp = g_of * lval if has_lines else g_of  # plane-corner cotangent
+            gl = g_of * bval if has_lines else None  # line-node cotangent
+            gpl, gln = _scatter_grads_mm(
+                u0, frac[:, a], v0, frac[:, b], gp, w0,
+                frac[:, c] if has_lines else None, gl, R, chunk, cdtype,
+            )
+            gp_o.append(gpl)
+            if has_lines:
+                gl_o.append(gln)
+
+            # position gradients (chain: d feat / d frac * (R-1))
+            db_dfu = (g10 - g00) * (1 - fv) + (g11 - g01) * fv
+            db_dfv = (g01 - g00) * (1 - fu) + (g11 - g10) * fu
+            scale = float(R - 1)
+            lw = lval if has_lines else 1.0
+            gx = gx.at[:, a].add(jnp.sum(g_of * lw * db_dfu, -1) * scale)
+            gx = gx.at[:, b].add(jnp.sum(g_of * lw * db_dfv, -1) * scale)
+            if has_lines:
+                gx = gx.at[:, c].add(
+                    jnp.sum(g_of * bval * (l1 - l0), -1) * scale
+                )
+        g_planes.append(jnp.stack(gp_o).astype(params["planes"][l].dtype))
+        if has_lines:
+            g_lines.append(jnp.stack(gl_o).astype(params["lines"][l].dtype))
+
+    # clip(x, 0, 1) kills gradients outside [0,1], per coordinate
+    inside = (x_raw >= 0.0) & (x_raw <= 1.0)
+    gx = jnp.where(inside, gx, 0.0).astype(x_raw.dtype)
+    g_params: Dict = {"planes": g_planes}
+    if has_lines:
+        g_params["lines"] = g_lines
+    return g_params, gx
+
+
+_plane_encode_mm.defvjp(_plane_encode_mm_fwd, _plane_encode_mm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _plane_encode_mm_light(params: Dict, x: Array, cfg: PlaneEncodingConfig):
+    return _plane_encode_flat(params, x, cfg)
+
+
+def _plane_encode_mm_light_fwd(params, x, cfg):
+    out, bvals, lvals = _plane_encode_parts(params, x, cfg)
+    # dtype tokens: zero-size arrays carrying the table dtypes so the bwd
+    # can return cotangents with matching avals without saving the tables
+    dt = {
+        "planes": [jnp.zeros((0,), p.dtype) for p in params["planes"]],
+    }
+    if "lines" in params:
+        dt["lines"] = [jnp.zeros((0,), p.dtype) for p in params["lines"]]
+    res = (
+        x,
+        [b.astype(jnp.bfloat16) for b in bvals],
+        [lv.astype(jnp.bfloat16) for lv in lvals],
+        dt,
+    )
+    return out, res
+
+
+def _plane_encode_mm_light_bwd(cfg: PlaneEncodingConfig, res, ct):
+    """Gather-free VJP: table grads from saved bf16 plane/line values.
+
+    Position gradients are returned as ZERO (see PlaneEncodingConfig.pos_grad)
+    — valid whenever positions don't depend on differentiated values.
+    """
+    x_raw, bvals, lvals, dt = res
+    x = jnp.clip(x_raw, 0.0, 1.0)
+    n = x.shape[0]
+    F = cfg.features
+    has_lines = len(lvals) > 0
+    cdtype = jnp.bfloat16 if cfg.bwd_dtype == "bfloat16" else jnp.float32
+    if cdtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        cdtype = jnp.float32
+
+    ct = ct.astype(jnp.float32)
+    g_planes, g_lines = [], []
+    for l, R in enumerate(cfg.level_resolutions()):
+        chunk = min(cfg.bwd_chunk, _round_up(max(n, 1), 128))
+        coords = x * (R - 1)
+        cf = jnp.floor(jnp.clip(coords, 0.0, R - 1 - 1e-6))
+        frac = coords - cf
+        i0 = cf.astype(jnp.int32)
+        gp_o, gl_o = [], []
+        for o, (a, b, c) in enumerate(_ORIENTATIONS):
+            idx = l * 3 + o
+            g_of = ct[:, idx * F : (idx + 1) * F]  # (N, F)
+            if has_lines:
+                gp = g_of * lvals[idx].astype(jnp.float32)
+                gl = g_of * bvals[idx].astype(jnp.float32)
+            else:
+                gp, gl = g_of, None
+            gpl, gln = _scatter_grads_mm(
+                i0[:, a], frac[:, a], i0[:, b], frac[:, b], gp,
+                i0[:, c] if has_lines else None,
+                frac[:, c] if has_lines else None,
+                gl, R, chunk, cdtype,
+            )
+            gp_o.append(gpl)
+            if has_lines:
+                gl_o.append(gln)
+        g_planes.append(jnp.stack(gp_o).astype(dt["planes"][l].dtype))
+        if has_lines:
+            g_lines.append(jnp.stack(gl_o).astype(dt["lines"][l].dtype))
+
+    g_params: Dict = {"planes": g_planes}
+    if has_lines:
+        g_params["lines"] = g_lines
+    return g_params, jnp.zeros_like(x_raw)
+
+
+_plane_encode_mm_light.defvjp(
+    _plane_encode_mm_light_fwd, _plane_encode_mm_light_bwd
+)
 
 
 def plane_encode(params: Dict, x01: Array, cfg: PlaneEncodingConfig) -> Array:
@@ -126,19 +472,12 @@ def plane_encode(params: Dict, x01: Array, cfg: PlaneEncodingConfig) -> Array:
     assert x01.shape[-1] == 3
     lead = x01.shape[:-1]
     x = x01.reshape(-1, 3).astype(jnp.float32)
-    x = jnp.clip(x, 0.0, 1.0)
-
-    feats = []
-    for l, R in enumerate(cfg.level_resolutions()):
-        planes_l = params["planes"][l]  # (3, R*R, F)
-        lines_l = params.get("lines")
-        coords = x * (R - 1)  # (N, 3)
-        for o, (a, b, c) in enumerate(_ORIENTATIONS):
-            f = _bilinear_rows(planes_l[o], coords[:, a], coords[:, b], R)
-            if lines_l is not None:
-                f = f * _linear_rows(lines_l[l][o], coords[:, c], R)
-            feats.append(f)
-    out = jnp.concatenate(feats, axis=-1)
+    if cfg.matmul_bwd and not cfg.pos_grad:
+        out = _plane_encode_mm_light(params, x, cfg)
+    elif cfg.matmul_bwd:
+        out = _plane_encode_mm(params, x, cfg)
+    else:
+        out = _plane_encode_flat(params, x, cfg)
     return out.reshape(*lead, cfg.out_dim)
 
 

@@ -80,6 +80,10 @@ def container_config_from_args(P) -> ContainerConfig:
                 growth=P.plane_growth,
                 features=P.plane_features,
                 include_lines=not P.plane_no_lines,
+                # positions never depend on trainable params in any runner
+                # path, so the gather-free backward is always valid here
+                pos_grad=bool(getattr(P, "plane_pos_grad", False)),
+                matmul_bwd=not bool(getattr(P, "plane_scatter_bwd", False)),
             ),
         )
     else:

@@ -116,6 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plane_growth", type=float, default=2.0)
     p.add_argument("--plane_features", type=int, default=8)
     p.add_argument("--plane_no_lines", action="store_true")
+    p.add_argument("--plane_pos_grad", action="store_true",
+                   help="compute exact position gradients through the plane "
+                        "encoder (slower backward; only needed if sample "
+                        "positions ever depend on differentiated values)")
+    p.add_argument("--plane_scatter_bwd", action="store_true",
+                   help="use XLA scatter-add for plane-table gradients "
+                        "instead of the MXU one-hot-matmul backward")
     p.add_argument("--dir_encoding", type=str, default="spherical",
                    choices=["frequency", "spherical"])
 

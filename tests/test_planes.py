@@ -60,6 +60,79 @@ def test_gradients_flow_to_tables_and_positions():
     assert float(jnp.abs(gx).sum()) > 0  # positions differentiable too
 
 
+def test_matmul_bwd_matches_autodiff_scatter():
+    """custom-vjp (one-hot matmul) grads == XLA scatter-add autodiff grads."""
+    import dataclasses as dc
+
+    cfg_mm = dc.replace(CFG, matmul_bwd=True, bwd_dtype="float32",
+                        bwd_chunk=16)
+    cfg_ad = dc.replace(CFG, matmul_bwd=False)
+    p = plane_encoding_init(jax.random.PRNGKey(0), cfg_mm)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (37, 3), minval=0.02,
+                           maxval=0.98)
+    ct = jax.random.normal(jax.random.PRNGKey(2), (37, cfg_mm.out_dim))
+
+    def loss(pp, xx, cfg):
+        return jnp.sum(plane_encode(pp, xx, cfg) * ct)
+
+    g_mm = jax.grad(loss, argnums=(0, 1))(p, x, cfg_mm)
+    g_ad = jax.grad(loss, argnums=(0, 1))(p, x, cfg_ad)
+    for a, b in zip(jax.tree_util.tree_leaves(g_mm),
+                    jax.tree_util.tree_leaves(g_ad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_light_bwd_table_grads_match_zero_pos_grads():
+    """pos_grad=False: table grads == autodiff, position grads are zero."""
+    import dataclasses as dc
+
+    cfg_lt = dc.replace(CFG, matmul_bwd=True, pos_grad=False,
+                        bwd_dtype="float32", bwd_chunk=16)
+    cfg_ad = dc.replace(CFG, matmul_bwd=False)
+    p = plane_encoding_init(jax.random.PRNGKey(0), cfg_lt)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (41, 3), minval=0.02,
+                           maxval=0.98)
+    ct = jax.random.normal(jax.random.PRNGKey(2), (41, cfg_lt.out_dim))
+
+    def loss(pp, xx, cfg):
+        return jnp.sum(plane_encode(pp, xx, cfg) * ct)
+
+    g_lt, gx_lt = jax.grad(loss, argnums=(0, 1))(p, x, cfg_lt)
+    g_ad, _ = jax.grad(loss, argnums=(0, 1))(p, x, cfg_ad)
+    # bval/lval residuals are saved bf16 -> table grads carry ~2^-8 rounding
+    for a, b in zip(jax.tree_util.tree_leaves(g_lt),
+                    jax.tree_util.tree_leaves(g_ad)):
+        scale = float(np.abs(np.asarray(b)).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-2)
+    assert float(jnp.abs(gx_lt).sum()) == 0.0
+
+
+def test_matmul_bwd_bf16_close_and_no_lines():
+    """bf16 contraction stays close; include_lines=False path works."""
+    import dataclasses as dc
+
+    base = PlaneEncodingConfig(levels=1, base_res=16, features=4,
+                               include_lines=False)
+    cfg_mm = dc.replace(base, matmul_bwd=True, bwd_dtype="bfloat16")
+    cfg_ad = dc.replace(base, matmul_bwd=False)
+    p = plane_encoding_init(jax.random.PRNGKey(0), cfg_mm)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (50, 3), minval=0.05,
+                           maxval=0.95)
+
+    def loss(pp, cfg):
+        return jnp.sum(plane_encode(pp, x, cfg) ** 2)
+
+    g_mm = jax.grad(loss)(p, cfg_mm)
+    g_ad = jax.grad(loss)(p, cfg_ad)
+    for a, b in zip(jax.tree_util.tree_leaves(g_mm),
+                    jax.tree_util.tree_leaves(g_ad)):
+        scale = float(np.abs(np.asarray(b)).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-2)
+
+
 def test_ngp_planes_variant_trains():
     from nerfsys_tpu.models.ngp import NGPConfig, init_ngp_params, ngp_apply
 
