@@ -70,6 +70,12 @@ def init_occ_state(cfg: OccGridConfig, num_experts: int) -> dict:
         "occs": jnp.zeros(shape, jnp.float32),
         "binary": jnp.zeros(shape, jnp.bool_),
         "num_updates": jnp.zeros((), jnp.int32),
+        # renderers switch to occupancy-guided sampling only after the grid
+        # has seen a full warmup's worth of EMA updates: a half-trained grid
+        # plus a reduced sample budget costs ~2 dB early in training
+        "ready_after": jnp.asarray(
+            max(1, cfg.warmup_steps // max(cfg.update_interval, 1)), jnp.int32
+        ),
     }
 
 

@@ -246,16 +246,26 @@ def render_image(
     rgb_out = np.zeros((n, 3), np.float32)
     depth_out = np.zeros((n,), np.float32)
     acc_out = np.zeros((n,), np.float32)
+    # dispatch every chunk before fetching any: jax queues the computations
+    # asynchronously, so device compute overlaps the (slow, high-latency)
+    # device->host readbacks; one packed (C, 5) fetch per chunk instead of
+    # three synchronous round-trips
+    pending = []
     for s in range(0, n, chunk_rays):
         chunk = rays[s : s + chunk_rays]
         pad = chunk_rays - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, 8), np.float32)], 0)
         rgb, depth, acc = chunk_renderer(params, statics, jnp.asarray(chunk))
-        m = chunk_rays - pad
-        rgb_out[s : s + m] = np.asarray(rgb)[:m]
-        depth_out[s : s + m] = np.asarray(depth)[:m]
-        acc_out[s : s + m] = np.asarray(acc)[:m]
+        packed = jnp.concatenate(
+            [rgb, depth[:, None], acc[:, None]], axis=1
+        )
+        pending.append((s, chunk_rays - pad, packed))
+    for s, m, packed in pending:
+        host = np.asarray(packed)
+        rgb_out[s : s + m] = host[:m, 0:3]
+        depth_out[s : s + m] = host[:m, 3]
+        acc_out[s : s + m] = host[:m, 4]
     return (
         rgb_out.reshape(H, W, 3),
         depth_out.reshape(H, W),

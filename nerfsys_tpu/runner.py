@@ -227,6 +227,20 @@ def build_context(P, op: str) -> dict:
     return ctx
 
 
+def occ_config_from_args(P):
+    """OccGridConfig from flags (reference occ conf, nerf_runner.py:125-149)."""
+    from nerfsys_tpu.ops.occupancy import OccGridConfig
+
+    return OccGridConfig(
+        resolution=getattr(P, "occ_resolution", 128),
+        levels=getattr(P, "occ_levels", 4),
+        occ_thre=getattr(P, "occ_thre", 1e-2),
+        ema_decay=getattr(P, "occ_ema_decay", 0.95),
+        warmup_steps=getattr(P, "occ_warmup", 256),
+        update_interval=getattr(P, "occ_update_interval", 16),
+    )
+
+
 def _load_params_from_checkpoint(ctx):
     P = ctx["P"]
     if getattr(P, "checkpoint_path", None):
@@ -238,9 +252,9 @@ def _load_params_from_checkpoint(ctx):
         print(f"Loaded checkpoint {P.prefix} @ step {state['step']}")
         # restore occupancy grids when the run trained with --use_occ
         if getattr(P, "use_occ", False):
-            from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+            from nerfsys_tpu.ops.occupancy import init_occ_state
 
-            tpl = init_occ_state(OccGridConfig(), P.num_submodules)
+            tpl = init_occ_state(occ_config_from_args(P), P.num_submodules)
             occ = ckpt.load_aux_state(
                 P.checkpoint_path, "occ", tpl, tag=P.prefix
             )
@@ -309,9 +323,9 @@ def train(ctx):
             make_occ_update_fn,
             premark_invisible_expert_cells,
         )
-        from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+        from nerfsys_tpu.ops.occupancy import init_occ_state
 
-        occ_cfg = OccGridConfig()
+        occ_cfg = occ_config_from_args(P)
         occ_state = init_occ_state(occ_cfg, P.num_submodules)
         train_md = getattr(ctx.get("bundle"), "train_metadata", None)
         if train_md:

@@ -105,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_res", type=int, default=4096)
     p.add_argument("--log2_hashmap_size", type=int, default=20)
     p.add_argument("--use_occ", action="store_true")
+    # occupancy grid (reference occ conf, nerf_runner.py:125-149)
+    p.add_argument("--occ_resolution", type=int, default=128)
+    p.add_argument("--occ_levels", type=int, default=4)
+    p.add_argument("--occ_thre", type=float, default=1e-2)
+    p.add_argument("--occ_ema_decay", type=float, default=0.95)
+    p.add_argument("--occ_warmup", type=int, default=256)
+    p.add_argument("--occ_update_interval", type=int, default=16)
     p.add_argument("--xyz_encoding", type=str, default="hash",
                    choices=["frequency", "hash", "planes"])
     p.add_argument("--packed_gather", action="store_true",

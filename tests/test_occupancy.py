@@ -164,9 +164,14 @@ def test_occ_update_fn_interval_and_ready():
     assert int(occ1["num_updates"]) == 0
     occ2 = upd(occ, params, st, jnp.array(2), key)  # due
     assert int(occ2["num_updates"]) == 1
+    # warmup gate: OCC warmup=4/interval=2 -> ready only after 2 updates
+    assert int(occ2["ready_after"]) == 2
+    assert not bool(occ_ready(occ2))
+    occ3 = upd(occ2, params, st, jnp.array(4), key)
+    assert int(occ3["num_updates"]) == 2
     # a fresh NGP has near-uniform small sigma; binary may or may not fire.
-    # force occupancy by lowering the threshold path: ready iff any binary.
-    assert bool(occ_ready(occ2)) == bool(occ2["binary"].any())
+    # past the warmup gate: ready iff any binary cell is occupied.
+    assert bool(occ_ready(occ3)) == bool(occ3["binary"].any())
 
 
 def test_render_rays_occ_shapes_and_dispatch():
