@@ -25,6 +25,7 @@ mask, inverse-distance normalization) are preserved exactly.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -59,6 +60,14 @@ class ContainerConfig:
     bg_hidden: int = 32
     bg_encoding: str = "spherical"  # 'spherical' | 'fourier'
     expert: NGPConfig = dataclasses.field(default_factory=NGPConfig)
+    # Bucketed (block-sparse) expert dispatch: evaluate each point under its
+    # top-E nearest experts only, batched per expert in fixed-capacity
+    # buckets — O(E*N) field evals instead of the dense O(K*N). Exact vs the
+    # dense blend whenever the margin support set fits in E experts and no
+    # bucket overflows (capacity_factor headroom); pays off for K >~ 8.
+    bucketed: bool = False
+    experts_per_point: int = 2
+    capacity_factor: float = 1.5
 
     @property
     def bg_enc_dim(self) -> int:
@@ -128,6 +137,23 @@ def init_container_params(
 
 
 # ------------------------------- routing ------------------------------------
+def _routing_dist(
+    statics: ContainerStatics, cfg: ContainerConfig, pts: Array
+) -> Array:
+    """(N, K) centroid distances in the routing subspace (YZ if cluster_2d)."""
+    coord_idx = (1, 2) if cfg.cluster_2d else (0, 1, 2)
+    x = pts[:, coord_idx].astype(jnp.float32)  # (N, d)
+    c = statics.centroids[:, coord_idx].astype(jnp.float32)  # (K, d)
+    return jnp.sqrt(
+        jnp.maximum(
+            jnp.sum(x**2, -1)[:, None]
+            - 2.0 * x @ c.T
+            + jnp.sum(c**2, -1)[None, :],
+            0.0,
+        )
+    )
+
+
 def routing_weights(
     statics: ContainerStatics, cfg: ContainerConfig, pts: Array
 ) -> Array:
@@ -138,18 +164,7 @@ def routing_weights(
     meta_container.py:97-134, expressed branch-free as a dense one-hot for
     the hard case so downstream code has a single (N, K) contract.
     """
-    coord_idx = (1, 2) if cfg.cluster_2d else (0, 1, 2)
-    x = pts[:, coord_idx].astype(jnp.float32)  # (N, d)
-    c = statics.centroids[:, coord_idx].astype(jnp.float32)  # (K, d)
-    # cdist
-    dist = jnp.sqrt(
-        jnp.maximum(
-            jnp.sum(x**2, -1)[:, None]
-            - 2.0 * x @ c.T
-            + jnp.sum(c**2, -1)[None, :],
-            0.0,
-        )
-    )  # (N, K)
+    dist = _routing_dist(statics, cfg, pts)  # (N, K)
     if cfg.boundary_margin > 1.0:
         dist = jnp.maximum(dist, 1e-6)
         invd = 1.0 / dist
@@ -188,6 +203,87 @@ def _eval_all_experts(
     return rgb, sigma
 
 
+def _bucketed_eval(
+    params: Params, cfg: ContainerConfig, statics: ContainerStatics,
+    pts: Array, dirs: Optional[Array],
+):
+    """Top-E block-sparse expert dispatch -> (rgb (N,3) or None, sigma (N,)).
+
+    Dense evaluation costs O(K*N) field evals; here each point is routed to
+    its E nearest experts only, and the (point, expert) pairs are batched
+    into per-expert fixed-capacity buckets so every expert still runs as ONE
+    static-shape vmapped program on the MXU:
+
+      1. top-E selection per point + margin weights renormalized over E
+         (exact vs the dense blend when the margin support fits in E);
+      2. counting-sort of pairs into (K, C) buckets via a one-hot cumsum —
+         no argsort; C = ceil(N*E/K * capacity_factor), overflow pairs are
+         routed to a trash slot (rare under spatial clustering: points near
+         a centroid are exactly the points routed to it);
+      3. gather points per bucket, vmap experts over (K, C);
+      4. weighted scatter-add back to the N points (row transactions).
+    """
+    apply_fn, density_fn = _expert_apply_fn(cfg)
+    N, K = pts.shape[0], cfg.num_experts
+    E = min(cfg.experts_per_point, K)
+    C = int(math.ceil(N * E / K * cfg.capacity_factor))
+    C = max(128, (C + 127) // 128 * 128)  # lane-aligned bucket rows
+
+    dist = _routing_dist(statics, cfg, pts)  # (N, K)
+    neg_d, idx = jax.lax.top_k(-dist, E)  # (N, E) nearest-first
+    dsel = -neg_d
+    if cfg.boundary_margin > 1.0:
+        dsel = jnp.maximum(dsel, 1e-6)
+        mind = dsel[:, :1]  # top-1 IS the global min distance
+        mask = dsel <= cfg.boundary_margin * mind
+        invd = (1.0 / dsel) * mask
+        w = invd / jnp.maximum(jnp.sum(invd, axis=1, keepdims=True), 1e-6)
+    else:
+        w = jnp.zeros((N, E), pts.dtype).at[:, 0].set(1.0)
+
+    k_flat = idx.reshape(-1)  # (N*E,)
+    w_flat = w.reshape(-1).astype(jnp.float32)
+    n_flat = jnp.repeat(jnp.arange(N, dtype=jnp.int32), E)
+
+    onehot = jax.nn.one_hot(k_flat, K, dtype=jnp.int32)  # (N*E, K)
+    rank = jnp.cumsum(onehot, axis=0) - onehot  # exclusive per-expert rank
+    slot = jnp.sum(rank * onehot, axis=1)  # (N*E,)
+    keep = (slot < C) & (w_flat > 0)
+    trash = K * C
+    dest = jnp.where(keep, k_flat * C + slot, trash)
+
+    buf_idx = jnp.zeros(K * C + 1, jnp.int32).at[dest].set(n_flat)
+    pts_b = pts[buf_idx[:trash].reshape(K, C)]  # (K, C, 3)
+
+    if dirs is None:
+        sigma_b = jax.vmap(
+            lambda p, box, x: density_fn(p, cfg.expert, box, x)
+        )(params["experts"], statics.expert_aabbs, pts_b)  # (K, C)
+        rgb_flat = None
+    else:
+        dirs_b = dirs[buf_idx[:trash].reshape(K, C)]
+        rgb_b, sigma_b = jax.vmap(
+            lambda p, box, x, d: apply_fn(p, cfg.expert, box, x, d)
+        )(params["experts"], statics.expert_aabbs, pts_b, dirs_b)
+        rgb_flat = jnp.concatenate(
+            [rgb_b.reshape(-1, 3), jnp.zeros((1, 3), rgb_b.dtype)], axis=0
+        )
+    sigma_flat = jnp.concatenate(
+        [sigma_b.reshape(-1), jnp.zeros((1,), sigma_b.dtype)], axis=0
+    )
+
+    wk = jnp.where(keep, w_flat, 0.0)
+    sigma = jnp.zeros((N,), jnp.float32).at[n_flat].add(
+        wk * sigma_flat[dest]
+    )
+    if rgb_flat is None:
+        return None, sigma.astype(pts.dtype)
+    rgb = jnp.zeros((N, 3), jnp.float32).at[n_flat].add(
+        wk[:, None] * rgb_flat[dest]
+    )
+    return rgb.astype(pts.dtype), sigma.astype(pts.dtype)
+
+
 # ------------------------------- public API ----------------------------------
 def container_density(
     params: Params,
@@ -201,6 +297,8 @@ def container_density(
         _, density_fn = _expert_apply_fn(cfg)
         p_k = jax.tree_util.tree_map(lambda a: a[active_expert], params["experts"])
         return density_fn(p_k, cfg.expert, statics.expert_aabbs[active_expert], pts)
+    if cfg.bucketed:
+        return _bucketed_eval(params, cfg, statics, pts, None)[1]
     _, sigma_k = _eval_all_experts(params, cfg, statics, pts, None)
     w = routing_weights(statics, cfg, pts)  # (N, K)
     return jnp.sum(w.T * sigma_k, axis=0)
@@ -225,6 +323,8 @@ def container_apply(
         return apply_fn(
             p_k, cfg.expert, statics.expert_aabbs[active_expert], pts, dirs
         )
+    if cfg.bucketed:
+        return _bucketed_eval(params, cfg, statics, pts, dirs)
     rgb_k, sigma_k = _eval_all_experts(params, cfg, statics, pts, dirs)
     w = routing_weights(statics, cfg, pts)  # (N, K)
     sigma = jnp.sum(w.T * sigma_k, axis=0)  # (N,)

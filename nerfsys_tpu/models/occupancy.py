@@ -66,6 +66,29 @@ def expert_binary_fn(occ_state: Dict, statics: ContainerStatics, k: int):
     return query
 
 
+def union_value_fn(occ_state: Dict, statics: ContainerStatics):
+    """pts (M, 3) -> (M,) max EMA density over experts (importance weights)."""
+    from nerfsys_tpu.ops.occupancy import query_values
+
+    def query(pts):
+        def per_expert(occs_k, aabb_k):
+            return query_values(occs_k, aabb_k, pts)
+
+        vals = jax.vmap(per_expert)(occ_state["occs"], statics.expert_aabbs)
+        return jnp.max(vals, axis=0)
+
+    return query
+
+
+def expert_value_fn(occ_state: Dict, statics: ContainerStatics, k: int):
+    from nerfsys_tpu.ops.occupancy import query_values
+
+    def query(pts):
+        return query_values(occ_state["occs"][k], statics.expert_aabbs[k], pts)
+
+    return query
+
+
 # --------------------------- updates ------------------------------------------
 def premark_invisible_expert_cells(
     occ_state: Dict,
@@ -156,6 +179,8 @@ def render_rays_occ(
     use_bg_fn: bool = True,
     active_expert: Optional[int] = None,
     sigma_scale: float = 1.0,
+    importance: bool = False,
+    uniform_frac: float = 0.25,
 ) -> Tuple[Array, Array, Array, Array]:
     """Dense occupancy-guided MoE render (reference render_rays_occ,
     ray_rendering.py:348-558, without packed samples or segment unions).
@@ -174,15 +199,19 @@ def render_rays_occ(
 
     if active_expert is not None:
         bin_fn = expert_binary_fn(occ_state, statics, active_expert)
+        val_fn = (expert_value_fn(occ_state, statics, active_expert)
+                  if importance else None)
     else:
         bin_fn = union_binary_fn(occ_state, statics)
+        val_fn = union_value_fn(occ_state, statics) if importance else None
 
     k_samp = k_bg = None
     if key is not None:
         k_samp, k_bg = jax.random.split(key)
     t_vals, alive = occupancy_sample_tvals(
         bin_fn, o, d, near_s, far_s, n_samples, n_probes=n_probes,
-        key=k_samp, randomized=randomized,
+        key=k_samp, randomized=randomized, weight_fn=val_fn,
+        uniform_frac=uniform_frac,
     )
     pts = t_to_points(o, d, t_vals)  # (N, S, 3)
     dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
@@ -219,6 +248,7 @@ def make_render_rays(
     bg_policy: str = "white",
     active_expert: Optional[int] = None,
     n_probes: int = 128,
+    importance: bool = False,
 ):
     """render_rays dispatch (ray_rendering.py:564-574): occupancy path when
     the grid is ready, stratified warmup path otherwise — as one jittable
@@ -231,7 +261,7 @@ def make_render_rays(
             return render_rays_occ(
                 params, cfg, statics, occ_state, rays, ray_samples, key,
                 randomized=randomized, n_probes=n_probes, bg_policy=bg_policy,
-                active_expert=active_expert,
+                active_expert=active_expert, importance=importance,
             )
 
         def strat_path():

@@ -59,6 +59,15 @@ class PlaneEncodingConfig:
     matmul_bwd: bool = True
     bwd_chunk: int = 8192  # points per contraction chunk (scan step)
     bwd_dtype: str = "bfloat16"  # contraction dtype: 'bfloat16' | 'float32'
+    # Hybrid backward OPTION: levels with R >= this threshold compute table
+    # grads as a packed-corner scatter-add (one 4F-wide row add per point,
+    # folded back with 4 rolls — the forward packing, transposed) instead of
+    # the O(R^2 F)-FLOPs/point one-hot contraction. MEASURED on v5e this
+    # LOSES: XLA scatter-add with duplicate indices serializes (~7e6 rows/s
+    # under vmap vs the contraction's ~127 TFLOP/s; demo-scale bench 26.3k
+    # -> 14.9k rays/s with R=512 on the scatter path), so it stays DISABLED
+    # (0) by default; kept as a config knob for low-duplicate regimes.
+    bwd_scatter_min_res: int = 0
     # pos_grad=False enables the fastest backward: the forward saves the
     # interpolated plane/line values as bf16 residuals so the backward needs
     # NO table re-gathers at all — but gradients w.r.t. the input positions
@@ -286,6 +295,59 @@ def _scatter_grads_mm(
     return acc["plane"], (acc["line"] if has_line else None)
 
 
+def _scatter_grads_packed(
+    u0: Array, fu: Array, v0: Array, fv: Array, gp: Array,
+    w0, fw, gl, R: int,
+):
+    """Table gradients as ONE packed row scatter-add per point.
+
+    The transpose of the packed_corners forward: the 4 weighted corner
+    contributions are concatenated into a (N, 4F) row and added at row
+    u0*R+v0 of a corner-packed (R*R, 4F) buffer, then folded back onto the
+    (R*R, F) grid with 4 rolls (shift +1/+R/+R+1 for the off-corner slots).
+    Cost is one scatter transaction per point per table — independent of R,
+    beating the O(R^2 F) one-hot contraction for fine levels.
+
+    The fold wraps nothing: the forward clamp guarantees u0, v0 <= R-2, so
+    packed rows >= R*R - R - 1 are never written.
+    """
+    F = gp.shape[-1]
+    wu, wv = 1.0 - fu[:, None], 1.0 - fv[:, None]
+    fuc, fvc = fu[:, None], fv[:, None]
+    g4 = jnp.concatenate(
+        [gp * (wu * wv), gp * (wu * fvc), gp * (fuc * wv), gp * (fuc * fvc)],
+        axis=-1,
+    )  # (N, 4F)
+    base = u0 * R + v0
+    t4g = jnp.zeros((R * R, 4 * F), jnp.float32)
+    t4g = t4g.at[base].add(g4, mode="promise_in_bounds")
+    gplane = (
+        t4g[:, :F]
+        + jnp.roll(t4g[:, F:2 * F], 1, axis=0)
+        + jnp.roll(t4g[:, 2 * F:3 * F], R, axis=0)
+        + jnp.roll(t4g[:, 3 * F:], R + 1, axis=0)
+    )
+    gline = None
+    if gl is not None:
+        g2 = jnp.concatenate(
+            [gl * (1.0 - fw[:, None]), gl * fw[:, None]], axis=-1
+        )  # (N, 2F)
+        t2g = jnp.zeros((R, 2 * F), jnp.float32)
+        t2g = t2g.at[w0].add(g2, mode="promise_in_bounds")
+        gline = t2g[:, :F] + jnp.roll(t2g[:, F:], 1, axis=0)
+    return gplane, gline
+
+
+def _table_grads(
+    cfg: PlaneEncodingConfig,
+    u0, fu, v0, fv, gp, w0, fw, gl, R: int, chunk: int, cdtype,
+):
+    """Dispatch: packed scatter for fine levels, one-hot matmul otherwise."""
+    if cfg.bwd_scatter_min_res and R >= cfg.bwd_scatter_min_res:
+        return _scatter_grads_packed(u0, fu, v0, fv, gp, w0, fw, gl, R)
+    return _scatter_grads_mm(u0, fu, v0, fv, gp, w0, fw, gl, R, chunk, cdtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _plane_encode_mm(params: Dict, x: Array, cfg: PlaneEncodingConfig):
     return _plane_encode_flat(params, x, cfg)
@@ -353,8 +415,8 @@ def _plane_encode_mm_bwd(cfg: PlaneEncodingConfig, res, ct):
             g_of = ct[:, (l * 3 + o) * F : (l * 3 + o + 1) * F]  # (N, F)
             gp = g_of * lval if has_lines else g_of  # plane-corner cotangent
             gl = g_of * bval if has_lines else None  # line-node cotangent
-            gpl, gln = _scatter_grads_mm(
-                u0, frac[:, a], v0, frac[:, b], gp, w0,
+            gpl, gln = _table_grads(
+                cfg, u0, frac[:, a], v0, frac[:, b], gp, w0,
                 frac[:, c] if has_lines else None, gl, R, chunk, cdtype,
             )
             gp_o.append(gpl)
@@ -443,8 +505,8 @@ def _plane_encode_mm_light_bwd(cfg: PlaneEncodingConfig, res, ct):
                 gl = g_of * bvals[idx].astype(jnp.float32)
             else:
                 gp, gl = g_of, None
-            gpl, gln = _scatter_grads_mm(
-                i0[:, a], frac[:, a], i0[:, b], frac[:, b], gp,
+            gpl, gln = _table_grads(
+                cfg, i0[:, a], frac[:, a], i0[:, b], frac[:, b], gp,
                 i0[:, c] if has_lines else None,
                 frac[:, c] if has_lines else None,
                 gl, R, chunk, cdtype,

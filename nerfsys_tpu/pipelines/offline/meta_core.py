@@ -53,6 +53,9 @@ class MetaConfig:
     bg_policy: str = "white"  # used when the container has no bg model
     sigma_scale: float = 1.0
     randomized: bool = True
+    # density-proportional importance sampling inside occupied space (uses
+    # the occ grid's EMA values as the pdf; free — no extra MLP evals)
+    occ_importance: bool = False
 
     @property
     def first_order(self) -> bool:
@@ -71,6 +74,7 @@ def _expert_loss_fn(
     randomized: bool,
     occ_binary: Optional[Array] = None,  # (L, R, R, R) this expert's grid
     occ_on: Optional[Array] = None,  # traced bool: grid ready
+    occ_values: Optional[Array] = None,  # (L, R, R, R) EMA densities
 ):
     """Single-expert render loss (reference compute_loss with active_module).
 
@@ -86,12 +90,16 @@ def _expert_loss_fn(
         def bg_fn(dirs):
             return background_color({"bg": bg_params}, cfg, dirs)
 
-    binary_fn = None
+    binary_fn = value_fn = None
     if occ_binary is not None:
-        from nerfsys_tpu.ops.occupancy import query_binary
+        from nerfsys_tpu.ops.occupancy import query_binary, query_values
 
         def binary_fn(pts):
             return query_binary(occ_binary, aabb, pts)
+
+        if meta.occ_importance and occ_values is not None:
+            def value_fn(pts):
+                return query_values(occ_values, aabb, pts)
 
     loss, aux = compute_mse_loss(
         field,
@@ -106,6 +114,7 @@ def _expert_loss_fn(
         sigma_scale=meta.sigma_scale,
         binary_fn=binary_fn,
         occ_on=occ_on,
+        value_fn=value_fn,
     )
     return loss, aux
 
@@ -123,6 +132,7 @@ def task_adapt(
     inner_lr: Optional[float] = None,
     occ_binary: Optional[Array] = None,
     occ_on: Optional[Array] = None,
+    occ_values: Optional[Array] = None,
 ) -> Tuple[Params, Array]:
     """Inner-loop adaptation: `iterations` SGD steps on the support loss.
 
@@ -142,7 +152,7 @@ def task_adapt(
         loss, _ = _expert_loss_fn(
             meta, cfg, p, aabb, bg_const, support_rays, support_rgbs, k,
             randomized=meta.randomized,
-            occ_binary=occ_binary, occ_on=occ_on,
+            occ_binary=occ_binary, occ_on=occ_on, occ_values=occ_values,
         )
         return loss
 
@@ -186,12 +196,13 @@ def query_loss(
     key: Optional[jax.Array] = None,
     occ_binary: Optional[Array] = None,
     occ_on: Optional[Array] = None,
+    occ_values: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Query-set loss at the adapted weights -> (loss, psnr)."""
     loss, aux = _expert_loss_fn(
         meta, cfg, fast_params, aabb, bg_params, query_rays, query_rgbs, key,
         randomized=meta.randomized and key is not None,
-        occ_binary=occ_binary, occ_on=occ_on,
+        occ_binary=occ_binary, occ_on=occ_on, occ_values=occ_values,
     )
     return loss, aux["psnr"]
 

@@ -55,37 +55,41 @@ def _per_task_slice(
     tto: Optional[int] = None,
     occ_binary: Optional[Array] = None,  # (K, L, R, R, R) stacked grids
     occ_on: Optional[Array] = None,  # traced bool scalar
+    occ_values: Optional[Array] = None,  # (K, L, R, R, R) EMA densities
 ):
     """Adapt+query for one task of every region at once (vmap over K).
 
     Returns (fast (K, ...), qloss (K,), qpsnr (K,), inner_last (K,)).
     """
 
-    def one(p_k, aabb_k, sup_r, sup_c, qry_r, qry_c, kk, occ_k):
+    def one(p_k, aabb_k, sup_r, sup_c, qry_r, qry_c, kk, occ_k, occv_k):
         fast, inner_losses = task_adapt(
             meta, cfg, p_k, aabb_k, bg_params, sup_r, sup_c, kk[0],
             iterations=tto, occ_binary=occ_k, occ_on=occ_on,
+            occ_values=occv_k,
         )
         qloss, qpsnr = query_loss(
             meta, cfg, fast, aabb_k, bg_params, qry_r, qry_c, kk[1],
-            occ_binary=occ_k, occ_on=occ_on,
+            occ_binary=occ_k, occ_on=occ_on, occ_values=occv_k,
         )
         return fast, qloss, qpsnr, inner_losses[-1]
 
-    if occ_binary is None:
-        one_fn = lambda p, a, sr, sc, qr, qc, kk: one(
-            p, a, sr, sc, qr, qc, kk, None
-        )
-        return jax.vmap(one_fn)(
-            experts, expert_aabbs,
-            slice_b["support_rays"], slice_b["support_rgbs"],
-            slice_b["query_rays"], slice_b["query_rgbs"], keys,
-        )
-    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
+    common = (
         experts, expert_aabbs,
         slice_b["support_rays"], slice_b["support_rgbs"],
-        slice_b["query_rays"], slice_b["query_rgbs"], keys, occ_binary,
+        slice_b["query_rays"], slice_b["query_rgbs"], keys,
     )
+    if occ_binary is None:
+        fn = lambda p, a, sr, sc, qr, qc, kk: one(
+            p, a, sr, sc, qr, qc, kk, None, None
+        )
+        return jax.vmap(fn)(*common)
+    if occ_values is None:
+        fn = lambda p, a, sr, sc, qr, qc, kk, ob: one(
+            p, a, sr, sc, qr, qc, kk, ob, None
+        )
+        return jax.vmap(fn)(*common, occ_binary)
+    return jax.vmap(one)(*common, occ_binary, occ_values)
 
 
 def _batch_to_task_major(batch: Dict[str, Array]) -> Dict[str, Array]:
@@ -93,13 +97,14 @@ def _batch_to_task_major(batch: Dict[str, Array]) -> Dict[str, Array]:
     return {k: jnp.swapaxes(v, 0, 1) for k, v in batch.items()}
 
 
-def _occ_args(occ_state):
-    """(stacked binary (K, L, R, R, R), ready scalar) or (None, None)."""
+def _occ_args(occ_state, importance: bool = False):
+    """(stacked binary (K,L,R,R,R), ready scalar, EMA values or None)."""
     if occ_state is None:
-        return None, None
+        return None, None, None
     from nerfsys_tpu.models.occupancy import occ_ready
 
-    return occ_state["binary"], occ_ready(occ_state)
+    values = occ_state["occs"] if importance else None
+    return occ_state["binary"], occ_ready(occ_state), values
 
 
 def _finalize_metrics(region_q_sum, region_in_sum, region_n, total_n):
@@ -132,12 +137,14 @@ def make_train_step(
         total_n = jnp.maximum(valid.sum(), 1e-8)
         tm = _batch_to_task_major(batch)
         all_keys = jax.random.split(key, B * K * 2).reshape(B, K, 2, -1)
-        occ_binary, occ_on = _occ_args(occ_state)
+        occ_binary, occ_on, occ_values = _occ_args(
+            occ_state, meta.occ_importance)
 
         def loss_b(p, slice_b, keys_b):
             fast, qloss, qpsnr, inner_last = _per_task_slice(
                 meta, cfg, p["experts"], statics.expert_aabbs, p.get("bg"),
                 slice_b, keys_b, occ_binary=occ_binary, occ_on=occ_on,
+                occ_values=occ_values,
             )
             v = slice_b["valid"].astype(jnp.float32)  # (K,)
             qloss = jnp.where(v > 0, qloss, 0.0)
@@ -189,7 +196,8 @@ def make_train_step(
         total_n = jnp.maximum(valid.sum(), 1e-8)
         tm = _batch_to_task_major(batch)
         all_keys = jax.random.split(key, B * K * 2).reshape(B, K, 2, -1)
-        occ_binary, occ_on = _occ_args(occ_state)
+        occ_binary, occ_on, occ_values = _occ_args(
+            occ_state, meta.occ_importance)
         experts = params["experts"]
 
         zero_delta = jax.tree_util.tree_map(jnp.zeros_like, experts)
@@ -201,6 +209,7 @@ def make_train_step(
             fast, qloss, qpsnr, inner_last = _per_task_slice(
                 meta, cfg, experts, statics.expert_aabbs, params.get("bg"),
                 slice_b, keys_b, occ_binary=occ_binary, occ_on=occ_on,
+                occ_values=occ_values,
             )
             v = slice_b["valid"].astype(jnp.float32)  # (K,)
             qloss = jnp.where(v > 0, qloss, 0.0)
@@ -251,7 +260,8 @@ def make_eval_step(meta: MetaConfig, cfg: ContainerConfig, tto: int):
         total_n = jnp.maximum(valid.sum(), 1e-8)
         tm = _batch_to_task_major(batch)
         all_keys = jax.random.split(key, B * K * 2).reshape(B, K, 2, -1)
-        occ_binary, occ_on = _occ_args(occ_state)
+        occ_binary, occ_on, occ_values = _occ_args(
+            occ_state, meta.occ_importance)
 
         zero_m = (jnp.zeros(K), jnp.zeros(K), jnp.zeros(K))
 
@@ -261,6 +271,7 @@ def make_eval_step(meta: MetaConfig, cfg: ContainerConfig, tto: int):
                 meta, cfg, params["experts"], statics.expert_aabbs,
                 params.get("bg"), slice_b, keys_b, tto=tto,
                 occ_binary=occ_binary, occ_on=occ_on,
+                occ_values=occ_values,
             )
             v = slice_b["valid"].astype(jnp.float32)
             qloss = jnp.where(v > 0, qloss, 0.0)

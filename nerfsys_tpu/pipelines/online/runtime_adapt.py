@@ -45,6 +45,7 @@ def make_adapt_step(
     color_space: str = "linear",
     bg_policy: str = "random",
     active_expert: Optional[int] = None,
+    occ_importance: bool = False,
 ):
     """Jitted single optimization step over a support-ray batch.
 
@@ -52,12 +53,18 @@ def make_adapt_step(
     once the grids are ready (reference render_rays dispatch)."""
 
     def step(params, opt_state, statics, rays, rgbs, key, occ_state=None):
-        binary_fn = occ_on = None
+        binary_fn = occ_on = value_fn = None
         if occ_state is not None:
-            from nerfsys_tpu.models.occupancy import occ_ready, union_binary_fn
+            from nerfsys_tpu.models.occupancy import (
+                occ_ready,
+                union_binary_fn,
+                union_value_fn,
+            )
 
             binary_fn = union_binary_fn(occ_state, statics)
             occ_on = occ_ready(occ_state)
+            if occ_importance:
+                value_fn = union_value_fn(occ_state, statics)
 
         def loss_fn(p):
             field = container_field_fn(p, cfg, statics, active_expert)
@@ -65,7 +72,7 @@ def make_adapt_step(
                 field, rays, rgbs, ray_samples=ray_samples, key=key,
                 randomized=True, color_space=color_space, bg_policy=bg_policy,
                 bg_fn=container_bg_fn(p, cfg),
-                binary_fn=binary_fn, occ_on=occ_on,
+                binary_fn=binary_fn, occ_on=occ_on, value_fn=value_fn,
             )
             return loss, aux
 
@@ -190,6 +197,7 @@ def make_chunk_renderer(
     bg_policy: str = "white",
     active_expert: Optional[int] = None,
     occ_state=None,
+    occ_importance: bool = False,
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
     (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
@@ -202,7 +210,7 @@ def make_chunk_renderer(
             rgb, depth, _, acc = render_rays_occ(
                 params, cfg, statics, occ_state, rays, ray_samples,
                 randomized=False, bg_policy=bg_policy,
-                active_expert=active_expert,
+                active_expert=active_expert, importance=occ_importance,
             )
             return rgb, depth, acc
 
@@ -295,6 +303,7 @@ def runtime_evaluate(
     lpips_weights_path: Optional[str] = None,
     chunk_rays: int = 65536,
     occ_state=None,
+    occ_importance: bool = False,
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
 ) -> Dict[str, float]:
     """Adapt on the test images' support rays, then render + score them."""
@@ -321,7 +330,7 @@ def runtime_evaluate(
     else:
         adapt_step = make_adapt_step(
             cfg, optimizer, ray_samples=ray_samples, color_space=color_space,
-            bg_policy=bg_policy,
+            bg_policy=bg_policy, occ_importance=occ_importance,
         )
     support_ds = RamRaysDataset(
         test_metadata, scene_aabb=global_aabb, near_far_override=(near, far),
@@ -351,6 +360,7 @@ def runtime_evaluate(
     log("[Phase 2] rendering test images")
     renderer = make_chunk_renderer(
         cfg, ray_samples=ray_samples, bg_policy="white", occ_state=occ_state,
+        occ_importance=occ_importance,
     )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []

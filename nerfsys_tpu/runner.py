@@ -129,6 +129,7 @@ def meta_config_from_args(P) -> MetaConfig:
         ray_samples=P.ray_samples,
         color_space=P.color_space,
         bg_policy=P.bg_color_default,
+        occ_importance=getattr(P, "occ_importance", False),
     )
 
 
@@ -389,6 +390,7 @@ def evaluate(ctx):
             cfg=ctx["cfg"],
             statics=ctx["statics"],
             occ_state=ctx.get("occ_state"),
+            occ_importance=getattr(P, "occ_importance", False),
             fim_cfg=fim_cfg,
             optimizer=tx,
             test_metadata=ctx["test_metadata"],

@@ -112,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--occ_ema_decay", type=float, default=0.95)
     p.add_argument("--occ_warmup", type=int, default=256)
     p.add_argument("--occ_update_interval", type=int, default=16)
+    p.add_argument("--occ_importance", action="store_true",
+                   help="density-proportional importance sampling inside "
+                        "occupied space (pdf from the occ grid's EMA values; "
+                        "free - no extra MLP evals)")
     p.add_argument("--xyz_encoding", type=str, default="hash",
                    choices=["frequency", "hash", "planes"])
     p.add_argument("--packed_gather", action="store_true",

@@ -276,3 +276,96 @@ def test_online_adapt_and_render_with_occ():
     r = make_chunk_renderer(cfg, ray_samples=8, occ_state=occ)
     rgb, depth, acc = r(p2, statics, rays)
     assert rgb.shape == (n, 3) and np.isfinite(np.asarray(rgb)).all()
+
+
+# --------------------------- importance sampling ------------------------------
+def test_query_values_finest_level_and_clamping():
+    from nerfsys_tpu.ops.occupancy import query_values
+
+    R, L = 16, 2
+    occs = jnp.zeros((L, R, R, R), jnp.float32)
+    occs = occs.at[1].set(0.5)          # coarse level everywhere
+    occs = occs.at[0, 8, 8, 8].set(2.0)  # one hot fine cell near center
+    occs = occs.at[0, 0, 0, 0].set(-1.0)  # invisible tag must clamp to 0
+
+    # center of the hot fine cell: (8.5/16)*2-1 per axis
+    c = (8.5 / 16) * 2.0 - 1.0
+    v = query_values(occs, AABB, jnp.array([[c, c, c]]))
+    assert float(v[0]) == 2.0
+    # a point in the invisible-tagged fine cell -> clamped to 0 (not -1)
+    lo = (0.5 / 16) * 2.0 - 1.0
+    v = query_values(occs, AABB, jnp.array([[lo, lo, lo]]))
+    assert float(v[0]) == 0.0
+    # outside level 0 but inside level 1 -> coarse value
+    v = query_values(occs, AABB, jnp.array([[1.5, 0.0, 0.0]]))
+    assert float(v[0]) == 0.5
+    # outside all levels -> 0
+    v = query_values(occs, AABB, jnp.array([[10.0, 0.0, 0.0]]))
+    assert float(v[0]) == 0.0
+
+
+def test_importance_sampling_concentrates_on_high_density():
+    """Two occupied slabs, one with 9x the EMA density: the weighted sampler
+    must place ~(0.75*0.9 + 0.25*0.5) of samples in the heavy slab while the
+    uniform floor keeps the light slab populated."""
+    def bin_fn(pts):
+        z = pts[..., 2]
+        return (jnp.abs(z - 0.5) < 0.25) | (jnp.abs(z + 0.5) < 0.25)
+
+    def val_fn(pts):
+        z = pts[..., 2]
+        return jnp.where(jnp.abs(z - 0.5) < 0.25, 9.0,
+                         jnp.where(jnp.abs(z + 0.5) < 0.25, 1.0, 0.0))
+
+    N, S = 64, 256
+    o = jnp.tile(jnp.asarray([[0.0, 0, 2.0]], jnp.float32), (N, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0, -1.0]], jnp.float32), (N, 1))
+    near, far = jnp.full((N,), 0.0), jnp.full((N,), 4.0)
+
+    t, alive = occupancy_sample_tvals(
+        bin_fn, o, d, near, far, S, n_probes=256, weight_fn=val_fn,
+        uniform_frac=0.25, key=jax.random.PRNGKey(0), randomized=True,
+    )
+    z = 2.0 - np.asarray(t)
+    assert bool(np.asarray(alive).all())
+    heavy = (np.abs(z - 0.5) < 0.25 + 4.0 / 256).mean()
+    light = (np.abs(z + 0.5) < 0.25 + 4.0 / 256).mean()
+    # expected heavy fraction = 0.75*0.9 + 0.25*0.5 = 0.8
+    assert 0.72 < heavy < 0.88, heavy
+    assert light > 0.1  # uniform floor keeps the light slab reachable
+    assert abs(heavy + light - 1.0) < 0.02  # nothing lands outside slabs
+
+
+def test_render_rays_occ_importance_finite_and_dispatch():
+    """MoE occ render with importance=True stays finite and matches the
+    binary-only sampler's dead-ray semantics."""
+    expert = NGPConfig(hidden=8, sigma_depth=1, color_hidden=8, color_depth=1,
+                       geo_feat_dim=3,
+                       hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                           log2_hashmap_size=8))
+    cfg = ContainerConfig(num_experts=2, expert=expert, boundary_margin=1.1,
+                          bg_hidden=8)
+    cents = jnp.asarray([[0.0, 0, -0.5], [0.0, 0, 0.5]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 0.6, c + 0.6]) for c in cents])
+    statics = ContainerStatics(cents, boxes,
+                               jnp.asarray([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]]))
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+    occ = init_occ_state(OCC, 2)
+    occ = {**occ,
+           "binary": occ["binary"].at[:, :, 4:12, 4:12, 4:12].set(True),
+           "occs": occ["occs"].at[:, :, 6:10, 6:10, 6:10].set(0.3),
+           "num_updates": jnp.asarray(5, jnp.int32)}
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.normal(size=(32, 3)) * 0.1 + [0, 0, 1.5], jnp.float32)
+    d = jnp.asarray(np.tile([[0.0, 0, -1.0]], (32, 1)), jnp.float32)
+    rays = jnp.concatenate([o, d, jnp.full((32, 1), 0.1),
+                            jnp.full((32, 1), 3.0)], axis=1)
+    for imp in (False, True):
+        rgb, depth, w, acc = render_rays_occ(
+            params, cfg, statics, occ, rays, 16,
+            key=jax.random.PRNGKey(1), randomized=True, importance=imp,
+        )
+        assert np.isfinite(np.asarray(rgb)).all()
+        assert np.isfinite(np.asarray(depth)).all()
+        assert np.isfinite(np.asarray(acc)).all()

@@ -176,3 +176,51 @@ def test_container_labels_planes_as_encoding():
     labels = param_group_labels(params)
     enc_labels = set(jax.tree_util.tree_leaves(labels["experts"]["planes_enc"]))
     assert enc_labels == {"encoding"}
+
+
+def test_scatter_bwd_matches_autodiff_and_matmul():
+    """The packed-corner scatter backward (fine levels) must produce the
+    same table gradients as raw autodiff and as the one-hot matmul path —
+    for both the full VJP (pos_grad=True) and the light VJP."""
+    import dataclasses
+
+    base = dict(levels=2, base_res=16, growth=2.0, features=4,
+                bwd_dtype="float32")
+    cfg_auto = PlaneEncodingConfig(**base, matmul_bwd=False)
+    cfg_mm = PlaneEncodingConfig(**base, matmul_bwd=True,
+                                 bwd_scatter_min_res=0)
+    # threshold below both resolutions -> every level takes the scatter path
+    cfg_sc = PlaneEncodingConfig(**base, matmul_bwd=True,
+                                 bwd_scatter_min_res=8)
+    cfg_sc_light = dataclasses.replace(cfg_sc, pos_grad=False)
+
+    p = plane_encoding_init(jax.random.PRNGKey(0), cfg_auto)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3), minval=0.02,
+                           maxval=0.98)
+    ct = jax.random.normal(jax.random.PRNGKey(2), (257, cfg_auto.out_dim))
+
+    def grads(cfg):
+        def loss(pp, xx):
+            return jnp.sum(plane_encode(pp, xx, cfg) * ct)
+
+        return jax.grad(loss, argnums=(0, 1))(p, x)
+
+    gp_auto, gx_auto = grads(cfg_auto)
+    gp_mm, gx_mm = grads(cfg_mm)
+    gp_sc, gx_sc = grads(cfg_sc)
+    gp_light, gx_light = grads(cfg_sc_light)
+
+    for ga, gs, gm, gl in zip(jax.tree_util.tree_leaves(gp_auto),
+                              jax.tree_util.tree_leaves(gp_sc),
+                              jax.tree_util.tree_leaves(gp_mm),
+                              jax.tree_util.tree_leaves(gp_light)):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ga),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gm),
+                                   atol=2e-5, rtol=2e-5)
+        # light path saves bf16 residuals -> looser tolerance
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(ga),
+                                   atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(gx_sc), np.asarray(gx_auto),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(gx_light).sum()) == 0.0  # pos_grad=False contract
