@@ -27,6 +27,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from nerfsys_tpu.ops.gather import row_gather
 import numpy as np
 
 Array = jax.Array
@@ -304,7 +306,7 @@ def hash_grid_encode_fused(
     out = None
     for f in range(F):
         col = jax.lax.slice_in_dim(table, f, f + 1, axis=1)[:, 0]  # (T*L,)
-        feats = col.at[idx].get(mode="promise_in_bounds")  # (N, L*8)
+        feats = row_gather(col, idx)  # (N, L*8)
         p = (w * feats).astype(cdt)
         S = jnp.asarray(_corner_sum_matrix(L, F, f), cdt)
         contrib = jax.lax.dot(p, S, precision=None,
@@ -380,7 +382,7 @@ def _packed_encode_fwd_impl(table: Array, x01: Array, cfg: HashGridConfig):
     assert F == 2, "packed gather requires features_per_level == 2"
     idx, w = _encode_indices_weights(x01, cfg)
     packed = pack_table_pairs(table)
-    g = packed.at[idx].get(mode="promise_in_bounds")  # ONE gather for both feats
+    g = row_gather(packed, idx)  # ONE gather for both feats
     f0, f1 = _unpack_pairs(g)
     wb = w.astype(jnp.bfloat16)
     S0 = jnp.asarray(_corner_sum_matrix(L, F, 0), jnp.bfloat16)

@@ -34,6 +34,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from nerfsys_tpu.ops.gather import row_gather
+
 Array = jax.Array
 
 
@@ -135,7 +137,7 @@ def query_binary(
         inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
         ijk = jnp.clip((rel * R).astype(jnp.int32), 0, R - 1)
         flat_idx = (ijk[..., 0] * R + ijk[..., 1]) * R + ijk[..., 2]  # (...,)
-        occ_l = flat_binary[l].at[flat_idx].get(mode="promise_in_bounds")
+        occ_l = row_gather(flat_binary[l], flat_idx)
         result = jnp.where(~decided & inside, occ_l, result)
         decided = decided | inside
     return result
@@ -163,7 +165,7 @@ def query_values(
         inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
         ijk = jnp.clip((rel * R).astype(jnp.int32), 0, R - 1)
         flat_idx = (ijk[..., 0] * R + ijk[..., 1]) * R + ijk[..., 2]
-        val_l = flat[l].at[flat_idx].get(mode="promise_in_bounds")
+        val_l = row_gather(flat[l], flat_idx)
         result = jnp.where(~decided & inside, val_l, result)
         decided = decided | inside
     return jnp.maximum(result, 0.0)  # -1 invisible tags -> 0

@@ -32,10 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nerfsys_tpu.ops.gather import row_gather
+
 Array = jax.Array
 
 # plane axes (a, b) and the complementary line axis c per orientation
 _ORIENTATIONS = ((0, 1, 2), (0, 2, 1), (1, 2, 0))
+
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,15 +147,15 @@ def _bilinear_rows(
             [table, jnp.roll(table, -1, 0), jnp.roll(table, -R, 0),
              jnp.roll(table, -(R + 1), 0)], axis=-1,
         )
-        g = t4.at[base].get(mode="promise_in_bounds")  # (N, 4F)
+        g = row_gather(t4, base)  # (N, 4F)
         F = table.shape[-1]
         g00, g01, g10, g11 = (g[:, :F], g[:, F:2 * F], g[:, 2 * F:3 * F],
                               g[:, 3 * F:])
     else:
-        g00 = table.at[base].get(mode="promise_in_bounds")
-        g01 = table.at[base + 1].get(mode="promise_in_bounds")
-        g10 = table.at[base + R].get(mode="promise_in_bounds")
-        g11 = table.at[base + R + 1].get(mode="promise_in_bounds")
+        g00 = row_gather(table, base)
+        g01 = row_gather(table, base + 1)
+        g10 = row_gather(table, base + R)
+        g11 = row_gather(table, base + R + 1)
     return (
         g00 * (1 - fu) * (1 - fv)
         + g01 * (1 - fu) * fv
@@ -173,12 +177,12 @@ def _linear_rows(
     w0 = w0f.astype(jnp.int32)
     if packed:
         t2 = jnp.concatenate([table, jnp.roll(table, -1, 0)], axis=-1)
-        g = t2.at[w0].get(mode="promise_in_bounds")
+        g = row_gather(t2, w0)
         F = table.shape[-1]
         g0, g1 = g[:, :F], g[:, F:]
     else:
-        g0 = table.at[w0].get(mode="promise_in_bounds")
-        g1 = table.at[w0 + 1].get(mode="promise_in_bounds")
+        g0 = row_gather(table, w0)
+        g1 = row_gather(table, w0 + 1)
     return g0 * (1 - fw) + g1 * fw
 
 
@@ -391,10 +395,10 @@ def _plane_encode_mm_bwd(cfg: PlaneEncodingConfig, res, ct):
             fu, fv = frac[:, a][:, None], frac[:, b][:, None]  # (N,1)
             t = params["planes"][l][o]
             base = u0 * R + v0
-            g00 = t.at[base].get(mode="promise_in_bounds")
-            g01 = t.at[base + 1].get(mode="promise_in_bounds")
-            g10 = t.at[base + R].get(mode="promise_in_bounds")
-            g11 = t.at[base + R + 1].get(mode="promise_in_bounds")
+            g00 = row_gather(t, base)
+            g01 = row_gather(t, base + 1)
+            g10 = row_gather(t, base + R)
+            g11 = row_gather(t, base + R + 1)
             bval = (
                 g00 * (1 - fu) * (1 - fv)
                 + g01 * (1 - fu) * fv
@@ -405,8 +409,8 @@ def _plane_encode_mm_bwd(cfg: PlaneEncodingConfig, res, ct):
                 w0 = i0[:, c]
                 fw = frac[:, c][:, None]
                 ln = params["lines"][l][o]
-                l0 = ln.at[w0].get(mode="promise_in_bounds")
-                l1 = ln.at[w0 + 1].get(mode="promise_in_bounds")
+                l0 = row_gather(ln, w0)
+                l1 = row_gather(ln, w0 + 1)
                 lval = l0 * (1 - fw) + l1 * fw
             else:
                 w0 = fw = None
