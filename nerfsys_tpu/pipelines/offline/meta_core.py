@@ -56,6 +56,14 @@ class MetaConfig:
     # density-proportional importance sampling inside occupied space (uses
     # the occ grid's EMA values as the pdf; free — no extra MLP evals)
     occ_importance: bool = False
+    # Evaluate the K expert/region axis with lax.map (serial per-expert
+    # programs) instead of vmap. Measured on v5e: 343 vs 536 ms/inner-iter
+    # at K=4 — each single-expert program saturates the chip on its own, and
+    # vmap's batched gathers/contractions carry overhead serialization
+    # avoids. MUST be False when the expert axis is sharded over a device
+    # mesh ('expert' > 1): scanning a sharded axis would serialize experts
+    # that vmap keeps parallel across devices.
+    expert_map: bool = True
 
     @property
     def first_order(self) -> bool:

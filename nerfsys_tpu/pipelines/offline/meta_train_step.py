@@ -79,17 +79,29 @@ def _per_task_slice(
         slice_b["support_rays"], slice_b["support_rgbs"],
         slice_b["query_rays"], slice_b["query_rgbs"], keys,
     )
+
+    # lax.map runs experts as serial single-expert programs (1.56x faster
+    # than vmap on one chip — see MetaConfig.expert_map); vmap keeps the
+    # expert axis batched for mesh-sharded expert parallelism.
+    def run(fn, *extra):
+        if meta.expert_map:
+            return jax.lax.map(lambda args: fn(*args), (*common, *extra))
+        return jax.vmap(fn)(*common, *extra)
+
     if occ_binary is None:
-        fn = lambda p, a, sr, sc, qr, qc, kk: one(
-            p, a, sr, sc, qr, qc, kk, None, None
+        return run(
+            lambda p, a, sr, sc, qr, qc, kk: one(
+                p, a, sr, sc, qr, qc, kk, None, None
+            )
         )
-        return jax.vmap(fn)(*common)
     if occ_values is None:
-        fn = lambda p, a, sr, sc, qr, qc, kk, ob: one(
-            p, a, sr, sc, qr, qc, kk, ob, None
+        return run(
+            lambda p, a, sr, sc, qr, qc, kk, ob: one(
+                p, a, sr, sc, qr, qc, kk, ob, None
+            ),
+            occ_binary,
         )
-        return jax.vmap(fn)(*common, occ_binary)
-    return jax.vmap(one)(*common, occ_binary, occ_values)
+    return run(one, occ_binary, occ_values)
 
 
 def _batch_to_task_major(batch: Dict[str, Array]) -> Dict[str, Array]:

@@ -308,10 +308,16 @@ def maybe_shard_training(ctx, params):
 
 
 def train(ctx):
+    import dataclasses as _dc
+
     P = ctx["P"]
     meta = meta_config_from_args(P)
     opt_cfg = optim_config_from_args(P)
     ctx["params"], _mesh = maybe_shard_training(ctx, ctx["params"])
+    if _mesh is not None and _mesh.shape.get("expert", 1) > 1:
+        # scanning a sharded expert axis would serialize what the mesh
+        # parallelizes; keep vmap there (see MetaConfig.expert_map)
+        meta = _dc.replace(meta, expert_map=False)
     tx = build_optimizer(opt_cfg, param_group_labels(ctx["params"]))
     opt_state = tx.init(ctx["params"])  # inherits param shardings
     step_fn = make_train_step(meta, ctx["cfg"], tx)

@@ -79,6 +79,7 @@ def test_sharded_meta_trainer_runs(mesh_spec, tmp_path):
     params = shard_params(params, mesh, shard_experts=shard_experts)
 
     meta = MetaConfig(algo="fomaml", inner_iter=1, inner_lr=0.05,
+                      expert_map=not shard_experts,
                       ray_samples=8)
     tx = build_optimizer(OptimConfig(outer_steps=10),
                          param_group_labels(params))
