@@ -46,6 +46,7 @@ def compute_mse_loss(
     binary_fn=None,  # occupancy query (pts (M,3) -> bool); None = stratified
     occ_on=None,  # traced bool: occupancy grid ready (render_rays dispatch)
     value_fn=None,  # EMA density query: importance-weighted occ sampling
+    occ_cdf=None,  # precomputed probe CDF (fixed rays+grid: the inner loop)
     n_probes: int = 128,
 ) -> Tuple[Array, dict]:
     """Render support/query rays and compute color-space-aligned MSE.
@@ -78,7 +79,7 @@ def compute_mse_loss(
                 field_fn, binary_fn, rays, ray_samples, key,
                 randomized=randomized, n_probes=n_probes,
                 bg_policy=bg_policy, bg_fn=bg_fn, sigma_scale=sigma_scale,
-                value_fn=value_fn,
+                value_fn=value_fn, cdf_state=occ_cdf,
             )
 
         if occ_on is None:

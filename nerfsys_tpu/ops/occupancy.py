@@ -283,6 +283,91 @@ def mark_invisible_cells(
 
 
 # ------------------------------ sampling --------------------------------------
+def occupancy_probe_cdf(
+    binary_any: Callable[[Array], Array],
+    rays_o: Array,  # (N, 3)
+    rays_d: Array,  # (N, 3)
+    near: Array,  # (N,)
+    far: Array,  # (N,)
+    n_probes: int = 128,
+    weight_fn: Optional[Callable[[Array], Array]] = None,
+    uniform_frac: float = 0.25,
+) -> dict:
+    """Pass 1 of occupancy sampling: probe the grid along each ray and build
+    the per-ray inverse-CDF state {cdf (N, P+1), alive (N,)}.
+
+    Split out so callers with FIXED rays and a FIXED grid (the meta inner
+    loop: support rays are constant across all inner iterations) can probe
+    ONCE per task and draw fresh randomized samples every iteration — the
+    probe pass is the dominant cost of occupancy sampling at small ray
+    counts (P probes x levels x experts of grid gathers per ray).
+    """
+    N, P = rays_o.shape[0], n_probes
+    edges = jnp.linspace(0.0, 1.0, P + 1, dtype=rays_o.dtype)
+    mids = 0.5 * (edges[:-1] + edges[1:])  # (P,)
+    t_probe = near[:, None] + (far - near)[:, None] * mids[None, :]  # (N, P)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_probe[..., None]
+    occ = binary_any(pts.reshape(-1, 3)).reshape(N, P)  # (N, P) bool
+
+    alive = jnp.any(occ, axis=1)
+    occf = occ.astype(rays_o.dtype)
+    if weight_fn is not None:
+        val = weight_fn(pts.reshape(-1, 3)).reshape(N, P)
+        val = jnp.maximum(val, 0.0).astype(rays_o.dtype) * occf
+        # normalize both components per ray, then mix: a uniform_frac floor
+        # keeps every occupied probe reachable even where the EMA is tiny
+        vsum = jnp.sum(val, axis=1, keepdims=True)
+        osum = jnp.maximum(jnp.sum(occf, axis=1, keepdims=True), 1e-12)
+        uni = occf / osum
+        imp = jnp.where(vsum > 1e-12, val / jnp.maximum(vsum, 1e-12), uni)
+        w = (1.0 - uniform_frac) * imp + uniform_frac * uni
+    else:
+        w = occf
+    w = w + 1e-12  # avoid all-zero cdf
+    cdf = jnp.cumsum(w, axis=1)
+    cdf = cdf / cdf[:, -1:]
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=1)
+    return {"cdf": cdf, "alive": alive}
+
+
+def sample_tvals_from_cdf(
+    cdf_state: dict,
+    near: Array,
+    far: Array,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+    randomized: bool = False,
+) -> Tuple[Array, Array]:
+    """Pass 2: place S samples by inverse-CDF over the probe intervals."""
+    cdf, alive = cdf_state["cdf"], cdf_state["alive"]
+    N, P = cdf.shape[0], cdf.shape[1] - 1
+    dtype = cdf.dtype
+    edges = jnp.linspace(0.0, 1.0, P + 1, dtype=dtype)
+
+    u = (jnp.arange(n_samples, dtype=dtype) + 0.5) / n_samples
+    u = jnp.broadcast_to(u, (N, n_samples))
+    if randomized:
+        if key is None:
+            raise ValueError("randomized occupancy sampling requires a key")
+        jit = (jax.random.uniform(key, (N, n_samples)) - 0.5) / n_samples
+        u = jnp.clip(u + jit, 0.0, 1.0 - 1e-6)
+
+    # inverse CDF: interval index via batched comparison-sum (searchsorted
+    # has no batch axis), then linear interp inside the interval
+    idx = jnp.sum(cdf[:, None, 1:] <= u[:, :, None], axis=-1)
+    idx = jnp.clip(idx, 0, P - 1)
+
+    cdf_lo = jnp.take_along_axis(cdf, idx, axis=1)
+    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=1)
+    frac = (u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-12)
+    e_lo = jnp.take_along_axis(jnp.broadcast_to(edges[None, :-1], (N, P)), idx, 1)
+    width = (edges[1] - edges[0])
+    s = e_lo + frac * width  # normalized position in [0,1)
+    t_vals = near[:, None] + (far - near)[:, None] * s
+    t_vals = jnp.sort(t_vals, axis=1)
+    return t_vals, alive
+
+
 def occupancy_sample_tvals(
     binary_any: Callable[[Array], Array],  # (..., 3) -> (...,) bool union-occ
     rays_o: Array,  # (N, 3)
@@ -311,57 +396,13 @@ def occupancy_sample_tvals(
     Returns (t_vals (N, S), ray_alive (N,) bool). Rays with zero occupied
     probes get uniform t_vals and ray_alive=False (callers zero their sigma).
     """
-    N = rays_o.shape[0]
-    P = n_probes
-    # probe midpoints of P uniform intervals
-    edges = jnp.linspace(0.0, 1.0, P + 1, dtype=rays_o.dtype)
-    mids = 0.5 * (edges[:-1] + edges[1:])  # (P,)
-    t_probe = near[:, None] + (far - near)[:, None] * mids[None, :]  # (N, P)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_probe[..., None]
-    occ = binary_any(pts.reshape(-1, 3)).reshape(N, P)  # (N, P) bool
-
-    alive = jnp.any(occ, axis=1)
-    occf = occ.astype(rays_o.dtype)
-    if weight_fn is not None:
-        val = weight_fn(pts.reshape(-1, 3)).reshape(N, P)
-        val = jnp.maximum(val, 0.0).astype(rays_o.dtype) * occf
-        # normalize both components per ray, then mix: a uniform_frac floor
-        # keeps every occupied probe reachable even where the EMA is tiny
-        vsum = jnp.sum(val, axis=1, keepdims=True)
-        osum = jnp.maximum(jnp.sum(occf, axis=1, keepdims=True), 1e-12)
-        uni = occf / osum
-        imp = jnp.where(vsum > 1e-12, val / jnp.maximum(vsum, 1e-12), uni)
-        w = (1.0 - uniform_frac) * imp + uniform_frac * uni
-    else:
-        w = occf
-    w = w + 1e-12  # avoid all-zero cdf
-    cdf = jnp.cumsum(w, axis=1)
-    cdf = cdf / cdf[:, -1:]
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=1)  # (N, P+1)
-
-    # stratified u in [0,1)
-    u = (jnp.arange(n_samples, dtype=rays_o.dtype) + 0.5) / n_samples
-    u = jnp.broadcast_to(u, (N, n_samples))
-    if randomized:
-        if key is None:
-            raise ValueError("randomized occupancy sampling requires a key")
-        jit = (jax.random.uniform(key, (N, n_samples)) - 0.5) / n_samples
-        u = jnp.clip(u + jit, 0.0, 1.0 - 1e-6)
-
-    # inverse CDF: interval index via batched comparison-sum (searchsorted
-    # has no batch axis), then linear interp inside the interval
-    idx = jnp.sum(cdf[:, None, 1:] <= u[:, :, None], axis=-1)
-    idx = jnp.clip(idx, 0, P - 1)
-
-    cdf_lo = jnp.take_along_axis(cdf, idx, axis=1)
-    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=1)
-    frac = (u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-12)
-    e_lo = jnp.take_along_axis(jnp.broadcast_to(edges[None, :-1], (N, P)), idx, 1)
-    width = (edges[1] - edges[0])
-    s = e_lo + frac * width  # normalized position in [0,1)
-    t_vals = near[:, None] + (far - near)[:, None] * s
-    t_vals = jnp.sort(t_vals, axis=1)
-    return t_vals, alive
+    state = occupancy_probe_cdf(
+        binary_any, rays_o, rays_d, near, far, n_probes,
+        weight_fn=weight_fn, uniform_frac=uniform_frac,
+    )
+    return sample_tvals_from_cdf(
+        state, near, far, n_samples, key=key, randomized=randomized
+    )
 
 
 def render_rays_occ_field(
@@ -378,6 +419,7 @@ def render_rays_occ_field(
     sigma_scale: float = 1.0,
     value_fn=None,  # (pts (M,3)) -> (M,) EMA density: importance sampling
     uniform_frac: float = 0.25,
+    cdf_state=None,  # precomputed occupancy_probe_cdf (fixed rays + grid)
 ):
     """Occupancy-guided dense render of ONE field (no MoE routing).
 
@@ -404,10 +446,14 @@ def render_rays_occ_field(
     k_samp = k_bg = None
     if key is not None:
         k_samp, k_bg = jax.random.split(key)
-    t_vals, alive = occupancy_sample_tvals(
-        binary_fn, o, d, near_s, far_s, n_samples, n_probes=n_probes,
-        key=k_samp, randomized=randomized, weight_fn=value_fn,
-        uniform_frac=uniform_frac,
+    if cdf_state is None:
+        cdf_state = occupancy_probe_cdf(
+            binary_fn, o, d, near_s, far_s, n_probes,
+            weight_fn=value_fn, uniform_frac=uniform_frac,
+        )
+    t_vals, alive = sample_tvals_from_cdf(
+        cdf_state, near_s, far_s, n_samples, key=k_samp,
+        randomized=randomized,
     )
     pts = t_to_points(o, d, t_vals)
     dirs = jnp.broadcast_to(d[:, None, :], pts.shape)

@@ -83,6 +83,7 @@ def _expert_loss_fn(
     occ_binary: Optional[Array] = None,  # (L, R, R, R) this expert's grid
     occ_on: Optional[Array] = None,  # traced bool: grid ready
     occ_values: Optional[Array] = None,  # (L, R, R, R) EMA densities
+    occ_cdf=None,  # precomputed probe CDF for fixed support rays
 ):
     """Single-expert render loss (reference compute_loss with active_module).
 
@@ -123,6 +124,7 @@ def _expert_loss_fn(
         binary_fn=binary_fn,
         occ_on=occ_on,
         value_fn=value_fn,
+        occ_cdf=occ_cdf,
     )
     return loss, aux
 
@@ -156,11 +158,54 @@ def task_adapt(
         return expert_params, jnp.zeros((1,))
     bg_const = jax.lax.stop_gradient(bg_params) if bg_params is not None else None
 
+    occ_cdf = None
+    if occ_binary is not None:
+        # Support rays and the grid are CONSTANT across the inner scan, so
+        # the probe pass (the dominant occupancy-sampling cost) runs ONCE
+        # per task; each iteration draws fresh randomized samples from the
+        # cached CDF. Exact — same quantities, just hoisted.
+        from nerfsys_tpu.ops.occupancy import (
+            occupancy_probe_cdf,
+            query_binary,
+            query_values,
+        )
+
+        o, d = support_rays[:, 0:3], support_rays[:, 3:6]
+        near, far = support_rays[:, 6], support_rays[:, 7]
+        s_valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (
+            far < 1e9
+        )
+        near_s = jnp.where(s_valid, near, 0.0)
+        far_s = jnp.where(s_valid, far, 1.0)
+        wfn = None
+        if meta.occ_importance and occ_values is not None:
+            wfn = lambda pts: query_values(occ_values, aabb, pts)
+
+        def build_cdf():
+            return occupancy_probe_cdf(
+                lambda pts: query_binary(occ_binary, aabb, pts),
+                o, d, near_s, far_s, weight_fn=wfn,
+            )
+
+        if occ_on is None:
+            occ_cdf = build_cdf()
+        else:
+            # during stratified warmup the occ branch is never taken; skip
+            # the probe pass entirely (lax.cond executes one branch)
+            n = o.shape[0]
+            occ_cdf = jax.lax.cond(
+                occ_on,
+                build_cdf,
+                lambda: {"cdf": jnp.zeros((n, 129), o.dtype),
+                         "alive": jnp.zeros((n,), bool)},
+            )
+
     def loss_fn(p, k):
         loss, _ = _expert_loss_fn(
             meta, cfg, p, aabb, bg_const, support_rays, support_rgbs, k,
             randomized=meta.randomized,
             occ_binary=occ_binary, occ_on=occ_on, occ_values=occ_values,
+            occ_cdf=occ_cdf,
         )
         return loss
 
