@@ -261,3 +261,49 @@ def test_aux_state_checkpoint_roundtrip(tmp_path):
     restored = load_aux_state(tmp_path, "occ", tpl)
     assert restored is not None
     assert int(restored["num_updates"]) == 7
+
+
+def test_expert_map_matches_vmap():
+    """lax.map and vmap expert-axis strategies are pure layout choices: the
+    step must produce the same losses, params, and metrics either way."""
+    import dataclasses
+
+    statics = make_statics()
+    batch = make_batch(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(7)
+    outs = {}
+    for em in (True, False):
+        meta = dataclasses.replace(META, expert_map=em)
+        params = init_container_params(jax.random.PRNGKey(0), CFG)
+        tx = build_optimizer(OptimConfig(outer_steps=10),
+                             param_group_labels(params))
+        opt_state = tx.init(params)
+        step = make_train_step(meta, CFG, tx)
+        new_params, _, aux = step(params, opt_state, statics, batch, key)
+        outs[em] = (new_params, aux)
+
+    a, b = outs[True], outs[False]
+    np.testing.assert_allclose(float(a[1]["loss_out"]),
+                               float(b[1]["loss_out"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a[1]["region_loss_out"]),
+                               np.asarray(b[1]["region_loss_out"]), rtol=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(a[0]),
+                      jax.tree_util.tree_leaves(b[0])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_expert_map_matches_vmap_eval():
+    import dataclasses
+
+    statics = make_statics()
+    batch = make_batch(jax.random.PRNGKey(5))
+    key = jax.random.PRNGKey(11)
+    params = init_container_params(jax.random.PRNGKey(1), CFG)
+    res = {}
+    for em in (True, False):
+        meta = dataclasses.replace(META, expert_map=em)
+        ev = make_eval_step(meta, CFG, tto=1)
+        res[em] = ev(params, statics, batch, key)
+    np.testing.assert_allclose(float(res[True]["loss_out"]),
+                               float(res[False]["loss_out"]), rtol=1e-5)
