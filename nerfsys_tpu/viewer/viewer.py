@@ -77,6 +77,31 @@ class RenderEngine:
         self._dir_cache: Dict[Tuple, np.ndarray] = {}
 
     # ------------------------------- plumbing ---------------------------------
+    def _rgb_u8_renderer(self, samples, bg_policy, active):
+        """Chunk renderer fused with the display transform, returning uint8.
+
+        The interactive path is transfer-bound (the reference fetches f32
+        rgb+depth+acc = 20 B/ray per frame); tonemapping on device and
+        fetching uint8 rgb moves 3 B/ray instead (6.7x less). Exposure and
+        gamma are traced scalars so slider changes never recompile.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        key = ("u8", int(samples), str(bg_policy), active, self.use_occ)
+        r = self._renderers.get(key)
+        if r is None:
+            base = self._renderer(samples, bg_policy, active)
+
+            def render_u8(p, statics, chunk, exposure, inv_gamma):
+                rgb, _, _ = base(p, statics, chunk)
+                x = jnp.clip(rgb * (2.0 ** exposure), 0.0, 1.0) ** inv_gamma
+                return (x * 255.0 + 0.5).astype(jnp.uint8)
+
+            r = jax.jit(render_u8)
+            self._renderers[key] = r
+        return r
+
     def _renderer(self, samples: int, bg_policy: str, active: Optional[int]):
         occ = self.occ_state if self.use_occ else None
         key = (int(samples), str(bg_policy), active, occ is not None)
@@ -163,11 +188,10 @@ class RenderEngine:
         rays = np.nan_to_num(rays, posinf=1e10, neginf=-1e10)
 
         n = rays.shape[0]
-        renderer = self._renderer(samples, bg, active)
-        rgb = np.zeros((n, 3), np.float32)
-        depth = np.zeros((n,), np.float32)
-        acc = np.zeros((n,), np.float32)
-        try:
+
+        def chunks():
+            """Dispatch every chunk before fetching any: device compute
+            overlaps the high-latency device->host readbacks."""
             for s in range(0, n, self.chunk_rays):
                 chunk = rays[s : s + self.chunk_rays]
                 pad = self.chunk_rays - chunk.shape[0]
@@ -175,8 +199,33 @@ class RenderEngine:
                     chunk = np.concatenate(
                         [chunk, np.zeros((pad, 8), np.float32)], 0
                     )
-                r, d, a = renderer(p, self.statics, jnp.asarray(chunk))
-                m = self.chunk_rays - pad
+                yield s, self.chunk_rays - pad, jnp.asarray(chunk)
+
+        try:
+            if output == "rgb":
+                # fused device tonemap -> one uint8 fetch (3 B/ray vs the
+                # 20 B/ray f32 rgb+depth+acc path)
+                renderer = self._rgb_u8_renderer(samples, bg, active)
+                inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
+                exp_f = np.float32(exposure)
+                pending = [
+                    (s, m, renderer(p, self.statics, c, exp_f, inv_gamma))
+                    for s, m, c in chunks()
+                ]
+                frame_u8 = np.zeros((n, 3), np.uint8)
+                for s, m, out in pending:
+                    frame_u8[s : s + m] = np.asarray(out)[:m]
+                frame_u8 = np.where(valid[:, None], frame_u8, 0)
+                return frame_u8.reshape(H, W, 3).astype(np.uint8)
+
+            renderer = self._renderer(samples, bg, active)
+            rgb = np.zeros((n, 3), np.float32)
+            depth = np.zeros((n,), np.float32)
+            acc = np.zeros((n,), np.float32)
+            pending = [
+                (s, m, renderer(p, self.statics, c)) for s, m, c in chunks()
+            ]
+            for s, m, (r, d, a) in pending:
                 rgb[s : s + m] = np.asarray(r)[:m]
                 depth[s : s + m] = np.asarray(d)[:m]
                 acc[s : s + m] = np.asarray(a)[:m]
