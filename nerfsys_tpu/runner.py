@@ -97,6 +97,9 @@ def container_config_from_args(P) -> ContainerConfig:
     return ContainerConfig(
         num_experts=P.num_submodules,
         nerf_variant=P.nerf_variant,
+        bucketed=bool(getattr(P, "bucketed_moe", False)),
+        experts_per_point=getattr(P, "experts_per_point", 2),
+        capacity_factor=getattr(P, "capacity_factor", 1.5),
         boundary_margin=float(P.boundary_margin_effective),
         cluster_2d=bool(P.cluster_2d),
         use_bg_nerf=not P.no_bg_nerf,

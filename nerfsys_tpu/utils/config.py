@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--occ_ema_decay", type=float, default=0.95)
     p.add_argument("--occ_warmup", type=int, default=256)
     p.add_argument("--occ_update_interval", type=int, default=16)
+    # bucketed (top-E block-sparse) MoE dispatch for large expert counts:
+    # O(E*N) field evals instead of O(K*N); exact vs the dense blend when
+    # the margin support fits in E experts (models/container.py)
+    p.add_argument("--bucketed_moe", action="store_true")
+    p.add_argument("--experts_per_point", type=int, default=2)
+    p.add_argument("--capacity_factor", type=float, default=1.5)
     p.add_argument("--occ_importance", action="store_true",
                    help="density-proportional importance sampling inside "
                         "occupied space (pdf from the occ grid's EMA values; "

@@ -272,3 +272,21 @@ def test_bucketed_overflow_drops_lowest_rank_only():
     rgb, sig = container_apply(params, bucketed, st, pts, dirs)
     assert np.isfinite(np.asarray(rgb)).all()
     assert np.isfinite(np.asarray(sig)).all()
+
+
+def test_bucketed_flags_reach_container_config():
+    from nerfsys_tpu.runner import container_config_from_args
+    from nerfsys_tpu.utils.config import parse_args
+
+    P = parse_args(["--num_submodules", "16", "--bucketed_moe",
+                    "--experts_per_point", "3", "--capacity_factor", "2.0"])
+    P.boundary_margin_effective = float(P.bm)  # set by build_context
+    P.cluster_2d = True
+    cfg = container_config_from_args(P)
+    assert cfg.bucketed and cfg.experts_per_point == 3
+    assert cfg.capacity_factor == 2.0
+    P2 = parse_args(["--num_submodules", "4"])
+    P2.boundary_margin_effective = float(P2.bm)
+    P2.cluster_2d = True
+    cfg2 = container_config_from_args(P2)
+    assert not cfg2.bucketed
