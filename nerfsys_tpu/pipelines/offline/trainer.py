@@ -39,6 +39,7 @@ def meta_trainer(
     trace_steps: int = 0,
     occ_state=None,  # stacked expert occupancy pytree, or None
     occ_update_fn=None,  # jitted (occ_state, params, statics, step, key)
+    fixed_eval: bool = False,  # reuse one eval episode set + key every eval
 ):
     """Run the outer loop; returns (params, opt_state, best).
 
@@ -49,6 +50,10 @@ def meta_trainer(
     log = logger.log if logger else print
     meters = MetricLogger()
     key = jax.random.PRNGKey(seed)
+    # fixed_eval pins the episodes AND the sampling key so successive evals
+    # measure model change, not episode-draw variance (+-1.5 dB observed on
+    # the example scene with fresh draws)
+    fixed_eval_state = None
     train_iter = iter(train_loader)
     eval_iter = iter(eval_loader) if eval_loader is not None else None
 
@@ -139,12 +144,20 @@ def meta_trainer(
         # ----- periodic eval + save-best (trainer.py:52-74) -----
         if eval_step is not None and eval_iter is not None and eval_every > 0 \
                 and (step + 1) % eval_every == 0:
-            key, k_eval = jax.random.split(key)
+            if fixed_eval:
+                if fixed_eval_state is None:
+                    fixed_eval_state = (
+                        next(eval_iter), jax.random.PRNGKey(seed + 7919)
+                    )
+                eval_batch, k_eval = fixed_eval_state
+            else:
+                key, k_eval = jax.random.split(key)
+                eval_batch = next(eval_iter)
             if occ_state is not None:
-                ev = eval_step(params, statics, next(eval_iter), k_eval,
+                ev = eval_step(params, statics, eval_batch, k_eval,
                                occ_state)
             else:
-                ev = eval_step(params, statics, next(eval_iter), k_eval)
+                ev = eval_step(params, statics, eval_batch, k_eval)
             eval_psnr = float(ev["psnr_out"])
             if logger:
                 logger.scalars(ev, step, prefix="eval/")

@@ -368,6 +368,7 @@ def train(ctx):
         trace_steps=getattr(P, "trace_steps", 0),
         occ_state=occ_state,
         occ_update_fn=occ_update_fn,
+        fixed_eval=bool(getattr(P, "fixed_eval", False)),
     )
     ctx["params"] = params
     return params

@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     # O(E*N) field evals instead of O(K*N); exact vs the dense blend when
     # the margin support fits in E experts (models/container.py)
     p.add_argument("--bucketed_moe", action="store_true")
+    p.add_argument("--fixed_eval", action="store_true",
+                   help="evaluate on one pinned episode set + key every "
+                        "eval (removes episode-draw variance from the "
+                        "eval curve)")
     p.add_argument("--experts_per_point", type=int, default=2)
     p.add_argument("--capacity_factor", type=float, default=1.5)
     p.add_argument("--occ_importance", action="store_true",

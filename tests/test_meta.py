@@ -307,3 +307,49 @@ def test_expert_map_matches_vmap_eval():
         res[em] = ev(params, statics, batch, key)
     np.testing.assert_allclose(float(res[True]["loss_out"]),
                                float(res[False]["loss_out"]), rtol=1e-5)
+
+
+def test_trainer_fixed_eval_reuses_episodes(tmp_path):
+    """fixed_eval pins the eval batch + key: identical params must produce
+    identical eval metrics at every eval point."""
+    from nerfsys_tpu.pipelines.offline.trainer import meta_trainer
+
+    statics = make_statics()
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    meta = MetaConfig(algo="fomaml", inner_iter=0, inner_lr=0.0,
+                      ray_samples=8)  # inner_iter=0 + lr 0: params frozen
+    tx = build_optimizer(OptimConfig(outer_steps=10, lr=0.0, encoding_lr=0.0,
+                                     sigma_lr=0.0, color_lr=0.0, bg_lr=0.0),
+                         param_group_labels(params))
+    opt_state = tx.init(params)
+    step = make_train_step(meta, CFG, tx)
+    ev = make_eval_step(meta, CFG, tto=0)
+
+    class _Loader:
+        def __iter__(self):
+            k = jax.random.PRNGKey(9)
+            while True:
+                k, kk = jax.random.split(k)
+                yield make_batch(kk)
+
+    evals = []
+
+    class _Log:
+        def log(self, msg):
+            if "query psnr" in msg:
+                evals.append(float(msg.split("psnr ")[1].split(" ")[0]))
+
+        def scalars(self, *a, **k):
+            pass
+
+        def scalar(self, *a, **k):
+            pass
+
+    meta_trainer(
+        params=params, opt_state=opt_state, train_step=step, eval_step=ev,
+        statics=statics, train_loader=_Loader(), eval_loader=_Loader(),
+        outer_steps=4, eval_every=2, save_every=0, print_every=100,
+        run_dir=None, logger=_Log(), fixed_eval=True,
+    )
+    assert len(evals) == 2
+    assert evals[0] == evals[1]  # same params + same episodes + same key
