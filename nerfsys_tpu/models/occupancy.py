@@ -10,7 +10,6 @@ the union field directly).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

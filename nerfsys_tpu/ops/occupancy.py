@@ -28,7 +28,6 @@ probes get zero CDF mass.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -7,7 +7,7 @@ only moves batches, tracks cadence, and checkpoints.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.profiler  # noqa: F401  (trace window)
