@@ -57,6 +57,13 @@ class OccGridConfig:
     # fraction of cells re-evaluated per update (nerfacc updates all during
     # warmup, a random half afterwards)
     sample_fraction: float = 0.5
+    # conservative box dilation of the binary field (passes of 3^3 max-pool)
+    # applied after each update: nerfacc's marching touches every occupied
+    # cell a ray INTERSECTS, while our P-probe pass can step over thin
+    # occupied cells (probe aliasing) and the hard sigma-zeroing then deletes
+    # that geometry. One pass (~1 cell margin) is the conservative default
+    # counterweight; 0 disables.
+    dilate: int = 0
 
 
 def init_occ_state(cfg: OccGridConfig, num_experts: int) -> dict:
@@ -170,6 +177,24 @@ def query_values(
     return jnp.maximum(result, 0.0)  # -1 invisible tags -> 0
 
 
+def dilate_binary(binary: Array, passes: int = 1) -> Array:
+    """(L, R, R, R) bool -> box-dilated by `passes` cells (edge-clamped).
+
+    Sequential axis-wise 1-step dilation composes to the full 3^3 box per
+    pass; padding with False keeps edges from wrapping."""
+    b = binary
+    for _ in range(passes):
+        for ax in (1, 2, 3):
+            pads = [(0, 0)] * b.ndim
+            pads[ax] = (1, 1)
+            p = jnp.pad(b, pads)
+            n = b.shape[ax]
+            fwd = jax.lax.slice_in_dim(p, 0, n, axis=ax)
+            bwd = jax.lax.slice_in_dim(p, 2, n + 2, axis=ax)
+            b = b | fwd | bwd
+    return b
+
+
 # ------------------------------ updates --------------------------------------
 def update_occ_grid(
     occ_state_k: dict,  # one expert's {'occs', 'binary'} (L, R, R, R)
@@ -224,6 +249,9 @@ def update_occ_grid(
     mean_occ = visible_vals.sum() / jnp.maximum((~invisible).sum(), 1)
     thre = jnp.minimum(cfg.occ_thre, mean_occ)
     binary = (updated > thre) & ~invisible
+    if cfg.dilate > 0:
+        binary = dilate_binary(binary.reshape(occs.shape), cfg.dilate)
+        binary = binary.reshape(L, -1)
 
     return {
         "occs": updated.reshape(occs.shape),

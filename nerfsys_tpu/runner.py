@@ -242,6 +242,7 @@ def occ_config_from_args(P):
         ema_decay=getattr(P, "occ_ema_decay", 0.95),
         warmup_steps=getattr(P, "occ_warmup", 256),
         update_interval=getattr(P, "occ_update_interval", 16),
+        dilate=getattr(P, "occ_dilate", 0),
     )
 
 

@@ -112,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--occ_ema_decay", type=float, default=0.95)
     p.add_argument("--occ_warmup", type=int, default=256)
     p.add_argument("--occ_update_interval", type=int, default=16)
+    p.add_argument("--occ_dilate", type=int, default=0,
+                   help="box-dilation passes of the binary occupancy "
+                        "field (conservative margin against probe "
+                        "aliasing / thin-geometry pruning)")
     # bucketed (top-E block-sparse) MoE dispatch for large expert counts:
     # O(E*N) field evals instead of O(K*N); exact vs the dense blend when
     # the margin support fits in E experts (models/container.py)

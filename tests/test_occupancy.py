@@ -369,3 +369,45 @@ def test_render_rays_occ_importance_finite_and_dispatch():
         assert np.isfinite(np.asarray(rgb)).all()
         assert np.isfinite(np.asarray(depth)).all()
         assert np.isfinite(np.asarray(acc)).all()
+
+
+def test_dilate_binary_semantics():
+    from nerfsys_tpu.ops.occupancy import dilate_binary
+
+    b = jnp.zeros((1, 5, 5, 5), bool).at[0, 2, 2, 2].set(True)
+    d1 = dilate_binary(b, 1)
+    # one pass = full 3^3 box around the seed
+    assert int(d1.sum()) == 27
+    assert bool(d1[0, 1, 1, 1]) and bool(d1[0, 3, 3, 3])
+    assert not bool(d1[0, 0, 2, 2])
+    # edges clamp, never wrap
+    e = jnp.zeros((1, 4, 4, 4), bool).at[0, 0, 0, 0].set(True)
+    de = dilate_binary(e, 1)
+    assert int(de.sum()) == 8  # 2x2x2 corner box
+    assert not bool(de[0, 3, 3, 3])
+    # 0 passes = identity
+    assert bool((dilate_binary(b, 0) == b).all())
+
+
+def test_update_occ_grid_dilation_applied():
+    import dataclasses
+
+    from nerfsys_tpu.ops.occupancy import update_occ_grid
+
+    cfg = dataclasses.replace(OCC, dilate=1, occ_thre=0.5)
+    R, L = cfg.resolution, cfg.levels
+    state = {"occs": jnp.zeros((L, R, R, R), jnp.float32),
+             "binary": jnp.zeros((L, R, R, R), bool)}
+
+    # density spike only in one cell near the aabb center
+    center = jnp.asarray([0.0, 0.0, 0.0])
+
+    def density(pts):
+        return jnp.where(jnp.linalg.norm(pts - center, axis=-1) < 0.25,
+                         100.0, 0.0)
+
+    out = update_occ_grid(state, AABB, density, 1.0, cfg,
+                          jax.random.PRNGKey(0), warmup=jnp.asarray(True))
+    occupied = int(out["binary"][0].sum())
+    raw = int((out["occs"][0] > 0.5).sum())
+    assert occupied > raw  # dilation strictly grows the binary support
