@@ -75,6 +75,12 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, i64p, ctypes.c_int,
         ]
+        lib.nerfsys_dda_route.restype = None
+        lib.nerfsys_dda_route.argtypes = [
+            f32p, ctypes.c_longlong, f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, i64p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -175,6 +181,31 @@ def route_rays_native(
         _f32p(rays), rays.shape[0], _f32p(aabb6),
         int(cells[0]), int(cells[1]), int(cells[2]),
         _f32p(ts), ts.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        int(n_threads),
+    )
+    return out
+
+
+def dda_route_native(
+    rays: np.ndarray,  # (N, 8) float32
+    aabb: np.ndarray,  # (2, 3) region box
+    cells: Tuple[int, int, int],
+    max_steps: int = 64,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Exact DDA max-overlap cell per ray (reference TaskDataset routing,
+    task_dataset.py:242-351 + weak-overlap filter :589-599); (N,) int64,
+    -1 = miss/filtered. None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "nerfsys_dda_route"):
+        return None
+    rays = np.ascontiguousarray(rays, np.float32)
+    aabb6 = np.ascontiguousarray(aabb, np.float32).reshape(6)
+    out = np.empty((rays.shape[0],), np.int64)
+    lib.nerfsys_dda_route(
+        _f32p(rays), rays.shape[0], _f32p(aabb6),
+        int(cells[0]), int(cells[1]), int(cells[2]), int(max_steps),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         int(n_threads),
     )

@@ -242,3 +242,198 @@ void nerfsys_route_rays(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact 3D-DDA max-overlap routing — the reference TaskDataset's routing
+// policy (/root/reference/adaptive_nerf/data/task_dataset.py:242-351) plus
+// its weak-overlap bin filter (:589-599), reproduced bit-for-bit in scalar
+// form. The Python counterpart (task_dataset._dda_route_numpy) is the
+// vectorized spec; this kernel removes the 64x per-ray numpy broadcast cost
+// on 1-core hosts.
+// ---------------------------------------------------------------------------
+namespace {
+
+constexpr float kBig = 1e30f;
+
+// Reference _aabb_intersect semantics (task_dataset.py:129-152): IEEE 1/d
+// (inf on axis-parallel), explicit outside-parallel miss test, NO clamping.
+inline void ref_slab(const float o[3], const float d[3], const float lo[3],
+                     const float hi[3], bool* hit, float* t_entry,
+                     float* t_exit) {
+  const float eps = 1e-12f;
+  float tmin = -std::numeric_limits<float>::infinity();
+  float tmax = std::numeric_limits<float>::infinity();
+  bool miss_parallel = false;
+  for (int a = 0; a < 3; ++a) {
+    if (std::fabs(d[a]) < eps && !(o[a] >= lo[a] && o[a] <= hi[a]))
+      miss_parallel = true;
+    const float inv = 1.0f / d[a];  // +-inf when parallel, as in torch
+    float t0 = (lo[a] - o[a]) * inv;
+    float t1 = (hi[a] - o[a]) * inv;
+    const float lo_t = std::fmin(t0, t1);  // fmin/fmax ignore one NaN arg
+    const float hi_t = std::fmax(t0, t1);
+    tmin = std::fmax(tmin, lo_t);
+    tmax = std::fmin(tmax, hi_t);
+  }
+  *t_entry = tmin;
+  *t_exit = tmax;
+  *hit = (tmax >= tmin) && !miss_parallel;
+}
+
+// Overlap length of a ray (clipped to [max(near,0), far]) with one cell
+// (task_dataset.py:210-226 _overlap_len_with_cell).
+inline float overlap_len(const float* r, const float lo[3], const float hi[3]) {
+  const float o[3] = {r[0], r[1], r[2]};
+  const float d[3] = {r[3], r[4], r[5]};
+  bool hit;
+  float te, tx;
+  ref_slab(o, d, lo, hi, &hit, &te, &tx);
+  if (!hit) return 0.0f;
+  float t0 = std::fmax(te, 0.0f);
+  float t1 = tx;
+  t0 = std::fmax(t0, r[6]);
+  t1 = std::fmin(t1, r[7]);
+  const float len = t1 - t0;
+  return (std::isfinite(len) && len > 0.0f) ? len : 0.0f;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Route each ray to the micro-cell whose in-cell path length is largest
+// (exact amanatides-woo DDA, max_steps iterations), then apply the
+// reference's weak-overlap filter against the SELECTED cell. out_cell[i]
+// is -1 when the ray misses the region segment or fails the filter.
+void nerfsys_dda_route(
+    const float* rays,  // (N, 8) [o, d, near, far]
+    long long n,
+    const float* aabb,  // region box, 6 floats [min xyz, max xyz]
+    int nx, int ny, int nz,
+    int max_steps,
+    long long* out_cell,  // (N,)
+    int n_threads) {
+  const float lo[3] = {aabb[0], aabb[1], aabb[2]};
+  const float hi[3] = {aabb[3], aabb[4], aabb[5]};
+  // grid-unit transform g = (p - lo) / cell_size  (task_dataset.py:242-250)
+  float cell[3];
+  const int dims[3] = {nx, ny, nz};
+  for (int a = 0; a < 3; ++a)
+    cell[a] = std::fmax((hi[a] - lo[a]) / static_cast<float>(dims[a]), 1e-12f);
+  // weak-overlap tolerance: max(1e-6 * ||cell size||, 1e-9) per cell; the
+  // grid is uniform so it is one constant (task_dataset.py:595-597)
+  const float csz = std::sqrt(cell[0] * cell[0] + cell[1] * cell[1] +
+                              cell[2] * cell[2]);
+  const float keep_tol = std::fmax(1e-6f * csz, 1e-9f);
+  const long long nyz = static_cast<long long>(ny) * nz;
+
+  auto worker = [&](long long i0, long long i1) {
+    for (long long i = i0; i < i1; ++i) {
+      const float* r = rays + i * 8;
+      const float o[3] = {r[0], r[1], r[2]};
+      const float d[3] = {r[3], r[4], r[5]};
+      // region segment (task_dataset.py:154-171)
+      bool hit;
+      float te, tx;
+      ref_slab(o, d, lo, hi, &hit, &te, &tx);
+      float t0 = std::fmax(std::fmax(te, 0.0f), r[6]);
+      float t1 = std::fmin(tx, r[7]);
+      const float seg = t1 - t0;
+      if (!hit || !(seg > 0.0f) || !std::isfinite(seg)) {
+        out_cell[i] = -1;
+        continue;
+      }
+      // DDA init at t0+eps (task_dataset.py:252-297)
+      float g_o[3], g_d[3], p[3];
+      for (int a = 0; a < 3; ++a) {
+        g_o[a] = (o[a] - lo[a]) / cell[a];
+        g_d[a] = d[a] / cell[a];
+        p[a] = g_o[a] + g_d[a] * (t0 + 1e-6f);
+      }
+      long long ix[3];
+      int step[3];
+      float tMax[3], tDelta[3];
+      for (int a = 0; a < 3; ++a) {
+        ix[a] = static_cast<long long>(std::floor(p[a]));
+        step[a] = (g_d[a] > 0.f) ? 1 : ((g_d[a] < 0.f) ? -1 : 0);
+        const float nb = (step[a] > 0) ? std::floor(p[a]) + 1.0f
+                                       : std::ceil(p[a]) - 1.0f;
+        const float inv = 1.0f / g_d[a];
+        float tm = (nb - p[a]) * inv;
+        float td = static_cast<float>(step[a]) * inv;
+        if (!std::isfinite(tm)) tm = kBig;
+        if (!std::isfinite(td)) td = kBig;
+        tMax[a] = tm;
+        tDelta[a] = td;
+        ix[a] = std::min<long long>(std::max<long long>(ix[a], 0),
+                                    dims[a] - 1);
+      }
+      float t = t0;
+      float best_len = 0.0f;
+      long long best_cid = ix[0] * nyz + ix[1] * nz + ix[2];
+      for (int s = 0; s < max_steps; ++s) {
+        const float m = std::fmin(std::fmin(tMax[0], tMax[1]), tMax[2]);
+        const float t_next = std::fmin(m, t1);
+        const float dt = std::fmax(t_next - t, 0.0f);
+        const long long cid = ix[0] * nyz + ix[1] * nz + ix[2];
+        if (dt > best_len) {  // strict: first-best wins, as in reference
+          best_len = dt;
+          best_cid = cid;
+        }
+        if (t_next >= t1) break;
+        // axis advance priority exactly as the reference's boolean algebra
+        const bool adv_x = (tMax[0] <= tMax[1]) && (tMax[0] <= tMax[2]);
+        const bool adv_y = !(tMax[0] <= tMax[1]) && (tMax[1] <= tMax[2]);
+        const bool adv_z = !(adv_x || adv_y);
+        if (adv_x) {
+          ix[0] = std::min<long long>(std::max<long long>(ix[0] + step[0], 0),
+                                      nx - 1);
+          tMax[0] += tDelta[0];
+        }
+        if (adv_y) {
+          ix[1] = std::min<long long>(std::max<long long>(ix[1] + step[1], 0),
+                                      ny - 1);
+          tMax[1] += tDelta[1];
+        }
+        if (adv_z) {
+          ix[2] = std::min<long long>(std::max<long long>(ix[2] + step[2], 0),
+                                      nz - 1);
+          tMax[2] += tDelta[2];
+        }
+        t = t_next;
+      }
+      // weak-overlap filter vs the selected cell (task_dataset.py:589-599)
+      const long long ci = best_cid / nyz;
+      const long long cj = (best_cid % nyz) / nz;
+      const long long ck = best_cid % nz;
+      float clo[3], chi[3];
+      const float sz[3] = {hi[0] - lo[0], hi[1] - lo[1], hi[2] - lo[2]};
+      const long long ijk[3] = {ci, cj, ck};
+      for (int a = 0; a < 3; ++a) {
+        clo[a] = lo[a] + sz[a] * (static_cast<float>(ijk[a]) / dims[a]);
+        chi[a] = lo[a] + sz[a] * (static_cast<float>(ijk[a] + 1) / dims[a]);
+      }
+      const float len = overlap_len(r, clo, chi);
+      out_cell[i] = (len >= keep_tol) ? best_cid : -1;
+    }
+  };
+
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads == 1 || n < 4096) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> thr;
+    const long long chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      const long long i0 = t * chunk, i1 = std::min(n, i0 + chunk);
+      if (i0 >= i1) break;
+      thr.emplace_back(worker, i0, i1);
+    }
+    for (auto& th : thr) th.join();
+  }
+}
+
+}  // extern "C"

@@ -246,6 +246,11 @@ def _bucketed_eval(
     n_flat = jnp.repeat(jnp.arange(N, dtype=jnp.int32), E)
 
     onehot = jax.nn.one_hot(k_flat, K, dtype=jnp.int32)  # (N*E, K)
+    # zero-weight pairs (hard routing always has E-1 of them per point,
+    # soft routing its out-of-margin picks) are dropped by `keep` below —
+    # mask them out of the counting sort so they don't consume bucket
+    # capacity and push real-weight pairs into the trash slot early
+    onehot = onehot * (w_flat > 0).astype(jnp.int32)[:, None]
     rank = jnp.cumsum(onehot, axis=0) - onehot  # exclusive per-expert rank
     slot = jnp.sum(rank * onehot, axis=1)  # (N*E,)
     keep = (slot < C) & (w_flat > 0)

@@ -185,7 +185,13 @@ def build_context(P, op: str) -> dict:
         expert_aabbs=expert_aabbs,
     )
 
-    fname = P.fname or f"{P.data_dirname}_{P.algo}_{P.nerf_variant}"
+    # default run-name mirrors the reference's hparam string
+    # (offline_stage/__init__.py:13) — num_layers' only consumer there
+    # besides the SIREN variants
+    fname = P.fname or (
+        f"{P.data_dirname}_{P.algo}_{P.nerf_variant}"
+        f"_dir-{P.dir_encoding}_depth-{P.num_layers}_hid-{P.dim_hidden}"
+    )
     logger = Logger(fn=fname, logs_path="logs", resume=op != "train")
     ctx["logger"] = logger
     ctx["run_dir"] = logger.logdir
@@ -197,19 +203,22 @@ def build_context(P, op: str) -> dict:
             num_workers=P.num_workers,
         )
         ctx["bundle"] = bundle
+        # reference wrapper_kwargs (nerf_runner.py:202-209): region bounds
+        # inferred from near points (region_bounds=None), exact DDA routing,
+        # image_cap 0.4, min_rays = (S+Q)*0.5
+        task_kwargs = dict(
+            region_aabb=None, support_rays=P.support_rays,
+            query_rays=P.query_rays, cell_dim=P.cell_dim,
+            routing_policy=P.routing_policy,
+        )
         task_sets = [
-            TaskDataset(
-                ds, expert_aabbs[i], support_rays=P.support_rays,
-                query_rays=P.query_rays, cell_dim=P.cell_dim, seed=P.seed + i,
-            )
+            TaskDataset(ds, seed=P.seed + i, **task_kwargs)
             for i, ds in enumerate(bundle.train_sets)
         ]
+        print("Task cells per expert:",
+              [len(td.eligible_cells) for td in task_sets])
         val_task_sets = [
-            TaskDataset(
-                ds, expert_aabbs[i], support_rays=P.support_rays,
-                query_rays=P.query_rays, cell_dim=P.cell_dim,
-                seed=P.seed + 1000 + i,
-            )
+            TaskDataset(ds, seed=P.seed + 1000 + i, **task_kwargs)
             for i, ds in enumerate(bundle.val_sets)
         ] if bundle.val_sets else None
         ctx["train_loader"] = PrefetchLoader(MetaBatcher(task_sets, P.batch_size))

@@ -38,10 +38,14 @@ import numpy as np
 
 # torchvision AlexNet conv layer indices inside `features`
 _TV_CONV_IDX = [0, 3, 6, 8, 10]
-# lpips's AlexNet wrapper re-slices `features`; (slice, index-in-slice) of
-# each conv for `net.slice{k}.{j}.weight` keys (lpips_pkg alexnet slices:
-# 1:[0,2), 2:[2,5), 3:[5,8), 4:[8,10), 5:[10,12) with per-slice reindexing)
-_SLICE_CONV_KEYS = [(1, 0), (2, 2), (3, 1), (4, 0), (5, 0)]
+# lpips's AlexNet wrapper slices `features` into slice1..5 over index ranges
+# [0,2) [2,5) [5,8) [8,10) [10,12) using add_module(str(x), features[x]) —
+# which PRESERVES the original torchvision indices, so the conv keys are
+# net.slice{k}.{orig_idx}.weight
+_SLICE_CONV_KEYS = [(1, 0), (2, 3), (3, 6), (4, 8), (5, 10)]
+# defensive fallback: per-slice REindexed keys, in case a save was made from
+# a wrapper that renumbered children from 0
+_SLICE_CONV_KEYS_REIDX = [(1, 0), (2, 2), (3, 1), (4, 0), (5, 0)]
 _STAGE_CH = [64, 192, 384, 256, 256]
 
 
@@ -63,17 +67,22 @@ def extract_convs(sd) -> list:
     convs = []
     for i, tv_idx in enumerate(_TV_CONV_IDX):
         sk, sj = _SLICE_CONV_KEYS[i]
+        _, rj = _SLICE_CONV_KEYS_REIDX[i]
         w = _find(sd, [
             f"features.{tv_idx}.weight",
             f"net.features.{tv_idx}.weight",
             f"net.slice{sk}.{sj}.weight",
             f"slice{sk}.{sj}.weight",
+            f"net.slice{sk}.{rj}.weight",
+            f"slice{sk}.{rj}.weight",
         ])
         b = _find(sd, [
             f"features.{tv_idx}.bias",
             f"net.features.{tv_idx}.bias",
             f"net.slice{sk}.{sj}.bias",
             f"slice{sk}.{sj}.bias",
+            f"net.slice{sk}.{rj}.bias",
+            f"slice{sk}.{rj}.bias",
         ])
         if w is None or b is None:
             raise KeyError(

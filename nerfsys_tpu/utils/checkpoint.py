@@ -21,6 +21,7 @@ from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import serialization
 
 
@@ -171,9 +172,36 @@ def load_aux_state(run_dir, name: str, template, tag: Optional[str] = None):
             continue
         path = run_dir / f"{t}.{name}"
         if path.exists():
+            data = path.read_bytes()
             try:
-                return serialization.from_bytes(template, path.read_bytes())
+                return serialization.from_bytes(template, data)
             except Exception as e:
+                # flax from_bytes is strict on dict keys, so files written
+                # before a new aux leaf existed (e.g. occ 'ready_after')
+                # would fail outright. For flat-dict states, fall back to a
+                # key-merge: restored keys override the template, missing
+                # keys keep the template default. Shape mismatches (topology
+                # change) still fail -> None.
+                try:
+                    raw = serialization.msgpack_restore(data)
+                    if isinstance(raw, dict) and isinstance(template, dict):
+                        merged = {}
+                        for k, tv in template.items():
+                            if k in raw:
+                                rv = jnp.asarray(raw[k])
+                                tv_arr = jnp.asarray(tv)
+                                if rv.shape != tv_arr.shape:
+                                    raise ValueError(
+                                        f"leaf {k!r}: saved shape {rv.shape}"
+                                        f" != template {tv_arr.shape}")
+                                merged[k] = rv.astype(tv_arr.dtype)
+                            else:
+                                merged[k] = tv
+                        print(f"[WARN] aux state {path.name}: strict restore"
+                              f" failed ({e}); merged by key instead")
+                        return merged
+                except Exception as e2:
+                    e = e2
                 print(f"[WARN] aux state {path.name} unreadable ({e})")
                 return None
     return None

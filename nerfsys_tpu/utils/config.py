@@ -42,6 +42,12 @@ ARCH_KEYS = {
     "plane_growth",
     "plane_features",
     "plane_no_lines",
+    # occupancy grid topology: runner builds the .occ restore template from
+    # these (runner.occ_config_from_args) — a mismatch silently drops the
+    # trained grids, so they must always be pinned from the checkpoint
+    "use_occ",
+    "occ_resolution",
+    "occ_levels",
 }
 
 
@@ -95,7 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_submodules", type=int, default=4)
     p.add_argument("--nerf_variant", type=str, default="instant",
                    choices=["instant", "vanilla"])
-    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--routing_policy", type=str, default="dda",
+                   choices=["dda", "alpha", "sampled"],
+                   help="TaskDataset micro-cell routing: exact DDA traversal "
+                        "(reference runner default), alpha-point + neighbor "
+                        "overlap, or cheap sampled majority vote")
+    p.add_argument("--num_layers", type=int, default=2,
+                   help="SIREN-variant stack depth + run-name tag (reference "
+                        "args.py:59; only consumed by models/siren.py and "
+                        "the default fname, like the reference)")
     p.add_argument("--sigma_depth", type=int, default=2)
     p.add_argument("--color_depth", type=int, default=2)
     p.add_argument("--dim_hidden", type=int, default=64)

@@ -49,18 +49,46 @@ def test_extract_and_assemble_tv_style():
     assert (arrs["lin0/w"] >= 0).all()  # inference-time clamp
 
 
+def _slice_of(idx):
+    """Slice number for a torchvision `features` index, derived from the
+    lpips package's own slicing loops (pretrained_networks.py alexnet:
+    slice1=[0,2), slice2=[2,5), slice3=[5,8), slice4=[8,10), slice5=[10,12);
+    add_module(str(x), ...) preserves the original index as the child name).
+    Independent of the converter's key table on purpose."""
+    for sk, (lo, hi) in enumerate([(0, 2), (2, 5), (5, 8), (8, 10), (10, 12)],
+                                  start=1):
+        if lo <= idx < hi:
+            return sk
+    raise AssertionError(idx)
+
+
 def test_extract_sliced_style():
-    """lpips full-module saves use net.slice{k}.{j}.* trunk keys."""
+    """lpips full-module saves use net.slice{k}.{orig_tv_idx}.* trunk keys."""
     tv = _fake_trunk_tv()
-    from nerfsys_tpu.scripts.convert_lpips_weights import _SLICE_CONV_KEYS
+    sliced = {}
+    for idx in _TV_CONV_IDX:
+        sk = _slice_of(idx)
+        sliced[f"net.slice{sk}.{idx}.weight"] = tv[f"features.{idx}.weight"]
+        sliced[f"net.slice{sk}.{idx}.bias"] = tv[f"features.{idx}.bias"]
+    convs = extract_convs(sliced)
+    for (w_a, b_a), idx in zip(convs, _TV_CONV_IDX):
+        np.testing.assert_array_equal(w_a, tv[f"features.{idx}.weight"])
+
+
+def test_extract_sliced_reindexed_fallback():
+    """Saves whose slices renumber children from 0 still extract."""
+    tv = _fake_trunk_tv()
+    from nerfsys_tpu.scripts.convert_lpips_weights import (
+        _SLICE_CONV_KEYS_REIDX,
+    )
 
     sliced = {}
     for i, idx in enumerate(_TV_CONV_IDX):
-        sk, sj = _SLICE_CONV_KEYS[i]
+        sk, sj = _SLICE_CONV_KEYS_REIDX[i]
         sliced[f"net.slice{sk}.{sj}.weight"] = tv[f"features.{idx}.weight"]
         sliced[f"net.slice{sk}.{sj}.bias"] = tv[f"features.{idx}.bias"]
     convs = extract_convs(sliced)
-    for (w_a, b_a), idx in zip(convs, _TV_CONV_IDX):
+    for (w_a, _), idx in zip(convs, _TV_CONV_IDX):
         np.testing.assert_array_equal(w_a, tv[f"features.{idx}.weight"])
 
 

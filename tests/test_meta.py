@@ -263,6 +263,31 @@ def test_aux_state_checkpoint_roundtrip(tmp_path):
     assert int(restored["num_updates"]) == 7
 
 
+def test_aux_state_restores_files_saved_without_new_leaves(tmp_path):
+    """Pre-'ready_after' .occ files (round-1 checkpoints) must still restore:
+    flax from_bytes is strict on dict keys, so load_aux_state falls back to a
+    key-merge that keeps template defaults for missing leaves."""
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.utils.checkpoint import load_aux_state, save_aux_state
+
+    occ = init_occ_state(OccGridConfig(resolution=4, levels=2), 2)
+    legacy = {k: v for k, v in occ.items() if k != "ready_after"}
+    legacy["num_updates"] = jnp.asarray(9)
+    save_aux_state(tmp_path, "last", "occ", legacy)
+
+    tpl = init_occ_state(OccGridConfig(resolution=4, levels=2), 2)
+    restored = load_aux_state(tmp_path, "occ", tpl)
+    assert restored is not None
+    assert int(restored["num_updates"]) == 9
+    # missing leaf falls back to the template default
+    assert int(restored["ready_after"]) == int(tpl["ready_after"])
+
+    # but a topology mismatch must still be rejected (grids dropped loudly,
+    # not silently reshaped)
+    tpl_bad = init_occ_state(OccGridConfig(resolution=8, levels=2), 2)
+    assert load_aux_state(tmp_path, "occ", tpl_bad) is None
+
+
 def test_expert_map_matches_vmap():
     """lax.map and vmap expert-axis strategies are pure layout choices: the
     step must produce the same losses, params, and metrics either way."""
