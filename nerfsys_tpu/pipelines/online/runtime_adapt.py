@@ -53,18 +53,45 @@ def make_adapt_step(
     once the grids are ready (reference render_rays dispatch)."""
 
     def step(params, opt_state, statics, rays, rgbs, key, occ_state=None):
-        binary_fn = occ_on = value_fn = None
+        binary_fn = occ_on = value_fn = occ_cdf = None
         if occ_state is not None:
             from nerfsys_tpu.models.occupancy import (
                 occ_ready,
                 union_binary_fn,
                 union_value_fn,
             )
+            from nerfsys_tpu.ops.occupancy import occupancy_probe_cdf
 
             binary_fn = union_binary_fn(occ_state, statics)
             occ_on = occ_ready(occ_state)
             if occ_importance:
                 value_fn = union_value_fn(occ_state, statics)
+
+            # Hoist the probe CDF out of the differentiated loss, exactly as
+            # task_adapt does (meta_core.py:161-201): the probe pass depends
+            # only on (rays, grid), not params, so building it here keeps it
+            # out of the backward graph; the lax.cond skips it entirely
+            # while the grid is still warming up (stratified branch taken).
+            o, d = rays[:, 0:3], rays[:, 3:6]
+            near, far = rays[:, 6], rays[:, 7]
+            s_valid = (
+                jnp.isfinite(near) & jnp.isfinite(far) & (far > near)
+                & (far < 1e9)
+            )
+            near_s = jnp.where(s_valid, near, 0.0)
+            far_s = jnp.where(s_valid, far, 1.0)
+
+            def build_cdf():
+                return occupancy_probe_cdf(
+                    binary_fn, o, d, near_s, far_s, weight_fn=value_fn,
+                )
+
+            occ_cdf = jax.lax.cond(
+                occ_on,
+                build_cdf,
+                lambda: {"cdf": jnp.zeros((o.shape[0], 129), o.dtype),
+                         "alive": jnp.zeros((o.shape[0],), bool)},
+            )
 
         def loss_fn(p):
             field = container_field_fn(p, cfg, statics, active_expert)
@@ -73,6 +100,7 @@ def make_adapt_step(
                 randomized=True, color_space=color_space, bg_policy=bg_policy,
                 bg_fn=container_bg_fn(p, cfg),
                 binary_fn=binary_fn, occ_on=occ_on, value_fn=value_fn,
+                occ_cdf=occ_cdf,
             )
             return loss, aux
 

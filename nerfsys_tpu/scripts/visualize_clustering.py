@@ -35,6 +35,72 @@ _COLORS = np.array(
 )
 
 
+def _plane_coords(pts: np.ndarray, cluster_2d: bool):
+    """Project 3D DRB points to the clustering plane (reference
+    visualize_clustering.py:172-179): YZ when cluster_2d else XZ."""
+    return pts[:, 1:] if cluster_2d else pts[:, [0, 2]]
+
+
+def save_region_viz2d(out_path, centroids, cams=None, *, cluster_2d=True,
+                      boundary_margin=1.0, res=600):
+    """Per-region 2D routing map (reference :224-321): grid colored by
+    nearest centroid, boundary-margin membership contours when soft routing
+    is on, cameras + centroids overlaid."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import ListedColormap
+
+    cents2 = _plane_coords(np.asarray(centroids, np.float32), cluster_2d)
+    cams2 = (
+        _plane_coords(np.asarray(cams, np.float32), cluster_2d)
+        if cams is not None and len(cams) else None
+    )
+    xlabel, ylabel = ("Y", "Z") if cluster_2d else ("X", "Z")
+
+    if cams2 is not None and cams2.size:
+        lo, hi = cams2.min(0), cams2.max(0)
+        pad = 0.02 * (hi - lo + 1e-9)
+        lo, hi = lo - pad, hi + pad
+    else:
+        lo, hi = cents2.min(0) - 1.0, cents2.max(0) + 1.0
+
+    xs = np.linspace(lo[0], hi[0], res)
+    ys = np.linspace(lo[1], hi[1], res)
+    X, Y = np.meshgrid(xs, ys)
+    G = np.stack([X.ravel(), Y.ravel()], 1)
+    dists = np.linalg.norm(G[:, None] - cents2[None], axis=2)
+    dmin = dists.min(1, keepdims=True)
+    Z = dists.argmin(1).reshape(res, res)
+
+    colors = [_COLORS[i % len(_COLORS)] for i in range(len(cents2))]
+    fig, ax = plt.subplots(figsize=(7, 7), dpi=140)
+    ax.imshow(Z, origin="lower", extent=[lo[0], hi[0], lo[1], hi[1]],
+              interpolation="nearest", alpha=0.25,
+              cmap=ListedColormap(colors))
+    if boundary_margin > 1.0:
+        # soft-routing membership boundary per expert: d_k/d_min <= margin
+        ratio = dists / (dmin + 1e-8)
+        for k in range(len(cents2)):
+            Mk = (ratio[:, k] <= boundary_margin).reshape(res, res)
+            ax.contour(xs, ys, Mk.astype(np.uint8), levels=[0.5],
+                       linewidths=1.0, alpha=0.8)
+    if cams2 is not None and cams2.size:
+        ax.scatter(cams2[:, 0], cams2[:, 1], s=8, alpha=0.6, c="black",
+                   label="cameras")
+    ax.scatter(cents2[:, 0], cents2[:, 1], s=40, marker="x", linewidths=1.8,
+               color="black", label="centroids")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title("Routing regions (Voronoi / overlap)")
+    ax.legend(loc="best", fontsize=10, framealpha=0.8)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def plot_overview(data_path, mask_dirname, out_path, downscale=0.25):
     import matplotlib
 
@@ -45,14 +111,27 @@ def plot_overview(data_path, mask_dirname, out_path, downscale=0.25):
     mask_dir = root / "masks" / mask_dirname
     params = load_pt(mask_dir / "params.pt")
     cents = np.asarray(params["centroids"])
+    cluster_2d = bool(params.get("cluster_2d", True))
     global_aabb, expert_aabbs = load_scene_boxes(mask_dir)
 
     train, val = get_image_metadata(root, downscale)
     cams = np.stack([m.c2w[:, 3] for m in train + val])
 
+    # color cameras by nearest centroid in the clustering plane
+    # (reference save_overview_scatter, :181-203)
+    cams2 = _plane_coords(cams, cluster_2d)
+    cents2 = _plane_coords(cents, cluster_2d)
+    assign = np.linalg.norm(
+        cams2[:, None] - cents2[None], axis=2
+    ).argmin(1)
+
     fig, ax = plt.subplots(figsize=(9, 9))
     # ground plane: Right (y) vs Back (z)
-    ax.scatter(cams[:, 1], cams[:, 2], s=6, c="k", alpha=0.4, label="cameras")
+    for k in range(len(cents)):
+        sel = assign == k
+        if sel.any():
+            ax.scatter(cams[sel, 1], cams[sel, 2], s=10, alpha=0.8,
+                       c=[_COLORS[k % len(_COLORS)]], label=f"mod {k} cams")
     for i, c in enumerate(cents):
         col = _COLORS[i % len(_COLORS)]
         ax.scatter([c[1]], [c[2]], s=180, c=[col], marker="*",
@@ -139,6 +218,15 @@ def run_visualize(data_path, mask_dirname, out_dir, n_overlays=3,
                        downscale)
     print(f"wrote {ov}")
     mask_dir = Path(data_path) / "masks" / mask_dirname
+    params = load_pt(mask_dir / "params.pt")
+    train, val = get_image_metadata(Path(data_path), downscale)
+    rv = save_region_viz2d(
+        out_dir / "regions.png", np.asarray(params["centroids"]),
+        np.stack([m.c2w[:, 3] for m in train + val]),
+        cluster_2d=bool(params.get("cluster_2d", True)),
+        boundary_margin=float(params.get("boundary_margin", 1.0)),
+    )
+    print(f"wrote {rv}")
     first_cell = mask_dir / "0"
     stems = sorted(f.stem for f in first_cell.glob("*.pt"))[:n_overlays]
     for o in plot_mask_overlays(data_path, mask_dirname, out_dir, stems,

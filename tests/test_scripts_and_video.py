@@ -221,3 +221,95 @@ def test_phase_timer_and_memory_stats():
     assert s["batch_time"] >= s["time_data"] + s["time_step"]
     assert "time_misc" in s
     memory_stats()  # must not raise regardless of backend support
+
+
+# --------------------------- diagnostics scripts -----------------------------
+_EXAMPLE = "/root/reference/adaptive_nerf/data/drz/out/example"
+_MASK_TAG = "g22_grid_bm110_ss11"
+
+
+@pytest.fixture(scope="module")
+def example_available():
+    from pathlib import Path
+
+    if not Path(_EXAMPLE, "coordinates.pt").exists():
+        pytest.skip("bundled example dataset not present")
+    return Path(_EXAMPLE)
+
+
+def test_log_dataset_info_full_report(example_available, tmp_path, capsys):
+    """All reference report sections (log_dataset_info.py:155-382) appear."""
+    from nerfsys_tpu.scripts.log_dataset_info import log_dataset_info
+
+    out = tmp_path / "info.txt"
+    log_dataset_info(example_available, downscale=0.125,
+                     mask_dirname=_MASK_TAG, out_path=out)
+    text = out.read_text()
+    for section in [
+        "Dataset", "Pose normalization", "Ray counts",
+        "Image resolutions", "Camera positions — normalized DRB",
+        "Camera positions — world meters", "Scene extent",
+        "Baseline distance among cameras",
+        "Rotation consistency — DRB", "det(R_drb)", "orthogonality",
+        "Pitch from Down (DRB)", "Roll  stats", "Yaw   stats",
+        "Intrinsics & FOV", "FOVx(deg)", "Principal point offset",
+        "Dataset statistics complete.",
+    ]:
+        assert section in text, f"missing report section: {section}"
+    # pct tables present for every axis, both frames
+    assert text.count("pct [0, 1, 5, 50, 95, 99, 100]") == 3
+    assert text.count("pct(m) [0, 1, 5, 50, 95, 99, 100]") == 3
+
+
+def test_log_mask_info_overlap_and_exclusivity(example_available, tmp_path):
+    """Reference report (log_mask_info.py:142-344): per-image combos,
+    aggregate sum distribution, top-k, exclusivity exit codes."""
+    from nerfsys_tpu.scripts.log_mask_info import gen_mask_stats
+
+    out = tmp_path / "stats.txt"
+    rc = gen_mask_stats(example_available / "masks" / _MASK_TAG,
+                        expect_exclusive=False, max_images=3, out_path=out)
+    assert rc == 0
+    text = out.read_text()
+    assert "[INFO] Found 4 submodules: [0, 1, 2, 3]" in text
+    assert "[IMG 000000]" in text and "overlaps:" in text
+    assert "&" in text  # combo formatting like "0&2: 11.4%"
+    assert "sum=0" in text and "sum=1" in text and "sum>1" in text
+    assert "Top images by overlap (sum>1):" in text
+    # the example masks use soft routing (margin 1.1) -> overlap exists, so
+    # the exclusivity check must fail with exit code 1
+    rc_excl = gen_mask_stats(example_available / "masks" / _MASK_TAG,
+                             expect_exclusive=True, max_images=3,
+                             out_path=tmp_path / "s2.txt")
+    assert rc_excl == 1
+    assert "[FAIL] Exclusive check" in (tmp_path / "s2.txt").read_text()
+
+
+def test_log_mask_info_bad_dir(tmp_path):
+    from nerfsys_tpu.scripts.log_mask_info import gen_mask_stats
+
+    (tmp_path / "empty").mkdir()
+    assert gen_mask_stats(tmp_path / "empty",
+                          out_path=tmp_path / "s.txt") == 2
+
+
+def test_visualize_clustering_region_views(example_available, tmp_path):
+    """Overview scatter + per-region Voronoi map + overlays all render
+    (reference visualize_clustering.py:166-446)."""
+    from nerfsys_tpu.scripts.visualize_clustering import run_visualize
+
+    run_visualize(example_available, _MASK_TAG, tmp_path, n_overlays=1,
+                  downscale=0.125)
+    assert (tmp_path / "overview.png").stat().st_size > 10_000
+    assert (tmp_path / "regions.png").stat().st_size > 10_000
+    assert (tmp_path / "overlay_000000.png").stat().st_size > 10_000
+
+
+def test_region_viz2d_margin_contours(tmp_path):
+    """Soft-margin contours draw for margin > 1 without cameras."""
+    from nerfsys_tpu.scripts.visualize_clustering import save_region_viz2d
+
+    cents = np.array([[0.0, -1, -1], [0.0, 1, 1]], np.float32)
+    out = save_region_viz2d(tmp_path / "r.png", cents, None,
+                            cluster_2d=True, boundary_margin=1.3, res=64)
+    assert out.stat().st_size > 1_000
