@@ -16,8 +16,11 @@ reference's pure-torch fallbacks, which we reproduce exactly:
 
 Everything is a pure function over explicit parameters so the hash table can
 live inside a fast-weight pytree and be meta-learned. The gather is expressed
-with jnp.take so XLA lowers it to the TPU dynamic-gather unit; a fused Pallas
-hash-encode kernel plugs in behind the same signature (see ops/pallas/).
+with jnp.take (routed through the ops/gather.py row_gather primitive) so XLA
+lowers it to the TPU gather unit. A Pallas kernel was evaluated and rejected:
+Mosaic cannot vectorize integer-indexed VMEM gathers (CLAUDE.md), so the
+measured-fast TPU paths are packed-row gathers + one-hot-matmul gradient
+contractions here and in ops/planes.py, not a fused custom kernel.
 """
 from __future__ import annotations
 

@@ -312,9 +312,34 @@ def maybe_shard_training(ctx, params):
             f"num_submodules={P.num_submodules}"
         )
     params = shard_params(params, mesh, shard_experts=shard_experts)
-    ctx["train_loader"] = _ShardedLoader(ctx["train_loader"], mesh)
-    if ctx.get("eval_loader") is not None:
-        ctx["eval_loader"] = _ShardedLoader(ctx["eval_loader"], mesh)
+    if jax.process_count() > 1:
+        # multi-host: each process materializes only its addressable ray
+        # stripes (MultiHostBatcher); re-wrapped in PrefetchLoader so device
+        # upload still overlaps sampling
+        from nerfsys_tpu.data.loaders import (
+            MetaBatcher,
+            MultiHostBatcher,
+            PrefetchLoader,
+        )
+
+        def _rewrap(loader):
+            batcher = getattr(loader, "source", loader)
+            if not isinstance(batcher, MetaBatcher):
+                return _ShardedLoader(loader, mesh)
+            if hasattr(loader, "close"):
+                loader.close()
+            return PrefetchLoader(MultiHostBatcher(batcher, mesh))
+
+        ctx["train_loader"] = _rewrap(ctx["train_loader"])
+        if ctx.get("eval_loader") is not None:
+            ctx["eval_loader"] = _rewrap(ctx["eval_loader"])
+        print(f"[mesh] multi-host input: process "
+              f"{jax.process_index()}/{jax.process_count()} uploads only "
+              f"its addressable stripes")
+    else:
+        ctx["train_loader"] = _ShardedLoader(ctx["train_loader"], mesh)
+        if ctx.get("eval_loader") is not None:
+            ctx["eval_loader"] = _ShardedLoader(ctx["eval_loader"], mesh)
     print(f"[mesh] training over {dict(mesh.shape)} "
           f"({jax.device_count()} devices)")
     return params, mesh

@@ -125,3 +125,129 @@ def test_two_process_cluster(tmp_path):
     s0, s1 = results[0]["stride"], results[1]["stride"]
     assert sorted(s0 + s1) == list(range(7))
     assert not set(s0) & set(s1)
+
+
+# ------------------- multi-host episode input sharding -----------------------
+_INPUT_WORKER = textwrap.dedent(
+    """
+    import json, os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfsys_tpu.parallel.distributed import maybe_initialize
+    active = maybe_initialize()
+    assert active and jax.device_count() == 4
+
+    from nerfsys_tpu.data.loaders import MetaBatcher, MultiHostBatcher
+    from nerfsys_tpu.data.task_dataset import TaskDataset
+    from nerfsys_tpu.parallel.mesh import make_mesh
+
+    class FakeRam:
+        def __init__(self, seed):
+            rng = np.random.default_rng(seed)
+            n_img, per = 8, 400
+            o = np.array([0.5, 1.0, 4.0], np.float32)
+            rays, imgs = [], []
+            for i in range(n_img):
+                tgt = rng.uniform([0.2, 0.3, 0.3], [0.8, 1.7, 1.7],
+                                  (per, 3)).astype(np.float32)
+                d = tgt - o
+                d /= np.linalg.norm(d, axis=1, keepdims=True)
+                nf = np.tile(np.array([1.0, 6.0], np.float32), (per, 1))
+                rays.append(np.concatenate(
+                    [np.tile(o, (per, 1)), d, nf], 1).astype(np.float32))
+                imgs.append(np.full(per, i, np.int64))
+            self.rays = np.concatenate(rays)
+            self.rgbs = rng.uniform(
+                size=(len(self.rays), 3)).astype(np.float32)
+            self.img_indices = np.concatenate(imgs)
+        def __len__(self):
+            return len(self.rays)
+
+    AABB = np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 2.0]], np.float32)
+
+    def make_tds():
+        # identical seeds on every process -> identical episode plans
+        return [TaskDataset(FakeRam(7 + k), AABB, support_rays=64,
+                            query_rays=32, cell_dim=2, seed=100 + k,
+                            min_rays_per_cell=10)
+                for k in range(2)]
+
+    mesh = make_mesh("2x2")  # (data=2, expert=2) over 4 global devices
+
+    # reference full batch from a fresh identically-seeded batcher
+    full = MetaBatcher(make_tds(), batch_size=2).next_batch()
+
+    mh = MultiHostBatcher(MetaBatcher(make_tds(), batch_size=2), mesh)
+    batch = mh.next_batch()
+
+    # every addressable shard must equal the corresponding slice of the
+    # full batch -> global assembly is correct without any process having
+    # built the full arrays
+    mismatches = 0
+    for name, arr in batch.items():
+        for shard in arr.addressable_shards:
+            want = full[name][shard.index]
+            if not np.allclose(np.asarray(shard.data), want):
+                mismatches += 1
+
+    # and the sharded batch must execute under jit on the global mesh
+    total = float(jax.jit(
+        lambda b: jnp.sum(b["support_rays"]) + jnp.sum(b["valid"])
+    )(batch))
+    want_total = float(np.sum(full["support_rays"]) + np.sum(full["valid"]))
+
+    out = {
+        "rank": jax.process_index(),
+        "mismatches": mismatches,
+        "total_ok": bool(abs(total - want_total) < 1e-2 * abs(want_total)),
+    }
+    print("RESULT" + json.dumps(out))
+    """
+)
+
+
+def test_multihost_episode_input_sharding(tmp_path):
+    """Each process uploads only its addressable episode stripes; the
+    assembled global batch matches the single-process full batch."""
+    port = _free_port()
+    procs, outs = [], []
+    env_base = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    for rank in range(2):
+        env = dict(
+            env_base,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+            PYTHONPATH=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _INPUT_WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    results = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=390)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
+        r = json.loads(line[len("RESULT"):])
+        results[r["rank"]] = r
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert r["mismatches"] == 0
+        assert r["total_ok"]
