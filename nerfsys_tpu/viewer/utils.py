@@ -76,6 +76,31 @@ def look_at_rub(
     return c2w
 
 
+def pose_look_center(
+    c2w_rub: np.ndarray, center: np.ndarray, up: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Re-aim the camera at the scene center, keeping its position
+    (reference viewer.py:241-245)."""
+    eye = np.asarray(c2w_rub, np.float32)[:3, 3]
+    return look_at_rub(eye, center, up)
+
+
+def pose_snap_dir(c2w_rub: np.ndarray, fwd_rub: np.ndarray) -> np.ndarray:
+    """Snap the view direction to a world axis, keeping position
+    (reference viewer.py:247-250: Look Front/Right/Down)."""
+    eye = np.asarray(c2w_rub, np.float32)[:3, 3]
+    return look_at_rub(eye, eye + np.asarray(fwd_rub, np.float32))
+
+
+def pose_dolly(c2w_rub: np.ndarray, *, forward: bool, step: float) -> np.ndarray:
+    """Translate along the view direction by `step` world units
+    (reference viewer.py:252-261: Dolly In/Out)."""
+    c2w = np.asarray(c2w_rub, np.float32).copy()
+    back = c2w[:3, 2]
+    c2w[:3, 3] += (-back if forward else back) * float(step)
+    return c2w
+
+
 def safe_bg(policy: str, allowed=("white", "black", "random", "last_sample",
                                   "none", "nerf")) -> str:
     """Clamp a GUI background policy string to the supported set."""

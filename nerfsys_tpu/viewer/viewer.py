@@ -309,7 +309,17 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         "output": "rgb", "bg": "white", "expert": "all", "samples":
         engine.default_samples, "exposure": 0.0, "gamma": 2.2,
         "max_res": 512, "terminate": False,
+        "last_c2w": None, "last_frame": None,
     }
+    # metric scene extent for the clipping sliders / dolly step
+    # (reference viewer.py:203-221, 252-261)
+    if ctx.get("global_aabb") is not None:
+        _ext_norm = float(np.linalg.norm(
+            np.asarray(ctx["global_aabb"][1]) - np.asarray(ctx["global_aabb"][0])
+        ))
+    else:
+        _ext_norm = 2.0
+    scene_extent_world = _ext_norm * engine.scale
 
     with server.gui.add_folder("Visuals"):
         gui_bg = server.gui.add_dropdown(
@@ -331,12 +341,42 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
     with server.gui.add_folder("Postprocessing"):
         gui_output = server.gui.add_dropdown(
             "Display", ("rgb", "depth", "opacity"), initial_value="rgb")
+        gui_zoom = server.gui.add_slider(
+            "Zoom", min=0.5, max=2.0, step=0.01, initial_value=1.0)
         gui_exposure = server.gui.add_slider(
             "Exposure", min=-4.0, max=4.0, step=0.1, initial_value=0.0)
         gui_gamma = server.gui.add_slider(
             "Gamma", min=1.0, max=4.0, step=0.1, initial_value=2.2)
         gui_res = server.gui.add_slider(
             "Max resolution", min=64, max=1024, step=64, initial_value=512)
+        # tonemap folders appear only for the matching display mode
+        # (reference viewer.py:176-197,223-227)
+        depth_folder = server.gui.add_folder("Tonemap — Depth")
+        with depth_folder:
+            gui_depth_cmap = server.gui.add_dropdown(
+                "Colormap", ("turbo", "viridis", "inferno", "gray"),
+                initial_value="turbo")
+        depth_folder.visible = False
+
+        def _display_changed(_=None):
+            depth_folder.visible = gui_output.value == "depth"
+
+        gui_output.on_update(_display_changed)
+
+        # metric near/far clipping (reference viewer.py:203-221); engine
+        # divides by pose_scale_factor internally
+        clip_folder = server.gui.add_folder("Clipping")
+        with clip_folder:
+            gui_nf_enable = server.gui.add_checkbox(
+                "Override Near/Far", initial_value=False)
+            gui_near_m = server.gui.add_slider(
+                "Near (m)", min=0.0, max=max(scene_extent_world, 1.0),
+                step=max(scene_extent_world, 1.0) / 1000.0,
+                initial_value=scene_extent_world / 400.0)
+            gui_far_m = server.gui.add_slider(
+                "Far (m)", min=0.1, max=max(scene_extent_world * 2.0, 2.0),
+                step=max(scene_extent_world, 1.0) / 1000.0,
+                initial_value=max(scene_extent_world, 1.0))
 
     with server.gui.add_folder("Operation Mode"):
         gui_mode = server.gui.add_dropdown(
@@ -400,8 +440,66 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
 
     gui_term.on_click(_terminate)
 
+    # camera controls (reference viewer.py:229-322): re-aim / dolly the
+    # client camera and save screenshots; pose math lives in viewer/utils
+    # (pose_look_center / pose_snap_dir / pose_dolly) so it tests headless
+    from nerfsys_tpu.viewer.utils import (
+        pose_dolly,
+        pose_look_center,
+        pose_snap_dir,
+    )
+
+    scene_center = (
+        0.5 * (np.asarray(ctx["global_aabb"][0]) + np.asarray(ctx["global_aabb"][1]))
+        if ctx.get("global_aabb") is not None else np.zeros(3, np.float32)
+    )
+    dolly_step = 0.05 * _ext_norm
+
+    def _set_client_pose(client, c2w):
+        import viser.transforms as vtf
+
+        with client.atomic():
+            client.camera.wxyz = vtf.SO3.from_matrix(c2w[:3, :3]).wxyz
+            client.camera.position = c2w[:3, 3]
+        client.flush()
+
+    def _snapshot(_):
+        if state["last_frame"] is None:
+            return
+        out_dir = Path(ctx.get("run_dir", "logs")) / "snapshots"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        from PIL import Image as PILImage
+
+        path = out_dir / f"frame_{time.strftime('%Y%m%d_%H%M%S')}.png"
+        PILImage.fromarray(state["last_frame"]).save(path)
+        gui_status.content = f"status: snapshot saved to {path}"
+
     @server.on_client_connect
     def _on_client(client: "viser.ClientHandle"):
+        with client.gui.add_folder("Controls"):
+            btn_center = client.gui.add_button("Look At Center")
+            btn_front = client.gui.add_button("Look Front")
+            btn_right = client.gui.add_button("Look Right")
+            btn_down = client.gui.add_button("Look Down")
+            btn_in = client.gui.add_button("Dolly In")
+            btn_out = client.gui.add_button("Dolly Out")
+            btn_snap = client.gui.add_button("Save Screenshot")
+
+        def _bind(btn, fn):
+            def _cb(_evt):
+                c2w = state.get("last_c2w")
+                if c2w is not None:
+                    _set_client_pose(client, fn(c2w))
+            btn.on_click(_cb)
+
+        _bind(btn_center, lambda c: pose_look_center(c, scene_center))
+        _bind(btn_front, lambda c: pose_snap_dir(c, [0.0, 0.0, -1.0]))
+        _bind(btn_right, lambda c: pose_snap_dir(c, [1.0, 0.0, 0.0]))
+        _bind(btn_down, lambda c: pose_snap_dir(c, [0.0, -1.0, 0.0]))
+        _bind(btn_in, lambda c: pose_dolly(c, forward=True, step=dolly_step))
+        _bind(btn_out, lambda c: pose_dolly(c, forward=False, step=dolly_step))
+        btn_snap.on_click(_snapshot)
+
         @client.camera.on_update
         def _on_cam(_):
             _render_to(client)
@@ -413,12 +511,14 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         R = vtf.SO3(np.asarray(cam.wxyz)).as_matrix()
         c2w = np.concatenate(
             [R, np.asarray(cam.position, np.float32).reshape(3, 1)], axis=1)
+        state["last_c2w"] = c2w
         max_res = int(gui_res.value)
         aspect = float(cam.aspect) if cam.aspect else 4 / 3
         H = min(max_res, 1024)
         W = int(round(H * aspect))
+        clip_on = bool(gui_nf_enable.value)
         frame = engine.render(
-            c2w, W, H, float(cam.fov),
+            c2w, W, H, float(cam.fov) / max(float(gui_zoom.value), 1e-3),
             params=ctrl.get_render_params(),
             output=gui_output.value,
             bg_policy=gui_bg.value,
@@ -426,7 +526,11 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
             ray_samples=int(gui_samples.value),
             exposure=float(gui_exposure.value),
             gamma=float(gui_gamma.value),
+            depth_cmap=str(gui_depth_cmap.value),
+            near_clip_m=float(gui_near_m.value) if clip_on else None,
+            far_clip_m=float(gui_far_m.value) if clip_on else None,
         )
+        state["last_frame"] = frame
         client.scene.set_background_image(frame, format="jpeg")
 
     print(f"[viewer] serving on http://0.0.0.0:{port}")

@@ -345,3 +345,102 @@ def test_render_engine_with_occupancy(tiny_engine):
     finally:
         tiny_engine.occ_state = None
         tiny_engine.use_occ = False
+
+
+# --------------------------- camera pose actions -----------------------------
+def test_pose_look_center_aims_at_center():
+    from nerfsys_tpu.viewer.utils import pose_look_center
+
+    c2w = look_at_rub(np.array([3.0, 2.0, 4.0]), np.array([9.0, 9.0, 9.0]))
+    center = np.array([0.0, 0.5, 0.0])
+    out = pose_look_center(c2w, center)
+    np.testing.assert_allclose(out[:, 3], c2w[:, 3], atol=1e-6)  # same eye
+    fwd = -out[:, 2]
+    want = center - c2w[:, 3]
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(fwd, want, atol=1e-5)
+
+
+def test_pose_snap_dir_axes():
+    from nerfsys_tpu.viewer.utils import pose_snap_dir
+
+    c2w = look_at_rub(np.array([1.0, 2.0, 3.0]), np.zeros(3))
+    for fwd in ([0.0, 0.0, -1.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]):
+        out = pose_snap_dir(c2w, fwd)
+        np.testing.assert_allclose(out[:, 3], c2w[:, 3], atol=1e-6)
+        np.testing.assert_allclose(-out[:, 2], fwd, atol=1e-5)
+        # still a rotation
+        np.testing.assert_allclose(
+            out[:, :3].T @ out[:, :3], np.eye(3), atol=1e-5
+        )
+
+
+def test_pose_dolly_moves_along_view():
+    from nerfsys_tpu.viewer.utils import pose_dolly
+
+    c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    fwd = -c2w[:, 2]
+    out_in = pose_dolly(c2w, forward=True, step=0.25)
+    out_out = pose_dolly(c2w, forward=False, step=0.25)
+    np.testing.assert_allclose(out_in[:, 3], c2w[:, 3] + 0.25 * fwd, atol=1e-6)
+    np.testing.assert_allclose(out_out[:, 3], c2w[:, 3] - 0.25 * fwd, atol=1e-6)
+    np.testing.assert_allclose(out_in[:, :3], c2w[:, :3], atol=1e-7)
+
+
+def test_render_engine_metric_clipping(tiny_engine):
+    """near/far clip in meters divide through pose_scale_factor."""
+    c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    f = tiny_engine.render(c2w, 8, 8, fov_y=0.8, near_clip_m=0.5,
+                           far_clip_m=5.0)
+    assert f.shape == (8, 8, 3)
+    # clipping everything away -> valid rays vanish -> black frame
+    f2 = tiny_engine.render(c2w, 8, 8, fov_y=0.8, near_clip_m=50.0,
+                            far_clip_m=50.1)
+    assert f2.sum() == 0
+
+
+# --------------------------- live viser smoke --------------------------------
+def test_viser_gui_smoke(tmp_path):
+    """Instantiate the full GUI wiring against a real viser server
+    (skipped where viser isn't installed — it is not in this image)."""
+    viser = pytest.importorskip("viser")  # noqa: F841
+
+    import jax
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.utils.config import parse_args
+    from nerfsys_tpu.viewer.viewer import launch_viewer
+    import jax.numpy as jnp
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(hidden=16, sigma_depth=1, color_hidden=16,
+                         color_depth=1, geo_feat_dim=7,
+                         hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                             log2_hashmap_size=8)),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.0, c + 1.0]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    )
+    P = parse_args(["--op", "view", "--data_path", str(tmp_path)])
+    ctx = {
+        "P": P, "cfg": cfg, "statics": statics,
+        "params": init_container_params(jax.random.PRNGKey(0), cfg),
+        "global_aabb": np.array([[-1.5] * 3, [1.5] * 3], np.float32),
+        "run_dir": tmp_path,
+    }
+    server, ctrl, engine = launch_viewer(ctx, port=0, blocking=False)
+    try:
+        assert engine is not None and ctrl is not None
+    finally:
+        ctrl.stop(join=False)
+        server.stop()
