@@ -1,0 +1,306 @@
+"""Perf accounting beyond the headline bench: MFU + render latency.
+
+Fills BASELINE.md's throughput-vs-hardware rows (the reference publishes
+no numbers; SURVEY.md §6):
+
+  train  -- the bench.py meta-train step: s/step, rays/s, FLOPs/step from
+            XLA cost analysis (fallback: analytic matmul model), MFU vs
+            v5e peak.
+  render -- 800x800 novel-view frame latency through the chunked renderer
+            (the reference's render_image path), stratified and occupancy.
+
+Run one mode per process (compile caches are per-process; a wedged TPU
+run should not take the other mode down with it):
+
+  PYTHONPATH=/root/repo:/root/.axon_site python -m \
+      nerfsys_tpu.scripts.measure_perf --mode train
+  ... --mode render [--samples 96] [--use_occ]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x) -> float:
+    """Host sync: float() of a scalar (block_until_ready lies under axon)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_setup():
+    """The exact bench.py model/step at demo scale (one source of truth)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+        param_group_labels,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.planes import PlaneEncodingConfig
+    from nerfsys_tpu.pipelines.offline.meta_core import MetaConfig
+    from nerfsys_tpu.pipelines.offline.meta_train_step import make_train_step
+    from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
+
+    K, B, S, Q = 4, 3, 4000, 2000
+    INNER, SAMPLES = 8, 96
+    expert = NGPConfig(
+        hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
+        geo_feat_dim=15, xyz_encoding="planes",
+        planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
+                                   features=8, matmul_bwd=True,
+                                   pos_grad=False),
+    )
+    cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
+                          bg_hidden=32)
+    cents = jnp.asarray(
+        [[0.0, -1, -1], [0.0, -1, 1], [0.0, 1, -1], [0.0, 1, 1]], jnp.float32
+    )
+    boxes = jnp.stack([jnp.stack([c - 1.2, c + 1.2]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.asarray([[-2.2, -2.2, -2.2], [2.2, 2.2, 2.2]])
+    )
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+    meta = MetaConfig(algo="fomaml", inner_iter=INNER, inner_lr=0.015,
+                      ray_samples=SAMPLES)
+    tx = build_optimizer(OptimConfig(outer_steps=10000),
+                         param_group_labels(params))
+    opt_state = tx.init(params)
+    step = make_train_step(meta, cfg, tx)
+
+    rng = np.random.default_rng(0)
+
+    def rays(n):
+        o = rng.normal(size=(K, B, n, 3)).astype(np.float32) * 0.3
+        d = rng.normal(size=(K, B, n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        nf = np.tile(np.array([0.1, 2.5], np.float32), (K, B, n, 1))
+        return np.concatenate([o, d, nf], -1)
+
+    batch = jax.device_put({
+        "support_rays": rays(S),
+        "support_rgbs": rng.uniform(size=(K, B, S, 3)).astype(np.float32),
+        "query_rays": rays(Q),
+        "query_rgbs": rng.uniform(size=(K, B, Q, 3)).astype(np.float32),
+        "valid": np.ones((K, B), np.float32),
+    })
+    dims = dict(K=K, B=B, S=S, Q=Q, INNER=INNER, SAMPLES=SAMPLES)
+    return step, params, opt_state, statics, batch, dims
+
+
+def measure_train(iters: int = 3):
+    import jax
+
+    from nerfsys_tpu.utils.flops import (
+        V5E_PEAK_BF16,
+        analytic_train_step_flops,
+        compiled_flops,
+        mfu,
+    )
+
+    step, params, opt_state, statics, batch, d = bench_setup()
+    key = jax.random.PRNGKey(1)
+    params, opt_state, aux = step(params, opt_state, statics, batch, key)
+    _sync(aux["loss_out"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        params, opt_state, aux = step(params, opt_state, statics, batch, k)
+        _sync(aux["loss_out"])
+    dt = (time.perf_counter() - t0) / iters
+
+    flops = compiled_flops(step, params, opt_state, statics, batch, key)
+    flops_src = "xla_cost_analysis"
+    if flops is None:
+        flops = analytic_train_step_flops(
+            num_experts=d["K"], tasks_per_expert=d["B"],
+            support_rays=d["S"], query_rays=d["Q"],
+            inner_iter=d["INNER"], ray_samples=d["SAMPLES"],
+        )
+        flops_src = "analytic_matmul_lower_bound"
+
+    rays_per_step = d["K"] * d["B"] * (d["S"] * d["INNER"] + d["Q"])
+    out = {
+        "mode": "train",
+        "step_seconds": round(dt, 4),
+        "rays_per_sec": round(rays_per_step / dt, 1),
+        "flops_per_step": flops,
+        "flops_source": flops_src,
+        "mfu_vs_v5e_bf16_peak": round(mfu(flops, dt, V5E_PEAK_BF16), 5),
+        "tflops_per_sec": round(flops / dt / 1e12, 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
+                   iters: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.pipelines.online.runtime_adapt import make_chunk_renderer
+    from nerfsys_tpu.utils.flops import V5E_PEAK_BF16, compiled_flops
+
+    _, params, _, statics, _, _ = bench_setup()
+    occ_state = None
+    if use_occ:
+        from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+        occ_state = init_occ_state(
+            OccGridConfig(resolution=64, levels=2, warmup_steps=0), 4
+        )
+        occ_state["binary"] = jnp.ones_like(occ_state["binary"])
+        occ_state["num_updates"] = jnp.asarray(1000, jnp.int32)
+
+    # renderer over CHUNK-sized ray batches
+    chunk = 65536
+    renderer = make_chunk_renderer(
+        _bench_cfg(), ray_samples=samples, bg_policy="white",
+        occ_state=occ_state, occ_importance=use_occ,
+    )
+
+    n = side * side
+    rng = np.random.default_rng(0)
+    o = np.tile(np.array([0.0, 0.0, 2.0], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile(np.array([0.1, 4.5], np.float32), (n, 1))
+    rays = np.concatenate([o, d, nf], 1)
+
+    def frame():
+        outs = []
+        for s in range(0, n, chunk):
+            c = rays[s:s + chunk]
+            if c.shape[0] < chunk:
+                c = np.concatenate(
+                    [c, np.zeros((chunk - c.shape[0], 8), np.float32)]
+                )
+            outs.append(renderer(params, statics, jnp.asarray(c)))
+        # sync on the last chunk's first pixel
+        _sync(outs[-1][0][0, 0])
+        return outs
+
+    frame()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        frame()
+    dt = (time.perf_counter() - t0) / iters
+
+    fl = compiled_flops(
+        renderer, params, statics, jnp.asarray(rays[:chunk])
+    )
+    out = {
+        "mode": "render",
+        "resolution": f"{side}x{side}",
+        "samples": samples,
+        "use_occ": use_occ,
+        "frame_seconds": round(dt, 4),
+        "rays_per_sec": round(n / dt, 1),
+        "chunk_flops": fl,
+        "tflops_per_sec": (
+            round(fl * np.ceil(n / chunk) / dt / 1e12, 3) if fl else None
+        ),
+    }
+    print(json.dumps(out))
+    return out
+
+
+def measure_moe(K: int = 16, n_pts: int = 1_572_864, iters: int = 3,
+                experts_per_point: int = 2, capacity_factor: float = 1.5):
+    """Dense vs bucketed top-E MoE dispatch at K experts (NEXT item 10).
+
+    The reference loops experts serially (ray_rendering.py:399-471); the
+    dense TPU path evaluates ALL K experts per point (K x compute), the
+    bucketed path counting-sorts points into per-expert buckets and
+    evaluates top-E only — the win should grow with K.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerStatics,
+        container_apply,
+        init_container_params,
+    )
+
+    cfg_dense = _dc.replace(_bench_cfg(), num_experts=K, bucketed=False)
+    cfg_buck = _dc.replace(
+        cfg_dense, bucketed=True, experts_per_point=experts_per_point,
+        capacity_factor=capacity_factor,
+    )
+    rng = np.random.default_rng(0)
+    side = int(np.ceil(np.sqrt(K)))
+    cents = np.stack([
+        [0.0, (i % side) * 2.0 - side + 1.0, (i // side) * 2.0 - side + 1.0]
+        for i in range(K)
+    ]).astype(np.float32)
+    boxes = np.stack([np.stack([c - 1.3, c + 1.3]) for c in cents])
+    glob = np.stack([cents.min(0) - 1.5, cents.max(0) + 1.5])
+    statics = ContainerStatics(*map(jnp.asarray, (cents, boxes, glob)))
+    params = init_container_params(jax.random.PRNGKey(0), cfg_dense)
+
+    pts = jnp.asarray(
+        rng.uniform(glob[0], glob[1], (n_pts, 3)).astype(np.float32)
+    )
+    dirs = jnp.asarray(rng.normal(size=(n_pts, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+
+    out = {"mode": "moe", "K": K, "n_pts": n_pts,
+           "experts_per_point": experts_per_point}
+    for label, cfg in (("dense", cfg_dense), ("bucketed", cfg_buck)):
+        f = jax.jit(lambda p, s, x, d, cfg=cfg: container_apply(
+            p, cfg, s, x, d
+        ))
+        rgb, sigma = f(params, statics, pts, dirs)
+        _sync(sigma[:1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rgb, sigma = f(params, statics, pts, dirs)
+            _sync(sigma[:1])
+        out[f"{label}_seconds"] = round((time.perf_counter() - t0) / iters, 4)
+    out["speedup"] = round(out["dense_seconds"] / out["bucketed_seconds"], 3)
+    print(json.dumps(out))
+    return out
+
+
+def _bench_cfg():
+    from nerfsys_tpu.models.container import ContainerConfig
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.planes import PlaneEncodingConfig
+
+    expert = NGPConfig(
+        hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
+        geo_feat_dim=15, xyz_encoding="planes",
+        planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
+                                   features=8, matmul_bwd=True,
+                                   pos_grad=False),
+    )
+    return ContainerConfig(num_experts=4, expert=expert,
+                           boundary_margin=1.1, bg_hidden=32)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["train", "render"], required=True)
+    ap.add_argument("--side", type=int, default=800)
+    ap.add_argument("--samples", type=int, default=96)
+    ap.add_argument("--use_occ", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    a = ap.parse_args(argv)
+    if a.mode == "train":
+        measure_train(a.iters)
+    else:
+        measure_render(a.side, a.samples, a.use_occ, a.iters)
+
+
+if __name__ == "__main__":
+    main()
