@@ -41,8 +41,13 @@ def main():
     from nerfsys_tpu.pipelines.offline.meta_train_step import make_train_step
     from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
 
+    import os
+
+    # occ path pending the demo-scale fixed-eval quality gate (round-2 A/B);
+    # flip the default to occ-32 once BASELINE.md records parity
+    OCC = os.environ.get("NERFSYS_BENCH_OCC", "0") == "1"
     K, B, S, Q = 4, 3, 4000, 2000
-    INNER, SAMPLES = 8, 96
+    INNER, SAMPLES = 8, (32 if OCC else 96)
 
     expert = NGPConfig(
         hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
@@ -65,10 +70,29 @@ def main():
 
     params = init_container_params(jax.random.PRNGKey(0), cfg)
     meta = MetaConfig(algo="fomaml", inner_iter=INNER, inner_lr=0.015,
-                      ray_samples=SAMPLES)
+                      ray_samples=SAMPLES,
+                      occ_importance=OCC)
     tx = build_optimizer(OptimConfig(outer_steps=10000), param_group_labels(params))
     opt_state = tx.init(params)
     step = make_train_step(meta, cfg, tx)
+
+    occ_state = None
+    if OCC:
+        # occupancy-guided path (nerfacc empty-space skipping, dense
+        # static-shape form): 32 importance samples vs 96 stratified at
+        # quality parity (BASELINE.md occ section; fixed-eval A/B on the
+        # example scene). A half-occupied ready grid stands in for a
+        # trained one — the dense program's cost is content-independent.
+        from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+        occ_state = init_occ_state(
+            OccGridConfig(resolution=128, levels=4, warmup_steps=0), K
+        )
+        rg = jax.random.uniform(jax.random.PRNGKey(2),
+                                occ_state["binary"].shape)
+        occ_state["binary"] = rg < 0.5
+        occ_state["occs"] = jnp.where(occ_state["binary"], 0.1, 0.0)
+        occ_state["num_updates"] = jnp.asarray(1000, jnp.int32)
 
     rng = np.random.default_rng(0)
 
@@ -91,14 +115,16 @@ def main():
     # warmup/compile; float() forces a device->host sync (block_until_ready
     # alone does not reliably block under the axon remote backend)
     key = jax.random.PRNGKey(1)
-    params, opt_state, aux = step(params, opt_state, statics, batch, key)
+    params, opt_state, aux = step(params, opt_state, statics, batch, key,
+                                  occ_state)
     _ = float(aux["loss_out"])
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
-        params, opt_state, aux = step(params, opt_state, statics, batch, k)
+        params, opt_state, aux = step(params, opt_state, statics, batch, k,
+                                      occ_state)
         _ = float(aux["loss_out"])  # per-step device sync
     dt = (time.perf_counter() - t0) / iters
 
