@@ -40,6 +40,7 @@ def meta_trainer(
     occ_state=None,  # stacked expert occupancy pytree, or None
     occ_update_fn=None,  # jitted (occ_state, params, statics, step, key)
     fixed_eval: bool = False,  # reuse one eval episode set + key every eval
+    metric_lag: int = 1,  # fetch step metrics N steps late (0 = exact sync)
 ):
     """Run the outer loop; returns (params, opt_state, best).
 
@@ -81,6 +82,7 @@ def meta_trainer(
         trace_window = range(t_begin, t_begin + trace_steps)
 
     t_last = time.perf_counter()
+    pending = None  # deferred metrics fetch (see drain below)
     for step in range(start_step, outer_steps):
         if trace_window and step == trace_window[0]:
             jax.profiler.start_trace(str(run_dir))
@@ -99,43 +101,62 @@ def meta_trainer(
             params, opt_state, aux = train_step(
                 params, opt_state, statics, batch, k_step
             )
-        loss_out = float(aux["loss_out"])  # blocks on device
-        t_step = time.perf_counter() - t1
+
+        def drain(p):
+            """Fetch + log one completed step's metrics. Called one step
+            LATE by default (metric_lag=1): the device->host scalar fetch
+            (a full network round trip under the axon backend) then
+            overlaps the NEXT step's device compute instead of sitting on
+            the critical path. Exact per-step device timing needs
+            metric_lag=0."""
+            nonlocal t_last
+            lo = float(p["aux"]["loss_out"])  # blocks until p's step done
+            now = time.perf_counter()
+            bt = now - t_last
+            t_last = now
+            st = (now - p["t1"]) if metric_lag == 0 else max(
+                bt - p["t_data"], 0.0
+            )
+            meters.update(
+                loss_in=float(p["aux"]["loss_in"]),
+                loss_out=lo,
+                psnr_out=float(p["aux"]["psnr_out"]),
+                data_time=p["t_data"],
+                step_time=st,
+                batch_time=bt,
+            )
+            if logger and p["step"] % max(print_every, 1) == 0:
+                logger.scalars(
+                    {
+                        "loss_in": p["aux"]["loss_in"],
+                        "loss_out": lo,
+                        "psnr_out": p["aux"]["psnr_out"],
+                        "grad_norm": p["aux"].get("grad_norm", 0.0),
+                        "time_data": p["t_data"],
+                        "time_step": st,
+                    },
+                    p["step"],
+                    prefix="train/",
+                )
+                for cid, v in enumerate(np.asarray(p["aux"]["region_loss_out"])):
+                    logger.scalar(f"train/region_{cid}/loss_out", v, p["step"])
+                for cid, v in enumerate(np.asarray(p["aux"]["region_psnr_out"])):
+                    logger.scalar(f"train/region_{cid}/psnr_out", v, p["step"])
+            if p["step"] % 50 == 0:
+                log(f"step {p['step']}/{outer_steps}  {meters}")
+
+        cur = {"step": step, "aux": aux, "t_data": t_data, "t1": t1}
+        if metric_lag == 0:
+            drain(cur)
+        else:
+            if pending is not None:
+                drain(pending)
+            pending = cur
 
         # occupancy EMA update cadence (reference meta_train_step.py:176-177)
         if occ_state is not None and occ_update_fn is not None:
             key, k_occ = jax.random.split(key)
             occ_state = occ_update_fn(occ_state, params, statics, step, k_occ)
-
-        meters.update(
-            loss_in=float(aux["loss_in"]),
-            loss_out=loss_out,
-            psnr_out=float(aux["psnr_out"]),
-            data_time=t_data,
-            step_time=t_step,
-            batch_time=time.perf_counter() - t_last,
-        )
-        t_last = time.perf_counter()
-
-        if logger and step % max(print_every, 1) == 0:
-            logger.scalars(
-                {
-                    "loss_in": aux["loss_in"],
-                    "loss_out": loss_out,
-                    "psnr_out": aux["psnr_out"],
-                    "grad_norm": aux.get("grad_norm", 0.0),
-                    "time_data": t_data,
-                    "time_step": t_step,
-                },
-                step,
-                prefix="train/",
-            )
-            for cid, v in enumerate(np.asarray(aux["region_loss_out"])):
-                logger.scalar(f"train/region_{cid}/loss_out", v, step)
-            for cid, v in enumerate(np.asarray(aux["region_psnr_out"])):
-                logger.scalar(f"train/region_{cid}/psnr_out", v, step)
-        if step % 50 == 0:
-            log(f"step {step}/{outer_steps}  {meters}")
 
         if trace_window and step == trace_window[-1]:
             jax.profiler.stop_trace()
@@ -180,6 +201,9 @@ def meta_trainer(
             if occ_state is not None:
                 ckpt.save_aux_state(run_dir, f"step{step + 1}", "occ", occ_state)
             log(f"[ckpt] step{step + 1} saved")
+
+    if pending is not None:
+        drain(pending)  # final step's metrics
 
     if run_dir is not None:
         ckpt.save_checkpoint(
