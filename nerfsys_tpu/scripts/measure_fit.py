@@ -1,0 +1,201 @@
+"""Lego-class scene fit timing: wall-clock to a target PSNR.
+
+BASELINE.md's "lego-class scene train time" row. No NeRF-synthetic data
+ships in this image (no egress), so the stand-in is a procedural scene of
+the same scale class — an 800x800-pixel camera rig orbiting a bounded
+object (three colored spheres on a ground disc) — fit with the
+single-expert NGP path at the reference's default sample count. The score
+is train PSNR on held-out rays from unseen views, the same protocol class
+as the reference's eval op.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python -m \
+      nerfsys_tpu.scripts.measure_fit --target_psnr 30 --budget_s 600
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _scene_rgb(pts: np.ndarray) -> np.ndarray:
+    """Procedural radiance: colored spheres + ground; white elsewhere."""
+    spheres = np.array([
+        [0.0, 0.0, 0.0, 0.45, 0.9, 0.1, 0.1],
+        [0.7, 0.3, -0.2, 0.3, 0.1, 0.2, 0.9],
+        [-0.6, 0.4, 0.3, 0.25, 0.1, 0.8, 0.2],
+    ], np.float32)
+    rgb = np.ones((len(pts), 3), np.float32)
+    hit = np.zeros(len(pts), bool)
+    for s in spheres:
+        m = (np.linalg.norm(pts - s[:3], axis=1) < s[3]) & ~hit
+        rgb[m] = s[4:7]
+        hit |= m
+    ground = (pts[:, 1] < -0.55) & ~hit
+    rgb[ground] = [0.4, 0.35, 0.3]
+    return rgb
+
+
+def _ray_gt(o, d, n_march=192):
+    """March the procedural scene to first-hit color (host, numpy)."""
+    t = np.linspace(0.5, 4.5, n_march, dtype=np.float32)
+    pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+    flat = pts.reshape(-1, 3)
+    spheres = np.array([
+        [0.0, 0.0, 0.0, 0.45], [0.7, 0.3, -0.2, 0.3], [-0.6, 0.4, 0.3, 0.25],
+    ], np.float32)
+    inside = np.zeros(len(flat), bool)
+    for s in spheres:
+        inside |= np.linalg.norm(flat - s[:3], axis=1) < s[3]
+    inside |= flat[:, 1] < -0.55
+    inside = inside.reshape(len(o), n_march)
+    first = np.argmax(inside, axis=1)
+    has = inside.any(axis=1)
+    hit_pts = o + d * t[np.where(has, first, 0)][:, None]
+    rgb = _scene_rgb(hit_pts)
+    rgb[~has] = 1.0
+    return rgb
+
+
+def _rig(n_views, side, seed=0):
+    """Orbit cameras looking at the origin; returns rays + gt colors."""
+    from nerfsys_tpu.data.ram_rays import np_get_rays, np_ray_directions
+
+    rng = np.random.default_rng(seed)
+    fov = 0.7
+    fy = side / (2 * np.tan(fov / 2))
+    dirs_cam = np_ray_directions(side, side, fy, fy, side / 2, side / 2)
+    rays_all = []
+    for i in range(n_views):
+        th = 2 * np.pi * i / n_views + rng.uniform(0, 0.1)
+        eye = np.array([2.6 * np.sin(th), 0.8 + 0.3 * np.sin(3 * th),
+                        2.6 * np.cos(th)], np.float32)
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(np.array([0, 1, 0], np.float32), -fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(-fwd, right)
+        c2w = np.stack([right, up, -fwd, eye], axis=1).astype(np.float32)
+        r = np_get_rays(dirs_cam, c2w, aabb=None, near=0.5, far=4.5)
+        rays_all.append(r.reshape(-1, 8))
+    return np.concatenate(rays_all)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", type=int, default=800)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--target_psnr", type=float, default=30.0)
+    ap.add_argument("--budget_s", type=float, default=900.0)
+    ap.add_argument("--batch", type=int, default=65536)
+    ap.add_argument("--samples", type=int, default=96)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        container_bg_fn,
+        container_field_fn,
+        init_container_params,
+        param_group_labels,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.planes import PlaneEncodingConfig
+    from nerfsys_tpu.pipelines.online.runtime_adapt import make_adapt_step
+    from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
+
+    print(f"[fit] building {a.views} views at {a.side}^2 ...")
+    t_data0 = time.perf_counter()
+    rays = _rig(a.views, a.side, a.seed)
+    n_train = rays.shape[0] - a.side * a.side * 2  # last 2 views held out
+    rng = np.random.default_rng(a.seed)
+    # GT via host ray-march, computed lazily per batch (full GT for 15M+
+    # rays would take minutes; the fit only touches a few hundred batches)
+    t_data = time.perf_counter() - t_data0
+    print(f"[fit] {rays.shape[0]:,} rays in {t_data:.1f}s host")
+
+    cfg = ContainerConfig(
+        num_experts=1, boundary_margin=1.0, use_bg_nerf=False,
+        expert=NGPConfig(
+            hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
+            geo_feat_dim=15, xyz_encoding="planes",
+            planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
+                                       features=8, matmul_bwd=True,
+                                       pos_grad=False),
+        ),
+    )
+    statics = ContainerStatics(
+        jnp.zeros((1, 3)),
+        jnp.asarray([[[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]]]),
+        jnp.asarray([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]]),
+    )
+    params = init_container_params(jax.random.PRNGKey(a.seed), cfg)
+    tx = build_optimizer(OptimConfig(outer_steps=20000),
+                         param_group_labels(params))
+    opt_state = tx.init(params)
+    step = make_adapt_step(cfg, tx, ray_samples=a.samples,
+                           color_space="linear", bg_policy="white")
+
+    # eval on 4096 held-out rays from the unseen views
+    ev_idx = rng.choice(np.arange(n_train, rays.shape[0]), 4096,
+                        replace=False)
+    ev_rays = jnp.asarray(rays[ev_idx])
+    ev_rgb = jnp.asarray(_ray_gt(rays[ev_idx, :3], rays[ev_idx, 3:6]))
+
+    from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+    @jax.jit
+    def eval_psnr(p):
+        field = container_field_fn(p, cfg, statics, None)
+        rgb, _, _, _ = render_rays_stratified(
+            field, ev_rays, a.samples, key=jax.random.PRNGKey(0),
+            randomized=False, bg_policy="white",
+            bg_fn=container_bg_fn(p, cfg),
+        )
+        mse = jnp.mean((rgb - ev_rgb) ** 2)
+        return -10.0 * jnp.log10(mse + 1e-24)
+
+    key = jax.random.PRNGKey(a.seed + 1)
+    t0 = time.perf_counter()
+    steps, psnr, hit_time = 0, 0.0, None
+    while time.perf_counter() - t0 < a.budget_s:
+        idx = rng.integers(0, n_train, a.batch)
+        b_rays = rays[idx]
+        b_rgb = _ray_gt(b_rays[:, :3], b_rays[:, 3:6])
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(
+            params, opt_state, statics, jnp.asarray(b_rays),
+            jnp.asarray(b_rgb), k
+        )
+        steps += 1
+        if steps % 50 == 0:
+            psnr = float(eval_psnr(params))
+            el = time.perf_counter() - t0
+            print(f"[fit] step {steps}  {el:.1f}s  heldout psnr {psnr:.2f}")
+            if psnr >= a.target_psnr:
+                hit_time = el
+                break
+
+    if hit_time is None:
+        psnr = float(eval_psnr(params))  # budget exhausted: final score
+    out = {
+        "mode": "fit",
+        "scene": f"procedural {a.views}x{a.side}^2",
+        "target_psnr": a.target_psnr,
+        "reached": hit_time is not None,
+        "seconds_to_target": round(hit_time, 1) if hit_time else None,
+        "final_psnr": round(psnr, 2),
+        "steps": steps,
+        "rays_per_step": a.batch,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
