@@ -47,6 +47,7 @@ def compute_mse_loss(
     occ_on=None,  # traced bool: occupancy grid ready (render_rays dispatch)
     value_fn=None,  # EMA density query: importance-weighted occ sampling
     occ_cdf=None,  # precomputed probe CDF (fixed rays+grid: the inner loop)
+    occ_probe_mask: bool = False,  # interval-bit masking (no grid re-query)
     n_probes: int = 128,
 ) -> Tuple[Array, dict]:
     """Render support/query rays and compute color-space-aligned MSE.
@@ -80,6 +81,7 @@ def compute_mse_loss(
                 randomized=randomized, n_probes=n_probes,
                 bg_policy=bg_policy, bg_fn=bg_fn, sigma_scale=sigma_scale,
                 value_fn=value_fn, cdf_state=occ_cdf,
+                mask_from_probes=occ_probe_mask,
             )
 
         if occ_on is None:

@@ -354,7 +354,10 @@ def occupancy_probe_cdf(
     cdf = jnp.cumsum(w, axis=1)
     cdf = cdf / cdf[:, -1:]
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=1)
-    return {"cdf": cdf, "alive": alive}
+    # probe occupancy kept for interval-resolution sample masking
+    # (mask_from_probes): samples inherit their probe interval's bit, so
+    # the hard sigma-zeroing needs NO per-sample grid re-query
+    return {"cdf": cdf, "alive": alive, "occ": occ}
 
 
 def sample_tvals_from_cdf(
@@ -364,8 +367,15 @@ def sample_tvals_from_cdf(
     n_samples: int,
     key: Optional[jax.Array] = None,
     randomized: bool = False,
-) -> Tuple[Array, Array]:
-    """Pass 2: place S samples by inverse-CDF over the probe intervals."""
+    with_mask: bool = False,
+) -> Tuple[Array, ...]:
+    """Pass 2: place S samples by inverse-CDF over the probe intervals.
+
+    with_mask=True additionally returns each sample's probe-interval
+    occupancy bit (N, S) — the grid-gather-free alternative to re-querying
+    the binary field at every sample point (interval-resolution masking is
+    strictly more conservative than point masking: a sample inside an
+    occupied probe interval keeps its sigma)."""
     cdf, alive = cdf_state["cdf"], cdf_state["alive"]
     N, P = cdf.shape[0], cdf.shape[1] - 1
     dtype = cdf.dtype
@@ -391,8 +401,14 @@ def sample_tvals_from_cdf(
     width = (edges[1] - edges[0])
     s = e_lo + frac * width  # normalized position in [0,1)
     t_vals = near[:, None] + (far - near)[:, None] * s
-    t_vals = jnp.sort(t_vals, axis=1)
-    return t_vals, alive
+    if not with_mask:
+        return jnp.sort(t_vals, axis=1), alive
+    order = jnp.argsort(t_vals, axis=1)
+    t_vals = jnp.take_along_axis(t_vals, order, axis=1)
+    occ = cdf_state["occ"]
+    mask = jnp.take_along_axis(occ, jnp.take_along_axis(idx, order, axis=1),
+                               axis=1)
+    return t_vals, alive, mask
 
 
 def occupancy_sample_tvals(
@@ -447,6 +463,7 @@ def render_rays_occ_field(
     value_fn=None,  # (pts (M,3)) -> (M,) EMA density: importance sampling
     uniform_frac: float = 0.25,
     cdf_state=None,  # precomputed occupancy_probe_cdf (fixed rays + grid)
+    mask_from_probes: bool = False,  # interval-bit masking, no grid re-query
 ):
     """Occupancy-guided dense render of ONE field (no MoE routing).
 
@@ -478,10 +495,16 @@ def render_rays_occ_field(
             binary_fn, o, d, near_s, far_s, n_probes,
             weight_fn=value_fn, uniform_frac=uniform_frac,
         )
-    t_vals, alive = sample_tvals_from_cdf(
-        cdf_state, near_s, far_s, n_samples, key=k_samp,
-        randomized=randomized,
-    )
+    if mask_from_probes:
+        t_vals, alive, occ_mask = sample_tvals_from_cdf(
+            cdf_state, near_s, far_s, n_samples, key=k_samp,
+            randomized=randomized, with_mask=True,
+        )
+    else:
+        t_vals, alive = sample_tvals_from_cdf(
+            cdf_state, near_s, far_s, n_samples, key=k_samp,
+            randomized=randomized,
+        )
     pts = t_to_points(o, d, t_vals)
     dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
 
@@ -489,7 +512,9 @@ def render_rays_occ_field(
     rgb, sigma = field_fn(flat_pts, dirs.reshape(-1, 3))
     rgb = rgb.reshape(n_rays, n_samples, 3)
     sigma = sigma.reshape(n_rays, n_samples)
-    occ_mask = binary_fn(flat_pts).reshape(n_rays, n_samples)
+    if not mask_from_probes:
+        # point-exact masking: one binary-grid gather per sample point
+        occ_mask = binary_fn(flat_pts).reshape(n_rays, n_samples)
     sigma = jnp.where(occ_mask & alive[:, None] & valid[:, None], sigma, 0.0)
 
     if bg_fn is not None:

@@ -56,6 +56,14 @@ class MetaConfig:
     # density-proportional importance sampling inside occupied space (uses
     # the occ grid's EMA values as the pdf; free — no extra MLP evals)
     occ_importance: bool = False
+    # mask sigma by the sample's probe-interval bit instead of re-querying
+    # the binary grid at every sample point: saves one grid gather per
+    # sample per inner iteration; interval-resolution masking is strictly
+    # more conservative (keeps sigma wherever the probe saw occupancy)
+    occ_probe_mask: bool = False
+    # probes per ray for the occupancy CDF (pass 1); 128 matches the occ
+    # grid resolution, 64 halves the probe gather cost at coarser pdf
+    occ_probes: int = 128
     # Evaluate the K expert/region axis with lax.map (serial per-expert
     # programs) instead of vmap. Measured on v5e: 343 vs 536 ms/inner-iter
     # at K=4 — each single-expert program saturates the chip on its own, and
@@ -125,6 +133,8 @@ def _expert_loss_fn(
         occ_on=occ_on,
         value_fn=value_fn,
         occ_cdf=occ_cdf,
+        occ_probe_mask=meta.occ_probe_mask,
+        n_probes=meta.occ_probes,
     )
     return loss, aux
 
@@ -184,7 +194,7 @@ def task_adapt(
         def build_cdf():
             return occupancy_probe_cdf(
                 lambda pts: query_binary(occ_binary, aabb, pts),
-                o, d, near_s, far_s, weight_fn=wfn,
+                o, d, near_s, far_s, meta.occ_probes, weight_fn=wfn,
             )
 
         if occ_on is None:
@@ -192,12 +202,13 @@ def task_adapt(
         else:
             # during stratified warmup the occ branch is never taken; skip
             # the probe pass entirely (lax.cond executes one branch)
-            n = o.shape[0]
+            n, P = o.shape[0], meta.occ_probes
             occ_cdf = jax.lax.cond(
                 occ_on,
                 build_cdf,
-                lambda: {"cdf": jnp.zeros((n, 129), o.dtype),
-                         "alive": jnp.zeros((n,), bool)},
+                lambda: {"cdf": jnp.zeros((n, P + 1), o.dtype),
+                         "alive": jnp.zeros((n,), bool),
+                         "occ": jnp.zeros((n, P), bool)},
             )
 
     def loss_fn(p, k):

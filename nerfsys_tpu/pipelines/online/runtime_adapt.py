@@ -90,7 +90,8 @@ def make_adapt_step(
                 occ_on,
                 build_cdf,
                 lambda: {"cdf": jnp.zeros((o.shape[0], 129), o.dtype),
-                         "alive": jnp.zeros((o.shape[0],), bool)},
+                         "alive": jnp.zeros((o.shape[0],), bool),
+                         "occ": jnp.zeros((o.shape[0], 128), bool)},
             )
 
         def loss_fn(p):

@@ -133,6 +133,8 @@ def meta_config_from_args(P) -> MetaConfig:
         color_space=P.color_space,
         bg_policy=P.bg_color_default,
         occ_importance=getattr(P, "occ_importance", False),
+        occ_probe_mask=getattr(P, "occ_probe_mask", False),
+        occ_probes=int(getattr(P, "occ_probes", 128)),
     )
 
 

@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_submodules", type=int, default=4)
     p.add_argument("--nerf_variant", type=str, default="instant",
                    choices=["instant", "vanilla"])
+    p.add_argument("--occ_probe_mask", action="store_true",
+                   help="mask sigma by the sample's probe-interval bit "
+                        "instead of re-querying the binary grid per sample "
+                        "(saves one grid gather/sample/inner-iter; "
+                        "interval-resolution masking is more conservative)")
+    p.add_argument("--occ_probes", type=int, default=128,
+                   help="probes per ray for the occupancy CDF pass")
     p.add_argument("--routing_policy", type=str, default="dda",
                    choices=["dda", "alpha", "sampled"],
                    help="TaskDataset micro-cell routing: exact DDA traversal "

@@ -411,3 +411,66 @@ def test_update_occ_grid_dilation_applied():
     occupied = int(out["binary"][0].sum())
     raw = int((out["occs"][0] > 0.5).sum())
     assert occupied > raw  # dilation strictly grows the binary support
+
+
+def test_probe_mask_matches_requery_on_interval_aligned_grid():
+    """When occupancy is constant within probe intervals, the probe-interval
+    mask equals the per-sample grid re-query and renders identically."""
+    from nerfsys_tpu.ops.occupancy import render_rays_occ_field
+
+    # slab aligned exactly to probe-interval boundaries: near=0, far=1,
+    # 128 probes -> intervals of 1/128; slab [0.25, 0.5] covers intervals
+    # 32..63 exactly
+    def bin_fn(pts):
+        return (pts[:, 2] >= 0.25) & (pts[:, 2] < 0.5)
+
+    def field(pts, dirs):
+        rgb = jnp.tile(jnp.array([[0.8, 0.2, 0.1]]), (pts.shape[0], 1))
+        sigma = jnp.full((pts.shape[0],), 5.0)
+        return rgb, sigma
+
+    n = 16
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([[0.0, 0, 1.0]], np.float32), (n, 1))
+    nf = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], 1))
+
+    outs = {}
+    for probe_mask in (False, True):
+        outs[probe_mask] = render_rays_occ_field(
+            field, bin_fn, rays, 32, jax.random.PRNGKey(0),
+            randomized=True, mask_from_probes=probe_mask,
+        )
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_probe_mask_is_conservative_superset():
+    """Interval masking keeps sigma wherever the probe saw occupancy, so
+    accumulated opacity can only be >= the point-masked render."""
+    from nerfsys_tpu.ops.occupancy import render_rays_occ_field
+
+    # thin unaligned slab: point re-query zeroes samples that drift out of
+    # the slab inside an occupied interval; interval masking keeps them
+    def bin_fn(pts):
+        return (pts[:, 2] >= 0.301) & (pts[:, 2] < 0.317)
+
+    def field(pts, dirs):
+        return (jnp.ones((pts.shape[0], 3)) * 0.5,
+                jnp.full((pts.shape[0],), 50.0))
+
+    n = 8
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([[0.0, 0, 1.0]], np.float32), (n, 1))
+    nf = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], 1))
+
+    accs = {}
+    for probe_mask in (False, True):
+        _, _, _, acc = render_rays_occ_field(
+            field, bin_fn, rays, 16, jax.random.PRNGKey(3),
+            randomized=True, mask_from_probes=probe_mask,
+        )
+        accs[probe_mask] = np.asarray(acc)
+    assert (accs[True] >= accs[False] - 1e-6).all()
+    assert accs[True].max() > 0
