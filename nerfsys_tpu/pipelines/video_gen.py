@@ -263,7 +263,13 @@ def render_video(ctx) -> Path:
     poses = gen(center, extent, n_poses)
     print(f"[video] path={P.camera_path} frames={len(poses)} {W}x{H}")
 
-    renderer = make_chunk_renderer(cfg, ray_samples=P.ray_samples, bg_policy="white")
+    # occupancy-accelerated frames when the checkpoint carried trained grids
+    # (same dispatch as the eval op; reference render_rays, :564-574)
+    renderer = make_chunk_renderer(
+        cfg, ray_samples=P.ray_samples, bg_policy="white",
+        occ_state=ctx.get("occ_state"),
+        occ_importance=bool(getattr(P, "occ_importance", False)),
+    )
 
     frames = []
     for i, c2w in enumerate(poses):

@@ -313,3 +313,59 @@ def test_region_viz2d_margin_contours(tmp_path):
     out = save_region_viz2d(tmp_path / "r.png", cents, None,
                             cluster_2d=True, boundary_margin=1.3, res=64)
     assert out.stat().st_size > 1_000
+
+
+def test_render_video_e2e_with_occ(tmp_path):
+    """Full render_video drive on a tiny model, occupancy grids attached
+    (the video op must use a checkpoint's trained grids, like eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.pipelines.video_gen import render_video
+    from nerfsys_tpu.utils.config import parse_args
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(hidden=16, sigma_depth=1, color_hidden=16,
+                         color_depth=1, geo_feat_dim=7,
+                         hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                             log2_hashmap_size=8)),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.0, c + 1.0]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    )
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=2,
+                                       warmup_steps=0), 2)
+    occ["binary"] = jnp.ones_like(occ["binary"])
+    occ["num_updates"] = jnp.asarray(10, jnp.int32)
+
+    P = parse_args([
+        "--op", "video", "--data_path", str(tmp_path),
+        "--camera_path", "turntable", "--video_frames", "2",
+        "--video_width", "32", "--video_height", "24",
+        "--ray_samples", "8", "--near", "0.05", "--far", "6.0",
+        "--occ_importance",
+    ])
+    ctx = {
+        "P": P, "cfg": cfg, "statics": statics,
+        "params": init_container_params(jax.random.PRNGKey(0), cfg),
+        "run_dir": tmp_path, "occ_state": occ,
+    }
+    out = render_video(ctx)
+    from pathlib import Path as _P
+
+    out = _P(out)
+    assert out.exists()
+    if out.is_dir():
+        assert len(list(out.glob("*.png"))) == 2
