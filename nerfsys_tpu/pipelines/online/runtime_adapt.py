@@ -46,6 +46,7 @@ def make_adapt_step(
     bg_policy: str = "random",
     active_expert: Optional[int] = None,
     occ_importance: bool = False,
+    occ_probe_mask: bool = False,
 ):
     """Jitted single optimization step over a support-ray batch.
 
@@ -101,7 +102,7 @@ def make_adapt_step(
                 randomized=True, color_space=color_space, bg_policy=bg_policy,
                 bg_fn=container_bg_fn(p, cfg),
                 binary_fn=binary_fn, occ_on=occ_on, value_fn=value_fn,
-                occ_cdf=occ_cdf,
+                occ_cdf=occ_cdf, occ_probe_mask=occ_probe_mask,
             )
             return loss, aux
 
@@ -333,6 +334,7 @@ def runtime_evaluate(
     chunk_rays: int = 65536,
     occ_state=None,
     occ_importance: bool = False,
+    occ_probe_mask: bool = False,
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
 ) -> Dict[str, float]:
     """Adapt on the test images' support rays, then render + score them."""
@@ -360,6 +362,7 @@ def runtime_evaluate(
         adapt_step = make_adapt_step(
             cfg, optimizer, ray_samples=ray_samples, color_space=color_space,
             bg_policy=bg_policy, occ_importance=occ_importance,
+            occ_probe_mask=occ_probe_mask,
         )
     support_ds = RamRaysDataset(
         test_metadata, scene_aabb=global_aabb, near_far_override=(near, far),

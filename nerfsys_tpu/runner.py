@@ -438,6 +438,7 @@ def evaluate(ctx):
             statics=ctx["statics"],
             occ_state=ctx.get("occ_state"),
             occ_importance=getattr(P, "occ_importance", False),
+            occ_probe_mask=getattr(P, "occ_probe_mask", False),
             fim_cfg=fim_cfg,
             optimizer=tx,
             test_metadata=ctx["test_metadata"],
