@@ -48,6 +48,8 @@ def compute_mse_loss(
     value_fn=None,  # EMA density query: importance-weighted occ sampling
     occ_cdf=None,  # precomputed probe CDF (fixed rays+grid: the inner loop)
     occ_probe_mask: bool = False,  # interval-bit masking (no grid re-query)
+    occ_hard_mask: bool = True,  # False: pure importance sampling
+    occ_ray_floor: float = 0.25,  # whole-ray pdf floor in the soft mode
     n_probes: int = 128,
 ) -> Tuple[Array, dict]:
     """Render support/query rays and compute color-space-aligned MSE.
@@ -82,6 +84,8 @@ def compute_mse_loss(
                 bg_policy=bg_policy, bg_fn=bg_fn, sigma_scale=sigma_scale,
                 value_fn=value_fn, cdf_state=occ_cdf,
                 mask_from_probes=occ_probe_mask,
+                hard_mask=occ_hard_mask,
+                ray_floor=0.0 if occ_hard_mask else occ_ray_floor,
             )
 
         if occ_on is None:

@@ -319,9 +319,17 @@ def occupancy_probe_cdf(
     n_probes: int = 128,
     weight_fn: Optional[Callable[[Array], Array]] = None,
     uniform_frac: float = 0.25,
+    ray_floor: float = 0.0,
 ) -> dict:
     """Pass 1 of occupancy sampling: probe the grid along each ray and build
     the per-ray inverse-CDF state {cdf (N, P+1), alive (N,)}.
+
+    `uniform_frac` mixes uniform-over-OCCUPIED-probes into the importance
+    pdf (keeps every marked cell reachable). `ray_floor` additionally mixes
+    uniform-over-the-WHOLE-ray mass, so UNMARKED space stays reachable —
+    required by the soft (no-hard-mask) mode, where the grid only steers
+    placement and field density outside the grid must still receive samples
+    (and gradient) to be correctable.
 
     Split out so callers with FIXED rays and a FIXED grid (the meta inner
     loop: support rays are constant across all inner iterations) can probe
@@ -350,6 +358,9 @@ def occupancy_probe_cdf(
         w = (1.0 - uniform_frac) * imp + uniform_frac * uni
     else:
         w = occf
+    if ray_floor > 0.0:
+        wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+        w = (1.0 - ray_floor) * (w / wsum) + ray_floor / P
     w = w + 1e-12  # avoid all-zero cdf
     cdf = jnp.cumsum(w, axis=1)
     cdf = cdf / cdf[:, -1:]
@@ -464,6 +475,8 @@ def render_rays_occ_field(
     uniform_frac: float = 0.25,
     cdf_state=None,  # precomputed occupancy_probe_cdf (fixed rays + grid)
     mask_from_probes: bool = False,  # interval-bit masking, no grid re-query
+    hard_mask: bool = True,  # False: pure importance sampling, no zeroing
+    ray_floor=None,  # whole-ray uniform pdf floor; default 0.25 when soft
 ):
     """Occupancy-guided dense render of ONE field (no MoE routing).
 
@@ -490,12 +503,17 @@ def render_rays_occ_field(
     k_samp = k_bg = None
     if key is not None:
         k_samp, k_bg = jax.random.split(key)
+    if ray_floor is None:
+        # soft mode needs unmarked space reachable; hard mode would zero
+        # those samples anyway, so a floor would only waste them
+        ray_floor = 0.0 if hard_mask else 0.25
     if cdf_state is None:
         cdf_state = occupancy_probe_cdf(
             binary_fn, o, d, near_s, far_s, n_probes,
             weight_fn=value_fn, uniform_frac=uniform_frac,
+            ray_floor=ray_floor,
         )
-    if mask_from_probes:
+    if mask_from_probes and hard_mask:
         t_vals, alive, occ_mask = sample_tvals_from_cdf(
             cdf_state, near_s, far_s, n_samples, key=k_samp,
             randomized=randomized, with_mask=True,
@@ -512,10 +530,17 @@ def render_rays_occ_field(
     rgb, sigma = field_fn(flat_pts, dirs.reshape(-1, 3))
     rgb = rgb.reshape(n_rays, n_samples, 3)
     sigma = sigma.reshape(n_rays, n_samples)
-    if not mask_from_probes:
-        # point-exact masking: one binary-grid gather per sample point
-        occ_mask = binary_fn(flat_pts).reshape(n_rays, n_samples)
-    sigma = jnp.where(occ_mask & alive[:, None] & valid[:, None], sigma, 0.0)
+    if hard_mask:
+        if not mask_from_probes:
+            # point-exact masking: one binary-grid gather per sample point
+            occ_mask = binary_fn(flat_pts).reshape(n_rays, n_samples)
+        keep = occ_mask & alive[:, None] & valid[:, None]
+    else:
+        # pure importance sampling: the grid only steers sample PLACEMENT;
+        # density is never deleted, so grid imperfections (probe aliasing,
+        # stale cells) cannot erase geometry — only waste a few samples
+        keep = valid[:, None] & jnp.ones_like(sigma, bool)
+    sigma = jnp.where(keep, sigma, 0.0)
 
     if bg_fn is not None:
         bg = bg_fn(d)

@@ -61,6 +61,13 @@ class MetaConfig:
     # sample per inner iteration; interval-resolution masking is strictly
     # more conservative (keeps sigma wherever the probe saw occupancy)
     occ_probe_mask: bool = False
+    # False: occupancy only STEERS sample placement (pure importance
+    # sampling); sigma is never hard-zeroed, so grid imperfections cannot
+    # delete geometry — the quality-first occ mode
+    occ_hard_mask: bool = True
+    # whole-ray uniform pdf floor for the soft mode: keeps unmarked space
+    # sampled (and hence trainable) even when the grid missed it
+    occ_ray_floor: float = 0.25
     # probes per ray for the occupancy CDF (pass 1); 128 matches the occ
     # grid resolution, 64 halves the probe gather cost at coarser pdf
     occ_probes: int = 128
@@ -134,6 +141,8 @@ def _expert_loss_fn(
         value_fn=value_fn,
         occ_cdf=occ_cdf,
         occ_probe_mask=meta.occ_probe_mask,
+        occ_hard_mask=meta.occ_hard_mask,
+        occ_ray_floor=meta.occ_ray_floor,
         n_probes=meta.occ_probes,
     )
     return loss, aux
@@ -195,6 +204,7 @@ def task_adapt(
             return occupancy_probe_cdf(
                 lambda pts: query_binary(occ_binary, aabb, pts),
                 o, d, near_s, far_s, meta.occ_probes, weight_fn=wfn,
+                ray_floor=0.0 if meta.occ_hard_mask else meta.occ_ray_floor,
             )
 
         if occ_on is None:

@@ -47,6 +47,8 @@ def make_adapt_step(
     active_expert: Optional[int] = None,
     occ_importance: bool = False,
     occ_probe_mask: bool = False,
+    occ_hard_mask: bool = True,
+    occ_ray_floor: float = 0.25,
 ):
     """Jitted single optimization step over a support-ray batch.
 
@@ -85,6 +87,7 @@ def make_adapt_step(
             def build_cdf():
                 return occupancy_probe_cdf(
                     binary_fn, o, d, near_s, far_s, weight_fn=value_fn,
+                    ray_floor=0.0 if occ_hard_mask else occ_ray_floor,
                 )
 
             occ_cdf = jax.lax.cond(
@@ -103,6 +106,7 @@ def make_adapt_step(
                 bg_fn=container_bg_fn(p, cfg),
                 binary_fn=binary_fn, occ_on=occ_on, value_fn=value_fn,
                 occ_cdf=occ_cdf, occ_probe_mask=occ_probe_mask,
+                occ_hard_mask=occ_hard_mask, occ_ray_floor=occ_ray_floor,
             )
             return loss, aux
 
@@ -335,6 +339,7 @@ def runtime_evaluate(
     occ_state=None,
     occ_importance: bool = False,
     occ_probe_mask: bool = False,
+    occ_hard_mask: bool = True,
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
 ) -> Dict[str, float]:
     """Adapt on the test images' support rays, then render + score them."""
@@ -362,7 +367,7 @@ def runtime_evaluate(
         adapt_step = make_adapt_step(
             cfg, optimizer, ray_samples=ray_samples, color_space=color_space,
             bg_policy=bg_policy, occ_importance=occ_importance,
-            occ_probe_mask=occ_probe_mask,
+            occ_probe_mask=occ_probe_mask, occ_hard_mask=occ_hard_mask,
         )
     support_ds = RamRaysDataset(
         test_metadata, scene_aabb=global_aabb, near_far_override=(near, far),

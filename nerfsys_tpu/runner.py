@@ -134,6 +134,7 @@ def meta_config_from_args(P) -> MetaConfig:
         bg_policy=P.bg_color_default,
         occ_importance=getattr(P, "occ_importance", False),
         occ_probe_mask=getattr(P, "occ_probe_mask", False),
+        occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
         occ_probes=int(getattr(P, "occ_probes", 128)),
     )
 
@@ -439,6 +440,7 @@ def evaluate(ctx):
             occ_state=ctx.get("occ_state"),
             occ_importance=getattr(P, "occ_importance", False),
             occ_probe_mask=getattr(P, "occ_probe_mask", False),
+            occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
             fim_cfg=fim_cfg,
             optimizer=tx,
             test_metadata=ctx["test_metadata"],

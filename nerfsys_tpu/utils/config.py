@@ -106,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of re-querying the binary grid per sample "
                         "(saves one grid gather/sample/inner-iter; "
                         "interval-resolution masking is more conservative)")
+    p.add_argument("--occ_no_hard_mask", action="store_true",
+                   help="occupancy only steers sample placement (pure "
+                        "importance sampling); never hard-zero sigma")
     p.add_argument("--occ_probes", type=int, default=128,
                    help="probes per ray for the occupancy CDF pass")
     p.add_argument("--routing_policy", type=str, default="dda",

@@ -474,3 +474,38 @@ def test_probe_mask_is_conservative_superset():
         accs[probe_mask] = np.asarray(acc)
     assert (accs[True] >= accs[False] - 1e-6).all()
     assert accs[True].max() > 0
+
+
+def test_no_hard_mask_keeps_density_outside_grid():
+    """Pure importance mode: the grid steers samples but never deletes
+    density — a field with geometry OUTSIDE the marked region still
+    renders opacity there (hard mask would zero it)."""
+    from nerfsys_tpu.ops.occupancy import render_rays_occ_field
+
+    # grid marks only z in [0.6, 0.8]; the field's real density is at
+    # z in [0.2, 0.4] (a stale/imperfect grid)
+    def bin_fn(pts):
+        return (pts[:, 2] >= 0.6) & (pts[:, 2] < 0.8)
+
+    def field(pts, dirs):
+        sig = jnp.where((pts[:, 2] >= 0.2) & (pts[:, 2] < 0.4), 50.0, 0.0)
+        return jnp.ones((pts.shape[0], 3)) * 0.5, sig
+
+    n = 8
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([[0.0, 0, 1.0]], np.float32), (n, 1))
+    nf = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], 1))
+
+    _, _, _, acc_hard = render_rays_occ_field(
+        field, bin_fn, rays, 32, jax.random.PRNGKey(0), randomized=True,
+        hard_mask=True,
+    )
+    _, _, _, acc_soft = render_rays_occ_field(
+        field, bin_fn, rays, 32, jax.random.PRNGKey(0), randomized=True,
+        hard_mask=False,
+    )
+    assert float(np.asarray(acc_hard).max()) < 1e-3  # geometry deleted
+    # pure importance: the uniform_frac floor + misaligned samples still
+    # touch the real geometry -> nonzero opacity survives
+    assert float(np.asarray(acc_soft).max()) > 0.1
