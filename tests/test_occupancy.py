@@ -506,6 +506,43 @@ def test_no_hard_mask_keeps_density_outside_grid():
         hard_mask=False,
     )
     assert float(np.asarray(acc_hard).max()) < 1e-3  # geometry deleted
-    # pure importance: the uniform_frac floor + misaligned samples still
-    # touch the real geometry -> nonzero opacity survives
+    # soft mode: the whole-ray pdf floor (ray_floor) keeps unmarked space
+    # sampled -> the real geometry still produces opacity
     assert float(np.asarray(acc_soft).max()) > 0.1
+
+
+def test_soft_mode_gradient_reaches_unmarked_space():
+    """The point of the soft mode: density OUTSIDE marked cells must
+    receive loss gradient (so a wrong grid is self-correcting), while the
+    hard mask provably blocks it."""
+    from nerfsys_tpu.ops.losses import compute_mse_loss
+
+    def bin_fn(pts):
+        return (pts[:, 2] >= 0.6) & (pts[:, 2] < 0.8)
+
+    n = 16
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([[0.0, 0, 1.0]], np.float32), (n, 1))
+    nf = np.tile(np.array([[0.0, 1.0]], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], 1))
+    gt = jnp.zeros((n, 3))  # target: black -> wants density somewhere
+
+    def loss_of(theta, hard):
+        # theta parameterizes density ONLY inside the unmarked band
+        def field(pts, dirs):
+            sig = jnp.where(
+                (pts[:, 2] >= 0.2) & (pts[:, 2] < 0.4), theta, 0.0
+            )
+            return jnp.zeros((pts.shape[0], 3)), sig
+
+        loss, _ = compute_mse_loss(
+            field, rays, gt, ray_samples=32, key=jax.random.PRNGKey(1),
+            randomized=True, bg_policy="white", binary_fn=bin_fn,
+            occ_hard_mask=hard,
+        )
+        return loss
+
+    g_hard = jax.grad(loss_of)(5.0, True)
+    g_soft = jax.grad(loss_of)(5.0, False)
+    assert float(np.abs(np.asarray(g_hard))) < 1e-9
+    assert float(np.abs(np.asarray(g_soft))) > 1e-5
