@@ -2,9 +2,11 @@
 
 Runs the REAL jitted meta-training step (FoMAML inner loop + outer update) at
 the reference demo scale (configs/train.json: 4 experts, 64-wide MLPs, 4000
-support + 2000 query rays/task, 3 tasks/region, 8 inner iterations, 96
-samples/ray) with synthetic episode data, and reports processed training rays
-per second per chip. Timing uses host-level syncs (float() of the loss) —
+support + 2000 query rays/task, 3 tasks/region, 8 inner iterations) with
+synthetic episode data, and reports processed training rays per second per
+chip. Default sampling is the soft-occupancy path (32 importance samples,
+quality-gated against stratified-96 in BASELINE.md); NERFSYS_BENCH_OCC=0
+selects stratified-96. Timing uses host-level syncs (float() of the loss) —
 block_until_ready alone does not reliably block under the axon backend.
 
 Position encoding is the TPU-recommended factorized plane/line encoder
@@ -43,9 +45,13 @@ def main():
 
     import os
 
-    # occ path pending the demo-scale fixed-eval quality gate (round-2 A/B);
-    # flip the default to occ-32 once BASELINE.md records parity
-    OCC = os.environ.get("NERFSYS_BENCH_OCC", "0") == "1"
+    # Default: the soft-occupancy path (32 importance samples, grid steers
+    # placement only — --occ_no_hard_mask), which passed the round-2
+    # demo-scale fixed-eval gate: best 15.12 dB vs stratified-96's 15.34 at
+    # equal STEPS (2.25x fewer seconds each), ahead at equal wall-clock
+    # (BASELINE.md A/B table). NERFSYS_BENCH_OCC=0 runs the stratified-96
+    # reference-parity config.
+    OCC = os.environ.get("NERFSYS_BENCH_OCC", "1") == "1"
     K, B, S, Q = 4, 3, 4000, 2000
     INNER, SAMPLES = 8, (32 if OCC else 96)
 
@@ -71,7 +77,7 @@ def main():
     params = init_container_params(jax.random.PRNGKey(0), cfg)
     meta = MetaConfig(algo="fomaml", inner_iter=INNER, inner_lr=0.015,
                       ray_samples=SAMPLES,
-                      occ_importance=OCC)
+                      occ_importance=OCC, occ_hard_mask=not OCC)
     tx = build_optimizer(OptimConfig(outer_steps=10000), param_group_labels(params))
     opt_state = tx.init(params)
     step = make_train_step(meta, cfg, tx)

@@ -13,6 +13,7 @@ Both checkpoint formats are exercised: our {prefix}.config.json and the
 reference's pickled argparse `.P` (utils/config.py:225-244).
 """
 import argparse
+from pathlib import Path
 import json
 import random
 
@@ -145,3 +146,21 @@ def test_reference_p_namespace_roundtrip(tmp_path):
     a2 = parse_args(["--checkpoint_path", run, "--prefix", "best",
                      "--use_stored_args"])
     assert a2.outer_steps == 777
+
+
+def test_shipped_train_config_is_soft_occ():
+    """configs/train.json ships the quality-gated soft-occupancy profile
+    (BASELINE.md A/B); train_strat.json keeps stratified-96 parity. Guards
+    the headline default against accidental edits."""
+    from nerfsys_tpu.runner import meta_config_from_args
+
+    root = Path(__file__).resolve().parents[1]
+    P = parse_args(["--configPath", str(root / "configs" / "train.json")])
+    assert P.use_occ and P.occ_importance and P.occ_no_hard_mask
+    assert P.ray_samples == 32 and P.occ_dilate == 1
+    meta = meta_config_from_args(P)
+    assert meta.occ_importance and not meta.occ_hard_mask
+
+    P2 = parse_args(["--configPath", str(root / "configs" / "train_strat.json")])
+    assert not P2.use_occ and P2.ray_samples == 96
+    assert meta_config_from_args(P2).occ_hard_mask
