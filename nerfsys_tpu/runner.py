@@ -135,6 +135,7 @@ def meta_config_from_args(P) -> MetaConfig:
         occ_importance=getattr(P, "occ_importance", False),
         occ_probe_mask=getattr(P, "occ_probe_mask", False),
         occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
+        occ_ray_floor=float(getattr(P, "occ_ray_floor", 0.25)),
         occ_probes=int(getattr(P, "occ_probes", 128)),
     )
 

@@ -109,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--occ_no_hard_mask", action="store_true",
                    help="occupancy only steers sample placement (pure "
                         "importance sampling); never hard-zero sigma")
+    p.add_argument("--occ_ray_floor", type=float, default=0.25,
+                   help="soft mode only: fraction of the sampling pdf "
+                        "spread uniformly over the WHOLE ray so unmarked "
+                        "space stays sampled and trainable")
     p.add_argument("--occ_probes", type=int, default=128,
                    help="probes per ray for the occupancy CDF pass")
     p.add_argument("--routing_policy", type=str, default="dda",
