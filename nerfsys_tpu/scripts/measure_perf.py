@@ -290,14 +290,22 @@ def _bench_cfg():
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["train", "render"], required=True)
+    ap.add_argument("--mode", choices=["train", "render", "moe"],
+                    required=True)
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--samples", type=int, default=96)
     ap.add_argument("--use_occ", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--K", type=int, default=16)
+    ap.add_argument("--experts_per_point", type=int, default=2)
+    ap.add_argument("--capacity_factor", type=float, default=1.5)
     a = ap.parse_args(argv)
     if a.mode == "train":
         measure_train(a.iters)
+    elif a.mode == "moe":
+        measure_moe(a.K, iters=a.iters,
+                    experts_per_point=a.experts_per_point,
+                    capacity_factor=a.capacity_factor)
     else:
         measure_render(a.side, a.samples, a.use_occ, a.iters)
 
