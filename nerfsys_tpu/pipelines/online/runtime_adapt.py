@@ -261,6 +261,16 @@ def make_chunk_renderer(
     return jax.jit(render)
 
 
+def default_chunk_rays(ray_samples: int, budget_pts: int = 3_145_728) -> int:
+    """Largest lane-friendly render chunk whose rays x samples point count
+    stays HBM-resident: a 65536-ray x 96-sample chunk compiles to a ~21 GB
+    program on the 16 GB v5e (measured OOM), while the 48-sample x 65536
+    (3.1M-point) program runs comfortably — so budget 3M points and floor
+    at 4096 rays to keep MXU batches wide."""
+    c = budget_pts // max(int(ray_samples), 1)
+    return int(max(4096, min(65536, (c // 1024) * 1024)))
+
+
 def render_image(
     chunk_renderer,
     params,
@@ -335,7 +345,7 @@ def runtime_evaluate(
     logger=None,
     seed: int = 0,
     lpips_weights_path: Optional[str] = None,
-    chunk_rays: int = 65536,
+    chunk_rays: Optional[int] = None,  # None: HBM-safe default_chunk_rays
     occ_state=None,
     occ_importance: bool = False,
     occ_probe_mask: bool = False,
@@ -344,6 +354,8 @@ def runtime_evaluate(
 ) -> Dict[str, float]:
     """Adapt on the test images' support rays, then render + score them."""
     log = logger.log if logger is not None else print
+    if chunk_rays is None:
+        chunk_rays = default_chunk_rays(ray_samples)
 
     # ---- Phase A: adaptation ----
     log(f"[Phase 1] runtime adaptation, tto={tto_steps}")

@@ -241,6 +241,7 @@ def render_video(ctx) -> Path:
     from nerfsys_tpu.data.image_metadata import ImageMetadata
     from nerfsys_tpu.ops.color_space import linear_to_srgb
     from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        default_chunk_rays,
         make_chunk_renderer,
         render_image,
     )
@@ -281,6 +282,7 @@ def render_video(ctx) -> Path:
         rgb_lin, depth, acc = render_image(
             renderer, params, statics, md, scene_aabb=aabb,
             near=P.near, far=P.far,
+            chunk_rays=default_chunk_rays(P.ray_samples),
         )
         if getattr(P, "suppress_fog", False):
             # acc-based haze blanking (the per-sample entropy variant in

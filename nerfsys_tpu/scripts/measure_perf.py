@@ -144,7 +144,10 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     import jax
     import jax.numpy as jnp
 
-    from nerfsys_tpu.pipelines.online.runtime_adapt import make_chunk_renderer
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        default_chunk_rays,
+        make_chunk_renderer,
+    )
     from nerfsys_tpu.utils.flops import V5E_PEAK_BF16, compiled_flops
 
     _, params, _, statics, _, _ = bench_setup()
@@ -158,8 +161,9 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         occ_state["binary"] = jnp.ones_like(occ_state["binary"])
         occ_state["num_updates"] = jnp.asarray(1000, jnp.int32)
 
-    # renderer over CHUNK-sized ray batches
-    chunk = 65536
+    # renderer over CHUNK-sized ray batches (HBM-safe: 65536 x 96 samples
+    # compiles to a ~21 GB program on the 16 GB v5e — measured OOM)
+    chunk = default_chunk_rays(samples)
     renderer = make_chunk_renderer(
         _bench_cfg(), ray_samples=samples, bg_policy="white",
         occ_state=occ_state, occ_importance=use_occ,
