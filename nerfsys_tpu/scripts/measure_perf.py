@@ -115,15 +115,16 @@ def measure_train(iters: int = 3):
         _sync(aux["loss_out"])
     dt = (time.perf_counter() - t0) / iters
 
-    flops = compiled_flops(step, params, opt_state, statics, batch, key)
-    flops_src = "xla_cost_analysis"
-    if flops is None:
-        flops = analytic_train_step_flops(
-            num_experts=d["K"], tasks_per_expert=d["B"],
-            support_rays=d["S"], query_rays=d["Q"],
-            inner_iter=d["INNER"], ray_samples=d["SAMPLES"],
-        )
-        flops_src = "analytic_matmul_lower_bound"
+    xla_fl = compiled_flops(step, params, opt_state, statics, batch, key)
+    ana_fl = analytic_train_step_flops(
+        num_experts=d["K"], tasks_per_expert=d["B"],
+        support_rays=d["S"], query_rays=d["Q"],
+        inner_iter=d["INNER"], ray_samples=d["SAMPLES"],
+    )
+    # XLA's cost model counts a while/scan BODY once, not per iteration —
+    # under the lax.map expert loop + inner scan it undercounts ~KxINNER.
+    # The analytic matmul count is the honest per-step number; report both.
+    flops = max(ana_fl, xla_fl or 0.0)
 
     rays_per_step = d["K"] * d["B"] * (d["S"] * d["INNER"] + d["Q"])
     out = {
@@ -131,7 +132,8 @@ def measure_train(iters: int = 3):
         "step_seconds": round(dt, 4),
         "rays_per_sec": round(rays_per_step / dt, 1),
         "flops_per_step": flops,
-        "flops_source": flops_src,
+        "flops_analytic_matmul": ana_fl,
+        "flops_xla_cost_analysis_loop_bodies_once": xla_fl,
         "mfu_vs_v5e_bf16_peak": round(mfu(flops, dt, V5E_PEAK_BF16), 5),
         "tflops_per_sec": round(flops / dt / 1e12, 3),
     }

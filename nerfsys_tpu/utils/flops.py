@@ -68,9 +68,11 @@ def analytic_train_step_flops(
     Counts the expert MLP GEMMs per sampled point (sigma trunk + color
     head), x3 for forward+backward (bwd ~ 2x fwd), x inner loop over
     support + one query pass + outer grad. Encoder gathers are excluded
-    (transaction-bound, ~0 FLOPs); the one-hot-matmul table-gradient VJP is
-    NOT counted here, so real device FLOPs are higher — prefer
-    compiled_flops when the backend exposes it.
+    (transaction-bound, ~0 FLOPs); the one-hot-matmul table-gradient VJP
+    is NOT counted, so real device FLOPs are somewhat higher. NOTE:
+    compiled_flops (XLA cost analysis) counts while/scan loop BODIES once
+    rather than per iteration, so under the lax.map expert loop it
+    undercounts ~K x inner_iter — take the max of the two.
     """
     # per-point MLP matmul FLOPs (2*m*n per GEMM row)
     sigma_in = enc_dim
