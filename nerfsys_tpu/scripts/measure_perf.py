@@ -262,16 +262,27 @@ def measure_moe(K: int = 16, n_pts: int = 1_572_864, iters: int = 3,
 
     out = {"mode": "moe", "K": K, "n_pts": n_pts,
            "experts_per_point": experts_per_point}
+    # chunk the point axis inside ONE program (lax.map): dense K=16 over
+    # 1.57M points in a single launch compiles to ~21 GB on the 16 GB v5e
+    # (measured OOM); 8 sequential chunks keep peak activations 1/8th
+    n_chunks = 8
+    assert n_pts % n_chunks == 0
     for label, cfg in (("dense", cfg_dense), ("bucketed", cfg_buck)):
-        f = jax.jit(lambda p, s, x, d, cfg=cfg: container_apply(
-            p, cfg, s, x, d
-        ))
+        def f_chunked(p, s, x, d, cfg=cfg):
+            xs = x.reshape(n_chunks, n_pts // n_chunks, 3)
+            ds = d.reshape(n_chunks, n_pts // n_chunks, 3)
+            return jax.lax.map(
+                lambda xd: container_apply(p, cfg, s, xd[0], xd[1]),
+                (xs, ds),
+            )
+
+        f = jax.jit(f_chunked)
         rgb, sigma = f(params, statics, pts, dirs)
-        _sync(sigma[:1])
+        _sync(sigma[0, :1])
         t0 = time.perf_counter()
         for _ in range(iters):
             rgb, sigma = f(params, statics, pts, dirs)
-            _sync(sigma[:1])
+            _sync(sigma[0, :1])
         out[f"{label}_seconds"] = round((time.perf_counter() - t0) / iters, 4)
     out["speedup"] = round(out["dense_seconds"] / out["bucketed_seconds"], 3)
     print(json.dumps(out))
