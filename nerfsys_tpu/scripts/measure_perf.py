@@ -142,7 +142,7 @@ def measure_train(iters: int = 3):
 
 
 def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
-                   iters: int = 3):
+                   iters: int = 3, top1: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -166,8 +166,18 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     # renderer over CHUNK-sized ray batches (HBM-safe: 65536 x 96 samples
     # compiles to a ~21 GB program on the 16 GB v5e — measured OOM)
     chunk = default_chunk_rays(samples)
+    cfg = _bench_cfg()
+    if top1:
+        # reference-equivalent render routing: each point evaluates ONE
+        # expert (the reference loops experts serially over their own
+        # points, ray_rendering.py:399-471); dense evaluates all K and
+        # blends — 4x the table traffic at K=4
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, bucketed=True, experts_per_point=1,
+                          capacity_factor=1.3)
     renderer = make_chunk_renderer(
-        _bench_cfg(), ray_samples=samples, bg_policy="white",
+        cfg, ray_samples=samples, bg_policy="white",
         occ_state=occ_state, occ_importance=use_occ,
     )
 
@@ -207,6 +217,7 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         "resolution": f"{side}x{side}",
         "samples": samples,
         "use_occ": use_occ,
+        "top1_routing": top1,
         "frame_seconds": round(dt, 4),
         "rays_per_sec": round(n / dt, 1),
         "chunk_flops": fl,
@@ -312,6 +323,7 @@ def main(argv=None):
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--samples", type=int, default=96)
     ap.add_argument("--use_occ", action="store_true")
+    ap.add_argument("--top1", action="store_true")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--K", type=int, default=16)
     ap.add_argument("--experts_per_point", type=int, default=2)
@@ -324,7 +336,7 @@ def main(argv=None):
                     experts_per_point=a.experts_per_point,
                     capacity_factor=a.capacity_factor)
     else:
-        measure_render(a.side, a.samples, a.use_occ, a.iters)
+        measure_render(a.side, a.samples, a.use_occ, a.iters, a.top1)
 
 
 if __name__ == "__main__":
