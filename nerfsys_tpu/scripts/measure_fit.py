@@ -88,8 +88,12 @@ def main(argv=None):
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--target_psnr", type=float, default=30.0)
     ap.add_argument("--budget_s", type=float, default=900.0)
-    ap.add_argument("--batch", type=int, default=65536)
-    ap.add_argument("--samples", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--pool", type=int, default=1_572_864,
+                    help="training rays with precomputed GT (the per-batch "
+                         "host ray-march was the bottleneck: ~7 s/step on "
+                         "the 1-core host vs <1 s device)")
     ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args(argv)
 
@@ -115,10 +119,19 @@ def main(argv=None):
     rays = _rig(a.views, a.side, a.seed)
     n_train = rays.shape[0] - a.side * a.side * 2  # last 2 views held out
     rng = np.random.default_rng(a.seed)
-    # GT via host ray-march, computed lazily per batch (full GT for 15M+
-    # rays would take minutes; the fit only touches a few hundred batches)
+    # GT via host ray-march, precomputed ONCE for a fixed training pool:
+    # marching per batch put ~12M numpy points on the 1-core host inside
+    # every step (~7 s/step measured); the pool amortizes it to data-prep
+    pool_idx = rng.choice(n_train, min(a.pool, n_train), replace=False)
+    pool_rays = rays[pool_idx]
+    gt_chunks = []
+    for s in range(0, len(pool_rays), 131072):
+        c = pool_rays[s:s + 131072]
+        gt_chunks.append(_ray_gt(c[:, :3], c[:, 3:6]))
+    pool_rgb = np.concatenate(gt_chunks)
     t_data = time.perf_counter() - t_data0
-    print(f"[fit] {rays.shape[0]:,} rays in {t_data:.1f}s host")
+    print(f"[fit] {rays.shape[0]:,} rays, GT pool {len(pool_rays):,} "
+          f"in {t_data:.1f}s host")
 
     cfg = ContainerConfig(
         num_experts=1, boundary_margin=1.0, use_bg_nerf=False,
@@ -165,13 +178,11 @@ def main(argv=None):
     t0 = time.perf_counter()
     steps, psnr, hit_time = 0, 0.0, None
     while time.perf_counter() - t0 < a.budget_s:
-        idx = rng.integers(0, n_train, a.batch)
-        b_rays = rays[idx]
-        b_rgb = _ray_gt(b_rays[:, :3], b_rays[:, 3:6])
+        idx = rng.integers(0, len(pool_rays), a.batch)
         key, k = jax.random.split(key)
         params, opt_state, loss = step(
-            params, opt_state, statics, jnp.asarray(b_rays),
-            jnp.asarray(b_rgb), k
+            params, opt_state, statics, jnp.asarray(pool_rays[idx]),
+            jnp.asarray(pool_rgb[idx]), k
         )
         steps += 1
         if steps % 50 == 0:
