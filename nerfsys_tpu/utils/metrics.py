@@ -45,6 +45,10 @@ def _blur(img: Array, kernel: Array) -> Array:
         out = jax.lax.conv_general_dilated(
             x, kernel.reshape(1, 1, k), window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
+            # TPU convs default to bf16 multiplies; the E[x^2]-mu^2 variance
+            # below cancels catastrophically at that precision (measured:
+            # SSIM -5.5 on a real eval image, impossible for bounded inputs)
+            precision=jax.lax.Precision.HIGHEST,
         )
         out = out.reshape(*shape[:-1], shape[-1] - k + 1)
         return jnp.moveaxis(out, -1, axis)
@@ -76,8 +80,11 @@ def ssim(
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
 
-    sigma_xx = _blur(pred * pred, kernel) - mu_xx
-    sigma_yy = _blur(gt * gt, kernel) - mu_yy
+    # true variances are nonnegative; the subtraction can dip below zero
+    # from floating-point cancellation — clamp so the denominator stays
+    # >= c1*c2 and SSIM stays in [-1, 1] for nonnegative inputs
+    sigma_xx = jnp.maximum(_blur(pred * pred, kernel) - mu_xx, 0.0)
+    sigma_yy = jnp.maximum(_blur(gt * gt, kernel) - mu_yy, 0.0)
     sigma_xy = _blur(pred * gt, kernel) - mu_xy
 
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
