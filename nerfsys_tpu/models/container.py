@@ -68,6 +68,16 @@ class ContainerConfig:
     bucketed: bool = False
     experts_per_point: int = 2
     capacity_factor: float = 1.5
+    # Evaluate the stacked expert axis with lax.map (serial single-expert
+    # programs) instead of vmap. Same trade as MetaConfig.expert_map:
+    # batched table gathers under vmap fall off the TPU fast path, so on
+    # one chip K serial programs beat one K-batched program (measured
+    # 295 ms vs 2497 ms for a 3.1M-point dense render chunk at K=4).
+    # MUST be False when the 'expert' mesh axis is sharded — lax.map would
+    # serialize what the mesh parallelizes (runner.maybe_shard_training
+    # flips both this and MetaConfig.expert_map). Runtime perf knob, not
+    # an architecture key: checkpoints are unaffected.
+    expert_map: bool = True
 
     @property
     def bg_enc_dim(self) -> int:
@@ -190,16 +200,24 @@ def _eval_all_experts(
     params: Params, cfg: ContainerConfig, statics: ContainerStatics,
     pts: Array, dirs: Optional[Array],
 ):
-    """vmap over the stacked expert axis -> (rgb (K,N,3), sigma (K,N))."""
+    """Stacked-expert evaluation -> (rgb (K,N,3), sigma (K,N)).
+
+    cfg.expert_map selects lax.map (serial per-expert programs, the
+    single-chip fast path) vs vmap (kept for a sharded expert axis)."""
     apply_fn, density_fn = _expert_apply_fn(cfg)
+    over = jax.lax.map if cfg.expert_map else (
+        lambda f, xs: jax.vmap(lambda p, box: f((p, box)))(*xs)
+    )
     if dirs is None:
-        sigma = jax.vmap(
-            lambda p, box: density_fn(p, cfg.expert, box, pts)
-        )(params["experts"], statics.expert_aabbs)
+        sigma = over(
+            lambda pb: density_fn(pb[0], cfg.expert, pb[1], pts),
+            (params["experts"], statics.expert_aabbs),
+        )
         return None, sigma
-    rgb, sigma = jax.vmap(
-        lambda p, box: apply_fn(p, cfg.expert, box, pts, dirs)
-    )(params["experts"], statics.expert_aabbs)
+    rgb, sigma = over(
+        lambda pb: apply_fn(pb[0], cfg.expert, pb[1], pts, dirs),
+        (params["experts"], statics.expert_aabbs),
+    )
     return rgb, sigma
 
 
@@ -220,8 +238,10 @@ def _bucketed_eval(
          no argsort; C = ceil(N*E/K * capacity_factor), overflow pairs are
          routed to a trash slot (rare under spatial clustering: points near
          a centroid are exactly the points routed to it);
-      3. gather points per bucket, vmap experts over (K, C);
-      4. weighted scatter-add back to the N points (row transactions).
+      3. one packed (pts|dirs) row gather per bucket, experts over (K, C)
+         via lax.map (or vmap when the expert axis is mesh-sharded);
+      4. weighted blend back to the N points as a reshape-sum over each
+         point's E contiguous pair slots (no scatter-add).
     """
     apply_fn, density_fn = _expert_apply_fn(cfg)
     N, K = pts.shape[0], cfg.num_experts
@@ -258,18 +278,27 @@ def _bucketed_eval(
     dest = jnp.where(keep, k_flat * C + slot, trash)
 
     buf_idx = jnp.zeros(K * C + 1, jnp.int32).at[dest].set(n_flat)
-    pts_b = pts[buf_idx[:trash].reshape(K, C)]  # (K, C, 3)
+    bucket_rows = buf_idx[:trash].reshape(K, C)
 
+    over = jax.lax.map if cfg.expert_map else (
+        lambda f, xs: jax.vmap(lambda p, box, x: f((p, box, x)))(*xs)
+    )
     if dirs is None:
-        sigma_b = jax.vmap(
-            lambda p, box, x: density_fn(p, cfg.expert, box, x)
-        )(params["experts"], statics.expert_aabbs, pts_b)  # (K, C)
+        pts_b = pts[bucket_rows]  # (K, C, 3)
+        sigma_b = over(
+            lambda pbx: density_fn(pbx[0], cfg.expert, pbx[1], pbx[2]),
+            (params["experts"], statics.expert_aabbs, pts_b),
+        )  # (K, C)
         rgb_flat = None
     else:
-        dirs_b = dirs[buf_idx[:trash].reshape(K, C)]
-        rgb_b, sigma_b = jax.vmap(
-            lambda p, box, x, d: apply_fn(p, cfg.expert, box, x, d)
-        )(params["experts"], statics.expert_aabbs, pts_b, dirs_b)
+        # one 6-wide row gather instead of separate pts/dirs gathers —
+        # gathers are transaction-rate bound, row width is free
+        pd_b = jnp.concatenate([pts, dirs], axis=1)[bucket_rows]  # (K,C,6)
+        rgb_b, sigma_b = over(
+            lambda pbx: apply_fn(pbx[0], cfg.expert, pbx[1],
+                                 pbx[2][:, 0:3], pbx[2][:, 3:6]),
+            (params["experts"], statics.expert_aabbs, pd_b),
+        )
         rgb_flat = jnp.concatenate(
             [rgb_b.reshape(-1, 3), jnp.zeros((1, 3), rgb_b.dtype)], axis=0
         )
@@ -277,14 +306,15 @@ def _bucketed_eval(
         [sigma_b.reshape(-1), jnp.zeros((1,), sigma_b.dtype)], axis=0
     )
 
+    # n_flat is repeat(arange(N), E): each point's E pair slots are
+    # contiguous, so the blend is a reshape-sum — never a scatter-add
+    # (duplicate-row scatter-adds serialize on TPU; CLAUDE.md)
     wk = jnp.where(keep, w_flat, 0.0)
-    sigma = jnp.zeros((N,), jnp.float32).at[n_flat].add(
-        wk * sigma_flat[dest]
-    )
+    sigma = jnp.sum((wk * sigma_flat[dest]).reshape(N, E), axis=1)
     if rgb_flat is None:
         return None, sigma.astype(pts.dtype)
-    rgb = jnp.zeros((N, 3), jnp.float32).at[n_flat].add(
-        wk[:, None] * rgb_flat[dest]
+    rgb = jnp.sum(
+        (wk[:, None] * rgb_flat[dest]).reshape(N, E, 3), axis=1
     )
     return rgb.astype(pts.dtype), sigma.astype(pts.dtype)
 

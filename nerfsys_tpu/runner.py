@@ -358,8 +358,11 @@ def train(ctx):
     ctx["params"], _mesh = maybe_shard_training(ctx, ctx["params"])
     if _mesh is not None and _mesh.shape.get("expert", 1) > 1:
         # scanning a sharded expert axis would serialize what the mesh
-        # parallelizes; keep vmap there (see MetaConfig.expert_map)
+        # parallelizes; keep vmap there (see MetaConfig.expert_map and
+        # ContainerConfig.expert_map — the latter governs eval/render/occ
+        # paths through container_apply)
         meta = _dc.replace(meta, expert_map=False)
+        ctx["cfg"] = _dc.replace(ctx["cfg"], expert_map=False)
     tx = build_optimizer(opt_cfg, param_group_labels(ctx["params"]))
     opt_state = tx.init(ctx["params"])  # inherits param shardings
     step_fn = make_train_step(meta, ctx["cfg"], tx)

@@ -3,8 +3,19 @@
 Must run before jax is imported anywhere — pytest imports conftest first.
 """
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep the axon TPU plugin OUT of the test process entirely: even with
+# JAX_PLATFORMS=cpu its get_backend hook creates a TPU client, so every
+# "CPU" test run silently connects to the chip — and HANGS whenever the
+# TPU worker is wedged (observed: a killed TPU job wedged the worker and
+# the whole CPU suite froze in make_c_api_client). The plugin registers
+# from /root/.axon_site/sitecustomize.py at interpreter startup (before
+# conftest), so path stripping is too late — deregister the backend
+# factory instead.
+os.environ.pop("PYTHONPATH", None)
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,5 +23,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+from jax._src import xla_bridge as _xb  # noqa: E402
 
+_xb._backend_factories.pop("axon", None)
+# sitecustomize pins jax_platforms='axon' via jax.config at registration,
+# which outlives the env var set above — pin it back
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")

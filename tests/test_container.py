@@ -290,3 +290,27 @@ def test_bucketed_flags_reach_container_config():
     P2.cluster_2d = True
     cfg2 = container_config_from_args(P2)
     assert not cfg2.bucketed
+
+
+def test_expert_map_matches_vmap_dense_and_bucketed():
+    """ContainerConfig.expert_map (lax.map fast path) is bit-compatible
+    with the vmap path kept for sharded expert axes."""
+    import dataclasses as _dc
+
+    st, dense, bucketed, params = _bucket_setup(4, 1.1, capacity_factor=4.0)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-3.5, 3.5, (257, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(257, 3)), jnp.float32)
+
+    for cfg in (dense, bucketed):
+        cfg_v = _dc.replace(cfg, expert_map=False)
+        rgb_m, sig_m = container_apply(params, cfg, st, pts, dirs)
+        rgb_v, sig_v = container_apply(params, cfg_v, st, pts, dirs)
+        np.testing.assert_allclose(np.asarray(rgb_m), np.asarray(rgb_v),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sig_m), np.asarray(sig_v),
+                                   rtol=1e-5, atol=1e-5)
+        sd_m = container_density(params, cfg, st, pts)
+        sd_v = container_density(params, cfg_v, st, pts)
+        np.testing.assert_allclose(np.asarray(sd_m), np.asarray(sd_v),
+                                   rtol=1e-5, atol=1e-5)
