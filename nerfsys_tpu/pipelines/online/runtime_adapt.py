@@ -232,33 +232,49 @@ def make_chunk_renderer(
     active_expert: Optional[int] = None,
     occ_state=None,
     occ_importance: bool = False,
+    mesh=None,
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
     (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
-    in occupied space (reference render_rays occ path)."""
+    in occupied space (reference render_rays occ path).
+
+    With a `jax.sharding.Mesh`, the chunk's ray axis shards over the mesh's
+    'data' axis (params/statics replicated, per-ray work is communication-
+    free) — the same renderer scales a big frame across chips. The chunk
+    size must divide by the 'data' axis length."""
 
     if occ_state is not None:
         from nerfsys_tpu.models.occupancy import render_rays_occ
 
-        def render_occ(params, statics, rays):
+        def render_fn(params, statics, rays):
             rgb, depth, _, acc = render_rays_occ(
                 params, cfg, statics, occ_state, rays, ray_samples,
                 randomized=False, bg_policy=bg_policy,
                 active_expert=active_expert, importance=occ_importance,
             )
             return rgb, depth, acc
+    else:
+        def render_fn(params, statics, rays):
+            field = container_field_fn(params, cfg, statics, active_expert)
+            rgb, depth, _, acc = render_rays_stratified(
+                field, rays, ray_samples, randomized=False,
+                bg_policy=bg_policy, bg_fn=container_bg_fn(params, cfg),
+            )
+            return rgb, depth, acc
 
-        return jax.jit(render_occ)
+    if mesh is None:
+        return jax.jit(render_fn)
 
-    def render(params, statics, rays):
-        field = container_field_fn(params, cfg, statics, active_expert)
-        rgb, depth, _, acc = render_rays_stratified(
-            field, rays, ray_samples, randomized=False, bg_policy=bg_policy,
-            bg_fn=container_bg_fn(params, cfg),
-        )
-        return rgb, depth, acc
+    from nerfsys_tpu.parallel.mesh import ray_batch_sharding, replicated
 
-    return jax.jit(render)
+    ray_sh = ray_batch_sharding(mesh)  # P('data', None)
+    rep = replicated(mesh)
+    out_vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    return jax.jit(
+        render_fn,
+        in_shardings=(rep, rep, ray_sh),
+        out_shardings=(ray_sh, out_vec, out_vec),
+    )
 
 
 def default_chunk_rays(ray_samples: int, budget_pts: int = 3_145_728) -> int:
