@@ -367,6 +367,7 @@ def runtime_evaluate(
     occ_probe_mask: bool = False,
     occ_hard_mask: bool = True,
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
+    mesh=None,  # jax.sharding.Mesh -> Phase-B frames shard over 'data'
 ) -> Dict[str, float]:
     """Adapt on the test images' support rays, then render + score them."""
     log = logger.log if logger is not None else print
@@ -425,7 +426,7 @@ def runtime_evaluate(
     log("[Phase 2] rendering test images")
     renderer = make_chunk_renderer(
         cfg, ray_samples=ray_samples, bg_policy="white", occ_state=occ_state,
-        occ_importance=occ_importance,
+        occ_importance=occ_importance, mesh=mesh,
     )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []

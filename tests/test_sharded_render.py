@@ -103,3 +103,13 @@ def test_sharded_render_bucketed_top1():
     rgb_m, _, _ = sharded(params, st, rays)
     np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_m),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_runner_maybe_render_mesh_flag():
+    from types import SimpleNamespace
+
+    from nerfsys_tpu.runner import _maybe_render_mesh
+
+    assert _maybe_render_mesh(SimpleNamespace(mesh_shape=None)) is None
+    mesh = _maybe_render_mesh(SimpleNamespace(mesh_shape="8"))
+    assert mesh is not None and dict(mesh.shape) == {"data": 8, "expert": 1}
