@@ -196,6 +196,19 @@ def _expert_apply_fn(cfg: ContainerConfig):
     return vanilla_apply, vanilla_density
 
 
+def over_experts(cfg: ContainerConfig):
+    """Map `f(xs_slice)` over the stacked expert axis of the pytree `xs`.
+
+    cfg.expert_map selects serial per-expert lax.map programs (the
+    single-chip fast path — batched table gathers under vmap fall off the
+    TPU fast path) vs vmap (kept when the 'expert' mesh axis is sharded:
+    lax.map would serialize what the mesh parallelizes). One definition so
+    every expert-axis dispatch changes in one place."""
+    if cfg.expert_map:
+        return jax.lax.map
+    return lambda f, xs: jax.vmap(lambda *a: f(a))(*xs)
+
+
 def _eval_all_experts(
     params: Params, cfg: ContainerConfig, statics: ContainerStatics,
     pts: Array, dirs: Optional[Array],
@@ -205,9 +218,7 @@ def _eval_all_experts(
     cfg.expert_map selects lax.map (serial per-expert programs, the
     single-chip fast path) vs vmap (kept for a sharded expert axis)."""
     apply_fn, density_fn = _expert_apply_fn(cfg)
-    over = jax.lax.map if cfg.expert_map else (
-        lambda f, xs: jax.vmap(lambda p, box: f((p, box)))(*xs)
-    )
+    over = over_experts(cfg)
     if dirs is None:
         sigma = over(
             lambda pb: density_fn(pb[0], cfg.expert, pb[1], pts),
@@ -280,9 +291,7 @@ def _bucketed_eval(
     buf_idx = jnp.zeros(K * C + 1, jnp.int32).at[dest].set(n_flat)
     bucket_rows = buf_idx[:trash].reshape(K, C)
 
-    over = jax.lax.map if cfg.expert_map else (
-        lambda f, xs: jax.vmap(lambda p, box, x: f((p, box, x)))(*xs)
-    )
+    over = over_experts(cfg)
     if dirs is None:
         pts_b = pts[bucket_rows]  # (K, C, 3)
         sigma_b = over(

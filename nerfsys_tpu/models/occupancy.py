@@ -129,14 +129,15 @@ def make_occ_update_fn(cfg: ContainerConfig, occ_cfg: OccGridConfig):
             fn = lambda x: density_fn(p_k, cfg.expert, aabb_k, x) * step_size
             return update_occ_grid(state_k, aabb_k, fn, 1.0, occ_cfg, kk, warmup)
 
-        xs = (occ_state["occs"], occ_state["binary"], params["experts"],
-              statics.expert_aabbs, steps, keys)
-        if cfg.expert_map:
-            # field evals at cell centers: per-expert table gathers fall
-            # off the fast path under vmap (ContainerConfig.expert_map)
-            out = jax.lax.map(lambda a: per_expert(*a), xs)
-        else:
-            out = jax.vmap(per_expert)(*xs)
+        from nerfsys_tpu.models.container import over_experts
+
+        # field evals at cell centers: per-expert table gathers fall off
+        # the fast path under vmap (see container.over_experts)
+        out = over_experts(cfg)(
+            lambda a: per_expert(*a),
+            (occ_state["occs"], occ_state["binary"], params["experts"],
+             statics.expert_aabbs, steps, keys),
+        )
         return {
             **occ_state,  # preserve ready_after and any future aux fields
             "occs": out["occs"],

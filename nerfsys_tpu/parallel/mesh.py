@@ -48,6 +48,24 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "expert"))
 
 
+def maybe_render_mesh(P) -> Optional[Mesh]:
+    """Mesh for sharded full-frame rendering (eval/video/viewer): rays shard
+    over 'data' (make_chunk_renderer) when --mesh_shape is set and more than
+    one device is visible. Single device: None (plain jit). Multi-HOST
+    render is not supported: render_image feeds host-local chunks and
+    fetches numpy frames, which cannot span non-addressable devices — each
+    process renders its own frames instead."""
+    if not getattr(P, "mesh_shape", None) or jax.device_count() == 1:
+        return None
+    if jax.process_count() > 1:
+        print("[mesh] sharded rendering skipped: multi-host run "
+              "(frames are process-local)")
+        return None
+    mesh = make_mesh(P.mesh_shape)
+    print(f"[mesh] sharded rendering over {dict(mesh.shape)}")
+    return mesh
+
+
 def batch_sharding(mesh: Mesh) -> Dict[str, NamedSharding]:
     """Episode-batch shardings: shard the per-task RAY axis on 'data'.
 

@@ -270,11 +270,33 @@ def make_chunk_renderer(
     ray_sh = ray_batch_sharding(mesh)  # P('data', None)
     rep = replicated(mesh)
     out_vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
-    return jax.jit(
+    jitted = jax.jit(
         render_fn,
         in_shardings=(rep, rep, ray_sh),
         out_shardings=(ray_sh, out_vec, out_vec),
     )
+    data_axis = mesh.shape["data"]
+    rep_cache = {}  # id(params) -> replicated copy: device_put ONCE per
+    # params version, not a full-pytree broadcast on every chunk call
+
+    def render_sharded(params, statics, rays):
+        if rays.shape[0] % data_axis != 0:
+            raise ValueError(
+                f"render chunk of {rays.shape[0]} rays does not divide the "
+                f"mesh data axis ({data_axis}); pad the chunk or pick a "
+                f"chunk size that is a multiple of the data axis"
+            )
+        key = id(params)
+        if key not in rep_cache:
+            rep_cache.clear()
+            # keep `params` itself in the entry so its id stays pinned
+            # for the cache's lifetime (no id-reuse aliasing after gc)
+            rep_cache[key] = (params, jax.device_put(params, rep),
+                              jax.device_put(statics, rep))
+        _, p_rep, s_rep = rep_cache[key]
+        return jitted(p_rep, s_rep, rays)
+
+    return render_sharded
 
 
 def default_chunk_rays(ray_samples: int, budget_pts: int = 3_145_728) -> int:

@@ -266,13 +266,13 @@ def render_video(ctx) -> Path:
 
     # occupancy-accelerated frames when the checkpoint carried trained grids
     # (same dispatch as the eval op; reference render_rays, :564-574)
-    from nerfsys_tpu.runner import _maybe_render_mesh
+    from nerfsys_tpu.parallel.mesh import maybe_render_mesh
 
     renderer = make_chunk_renderer(
         cfg, ray_samples=P.ray_samples, bg_policy="white",
         occ_state=ctx.get("occ_state"),
         occ_importance=bool(getattr(P, "occ_importance", False)),
-        mesh=_maybe_render_mesh(P),
+        mesh=maybe_render_mesh(P),
     )
 
     frames = []

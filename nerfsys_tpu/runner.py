@@ -416,19 +416,6 @@ def train(ctx):
     return params
 
 
-def _maybe_render_mesh(P):
-    """Mesh for sharded full-frame rendering in eval/video ops: rays shard
-    over 'data' (make_chunk_renderer) when --mesh_shape is set and more
-    than one device is visible. Single device: None (plain jit)."""
-    if not getattr(P, "mesh_shape", None) or jax.device_count() == 1:
-        return None
-    from nerfsys_tpu.parallel.mesh import make_mesh
-
-    mesh = make_mesh(P.mesh_shape)
-    print(f"[mesh] sharded rendering over {dict(mesh.shape)}")
-    return mesh
-
-
 def evaluate(ctx):
     """Per-TTO eval with base-state reset between settings
     (nerf_runner.py:323-368)."""
@@ -436,7 +423,9 @@ def evaluate(ctx):
     base_params = ctx["params"]
     tto_list = [int(t) for t in str(P.tto).split(",") if t != ""]
     opt_cfg = optim_config_from_args(P)
-    render_mesh = _maybe_render_mesh(P)
+    from nerfsys_tpu.parallel.mesh import maybe_render_mesh
+
+    render_mesh = maybe_render_mesh(P)
     rows = []
     for tto in tto_list:
         tx = build_optimizer(

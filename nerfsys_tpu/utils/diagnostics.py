@@ -46,17 +46,22 @@ def _leaf_name(path) -> str:
 
 @jax.jit
 def _leaf_stats(tree):
-    """Per-leaf (norm, mean, std, absmax) as one compiled program."""
+    """Per-leaf (norm, mean, std, absmax), stacked to ONE (L, 4) array so
+    the host fetch is a single transfer (a per-leaf device_get would be
+    one round-trip per leaf — the stall this module exists to avoid)."""
     f32 = lambda x: x.astype(jnp.float32)
-    return jax.tree_util.tree_map(
-        lambda g: jnp.stack([
+
+    def stats(g):
+        if g.size == 0:  # static: zero-size leaf -> all-zero row, not NaN
+            return jnp.zeros((4,), jnp.float32)
+        return jnp.stack([
             jnp.linalg.norm(f32(g).ravel()),
             jnp.mean(f32(g)),
             jnp.std(f32(g)),
-            jnp.max(jnp.abs(f32(g))) if g.size else jnp.zeros(()),
-        ]),
-        tree,
-    )
+            jnp.max(jnp.abs(f32(g))),
+        ])
+
+    return jnp.stack([stats(g) for g in jax.tree_util.tree_leaves(tree)])
 
 
 def grad_summary(grads, params=None, topk: int = 100,
@@ -80,14 +85,12 @@ def grad_summary(grads, params=None, topk: int = 100,
             print(f"[{name}] No valid gradients found.")
         return 0.0
 
-    stats = jax.device_get(_leaf_stats(grads))
-    stat_leaves = jax.tree_util.tree_leaves(stats)
+    stat_leaves = np.asarray(jax.device_get(_leaf_stats(grads)))  # (L, 4)
     names = [_leaf_name(p) for p, _ in leaves_with_path]
 
     param_norms = None
     if params is not None:
-        pstats = jax.device_get(_leaf_stats(params))
-        param_norms = [float(s[0]) for s in jax.tree_util.tree_leaves(pstats)]
+        param_norms = np.asarray(jax.device_get(_leaf_stats(params)))[:, 0]
 
     eps = 1e-12
     rows = []

@@ -108,8 +108,15 @@ def test_sharded_render_bucketed_top1():
 def test_runner_maybe_render_mesh_flag():
     from types import SimpleNamespace
 
-    from nerfsys_tpu.runner import _maybe_render_mesh
+    from nerfsys_tpu.parallel.mesh import maybe_render_mesh
 
-    assert _maybe_render_mesh(SimpleNamespace(mesh_shape=None)) is None
-    mesh = _maybe_render_mesh(SimpleNamespace(mesh_shape="8"))
+    assert maybe_render_mesh(SimpleNamespace(mesh_shape=None)) is None
+    mesh = maybe_render_mesh(SimpleNamespace(mesh_shape="8"))
     assert mesh is not None and dict(mesh.shape) == {"data": 8, "expert": 1}
+
+
+def test_sharded_renderer_rejects_indivisible_chunk():
+    cfg, st, params, rays = _setup()
+    sharded = make_chunk_renderer(cfg, ray_samples=16, mesh=make_mesh("8"))
+    with pytest.raises(ValueError, match="divide"):
+        sharded(params, st, rays[:1023])
