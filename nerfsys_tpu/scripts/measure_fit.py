@@ -33,13 +33,18 @@ def _scene_rgb(pts: np.ndarray) -> np.ndarray:
         m = (np.linalg.norm(pts - s[:3], axis=1) < s[3]) & ~hit
         rgb[m] = s[4:7]
         hit |= m
-    ground = (pts[:, 1] < -0.55) & ~hit
+    # ground DISC bounded inside the scene box: an infinite plane would put
+    # geometry outside the AABB where rays are tagged invalid and render to
+    # background — an irreducible train/GT mismatch
+    disc = np.hypot(pts[:, 0], pts[:, 2]) < 1.1
+    ground = (pts[:, 1] < -0.55) & disc & ~hit
     rgb[ground] = [0.4, 0.35, 0.3]
     return rgb
 
 
-def _ray_gt(o, d, n_march=192):
-    """March the procedural scene to first-hit color (host, numpy)."""
+def _ray_gt(o, d, n_march=192, return_hit=False):
+    """March the procedural scene to first-hit color (host, numpy).
+    return_hit=True also returns the per-ray hit mask (GT alpha)."""
     t = np.linspace(0.5, 4.5, n_march, dtype=np.float32)
     pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
     flat = pts.reshape(-1, 3)
@@ -49,18 +54,26 @@ def _ray_gt(o, d, n_march=192):
     inside = np.zeros(len(flat), bool)
     for s in spheres:
         inside |= np.linalg.norm(flat - s[:3], axis=1) < s[3]
-    inside |= flat[:, 1] < -0.55
+    inside |= (flat[:, 1] < -0.55) & (np.hypot(flat[:, 0], flat[:, 2]) < 1.1)
     inside = inside.reshape(len(o), n_march)
     first = np.argmax(inside, axis=1)
     has = inside.any(axis=1)
     hit_pts = o + d * t[np.where(has, first, 0)][:, None]
     rgb = _scene_rgb(hit_pts)
     rgb[~has] = 1.0
+    if return_hit:
+        return rgb, has
     return rgb
 
 
 def _rig(n_views, side, seed=0):
-    """Orbit cameras looking at the origin; returns rays + gt colors."""
+    """Spiral of inward-looking cameras with elevation diversity.
+
+    A single-elevation ring leaves the field shape-radiance ambiguous:
+    measured on CPU, train PSNR passes 22 dB while UNSEEN-view PSNR stalls
+    near 10 dB for both encoders. Sweeping elevation (two interleaved
+    turns, heights 0.3..1.8) pins the geometry the way the NeRF-synthetic
+    rigs do. Returns packed (N, 8) rays for all views, view-major."""
     from nerfsys_tpu.data.ram_rays import np_get_rays, np_ray_directions
 
     rng = np.random.default_rng(seed)
@@ -69,15 +82,23 @@ def _rig(n_views, side, seed=0):
     dirs_cam = np_ray_directions(side, side, fy, fy, side / 2, side / 2)
     rays_all = []
     for i in range(n_views):
-        th = 2 * np.pi * i / n_views + rng.uniform(0, 0.1)
-        eye = np.array([2.6 * np.sin(th), 0.8 + 0.3 * np.sin(3 * th),
-                        2.6 * np.cos(th)], np.float32)
+        th = 2 * np.pi * (2.0 * i / n_views) + rng.uniform(0, 0.05)
+        frac = i / max(n_views - 1, 1)
+        height = 0.3 + 1.5 * frac  # low ring -> high ring
+        radius = 2.6 - 0.5 * frac  # tighten slightly as we rise
+        eye = np.array([radius * np.sin(th), height,
+                        radius * np.cos(th)], np.float32)
         fwd = -eye / np.linalg.norm(eye)
         right = np.cross(np.array([0, 1, 0], np.float32), -fwd)
         right /= np.linalg.norm(right)
         up = np.cross(-fwd, right)
         c2w = np.stack([right, up, -fwd, eye], axis=1).astype(np.float32)
-        r = np_get_rays(dirs_cam, c2w, aabb=None, near=0.5, far=4.5)
+        # per-ray AABB near/far (slab test): fixed [0.5, 4.5] bounds waste
+        # >half the samples outside the scene box — with 48-64 samples/ray
+        # that halves the effective resolution on the geometry
+        r = np_get_rays(dirs_cam, c2w,
+                        aabb=np.array([[-1.2, -1.2, -1.2],
+                                       [1.2, 1.2, 1.2]], np.float32))
         rays_all.append(r.reshape(-1, 8))
     return np.concatenate(rays_all)
 
@@ -111,35 +132,52 @@ def main(argv=None):
     )
     from nerfsys_tpu.models.ngp import NGPConfig
     from nerfsys_tpu.ops.planes import PlaneEncodingConfig
-    from nerfsys_tpu.pipelines.online.runtime_adapt import make_adapt_step
     from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
 
     print(f"[fit] building {a.views} views at {a.side}^2 ...")
     t_data0 = time.perf_counter()
     rays = _rig(a.views, a.side, a.seed)
-    n_train = rays.shape[0] - a.side * a.side * 2  # last 2 views held out
+    # hold out 2 INTERIOR spiral positions (interleaved, not the spiral's
+    # ends — end views extrapolate past the covered elevations and score
+    # the rig, not the fit)
+    px = a.side * a.side
+    hold = {a.views // 3, (2 * a.views) // 3}
+    train_view_rows = np.concatenate(
+        [np.arange(v * px, (v + 1) * px) for v in range(a.views)
+         if v not in hold])
+    heldout_rows = np.concatenate(
+        [np.arange(v * px, (v + 1) * px) for v in sorted(hold)])
     rng = np.random.default_rng(a.seed)
     # GT via host ray-march, precomputed ONCE for a fixed training pool:
     # marching per batch put ~12M numpy points on the 1-core host inside
     # every step (~7 s/step measured); the pool amortizes it to data-prep
-    pool_idx = rng.choice(n_train, min(a.pool, n_train), replace=False)
+    pool_idx = rng.choice(train_view_rows, min(a.pool, len(train_view_rows)),
+                          replace=False)
     pool_rays = rays[pool_idx]
-    gt_chunks = []
+    gt_chunks, hit_chunks = [], []
     for s in range(0, len(pool_rays), 131072):
         c = pool_rays[s:s + 131072]
-        gt_chunks.append(_ray_gt(c[:, :3], c[:, 3:6]))
+        g, h = _ray_gt(c[:, :3], c[:, 3:6], return_hit=True)
+        gt_chunks.append(g)
+        hit_chunks.append(h)
     pool_rgb = np.concatenate(gt_chunks)
+    pool_hit = np.concatenate(hit_chunks)
     t_data = time.perf_counter() - t_data0
     print(f"[fit] {rays.shape[0]:,} rays, GT pool {len(pool_rays):,} "
           f"in {t_data:.1f}s host")
 
+    # matmul_bwd is the TPU-fast table gradient (one-hot MXU contraction,
+    # R^2-quadratic) — on a CPU host that contraction costs ~100 s/step,
+    # so pick the scatter backward there (identical gradient values)
     cfg = ContainerConfig(
         num_experts=1, boundary_margin=1.0, use_bg_nerf=False,
         expert=NGPConfig(
             hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
             geo_feat_dim=15, xyz_encoding="planes",
             planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
-                                       features=8, matmul_bwd=True,
+                                       features=8,
+                                       matmul_bwd=(jax.default_backend()
+                                                   != "cpu"),
                                        pos_grad=False),
         ),
     )
@@ -152,16 +190,44 @@ def main(argv=None):
     tx = build_optimizer(OptimConfig(outer_steps=20000),
                          param_group_labels(params))
     opt_state = tx.init(params)
-    step = make_adapt_step(cfg, tx, ray_samples=a.samples,
-                           color_space="linear", bg_policy="white")
-
-    # eval on 4096 held-out rays from the unseen views
-    ev_idx = rng.choice(np.arange(n_train, rays.shape[0]), 4096,
-                        replace=False)
-    ev_rays = jnp.asarray(rays[ev_idx])
-    ev_rgb = jnp.asarray(_ray_gt(rays[ev_idx, :3], rays[ev_idx, 3:6]))
 
     from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+    # Alpha-aware random-background supervision (the NeRF-synthetic
+    # training trick; the GT alpha is known for this procedural scene).
+    # Plain white-background MSE lets the field fill empty space with
+    # white fog that matches every TRAIN ray but breaks novel views —
+    # measured: train 19.5 dB with held-out views stuck at 13.8 dB and
+    # mean accumulated opacity 0.70 on a ~30%-geometry view. Compositing
+    # prediction AND target onto the same per-ray random color makes any
+    # nonzero density over background rays immediately visible in the
+    # loss.
+    import optax
+
+    def fit_step(params, opt_state, rays_b, rgb_b, hit_b, key):
+        kbg, ks = jax.random.split(key)
+        bg = jax.random.uniform(kbg, (rays_b.shape[0], 3), jnp.float32)
+
+        def loss_fn(p):
+            field = container_field_fn(p, cfg, statics, None)
+            fg, _, _, acc = render_rays_stratified(
+                field, rays_b, a.samples, key=ks, randomized=True,
+                bg_policy="none",
+            )
+            pred = fg + (1.0 - acc)[:, None] * bg
+            tgt = jnp.where(hit_b[:, None], rgb_b, bg)
+            return jnp.mean((pred - tgt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(fit_step)
+
+    # eval on 4096 held-out rays from the unseen views
+    ev_idx = rng.choice(heldout_rows, 4096, replace=False)
+    ev_rays = jnp.asarray(rays[ev_idx])
+    ev_rgb = jnp.asarray(_ray_gt(rays[ev_idx, :3], rays[ev_idx, 3:6]))
 
     @jax.jit
     def eval_psnr(p):
@@ -181,8 +247,8 @@ def main(argv=None):
         idx = rng.integers(0, len(pool_rays), a.batch)
         key, k = jax.random.split(key)
         params, opt_state, loss = step(
-            params, opt_state, statics, jnp.asarray(pool_rays[idx]),
-            jnp.asarray(pool_rgb[idx]), k
+            params, opt_state, jnp.asarray(pool_rays[idx]),
+            jnp.asarray(pool_rgb[idx]), jnp.asarray(pool_hit[idx]), k
         )
         steps += 1
         if steps % 50 == 0:
