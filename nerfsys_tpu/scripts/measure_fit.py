@@ -66,21 +66,19 @@ def _ray_gt(o, d, n_march=192, return_hit=False):
     return rgb
 
 
-def _rig(n_views, side, seed=0):
+_SCENE_AABB = np.array([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]], np.float32)
+
+
+def _spiral_c2ws(n_views, seed=0):
     """Spiral of inward-looking cameras with elevation diversity.
 
     A single-elevation ring leaves the field shape-radiance ambiguous:
     measured on CPU, train PSNR passes 22 dB while UNSEEN-view PSNR stalls
     near 10 dB for both encoders. Sweeping elevation (two interleaved
     turns, heights 0.3..1.8) pins the geometry the way the NeRF-synthetic
-    rigs do. Returns packed (N, 8) rays for all views, view-major."""
-    from nerfsys_tpu.data.ram_rays import np_get_rays, np_ray_directions
-
+    rigs do."""
     rng = np.random.default_rng(seed)
-    fov = 0.7
-    fy = side / (2 * np.tan(fov / 2))
-    dirs_cam = np_ray_directions(side, side, fy, fy, side / 2, side / 2)
-    rays_all = []
+    c2ws = []
     for i in range(n_views):
         th = 2 * np.pi * (2.0 * i / n_views) + rng.uniform(0, 0.05)
         frac = i / max(n_views - 1, 1)
@@ -92,15 +90,68 @@ def _rig(n_views, side, seed=0):
         right = np.cross(np.array([0, 1, 0], np.float32), -fwd)
         right /= np.linalg.norm(right)
         up = np.cross(-fwd, right)
-        c2w = np.stack([right, up, -fwd, eye], axis=1).astype(np.float32)
-        # per-ray AABB near/far (slab test): fixed [0.5, 4.5] bounds waste
-        # >half the samples outside the scene box — with 48-64 samples/ray
-        # that halves the effective resolution on the geometry
-        r = np_get_rays(dirs_cam, c2w,
-                        aabb=np.array([[-1.2, -1.2, -1.2],
-                                       [1.2, 1.2, 1.2]], np.float32))
+        c2ws.append(np.stack([right, up, -fwd, eye], axis=1).astype(np.float32))
+    return c2ws
+
+
+def _rig(n_views, side, seed=0, pixel_offset=(0.0, 0.0)):
+    """Packed (N, 8) rays for all spiral views, view-major.
+
+    Per-ray AABB near/far via the slab test: fixed [0.5, 4.5] bounds waste
+    >half the samples outside the scene box — with 48-64 samples/ray that
+    halves the effective resolution on the geometry. `pixel_offset` shifts
+    every pixel center by (dx, dy) pixels (sub-pixel rays for GT
+    anti-aliasing)."""
+    from nerfsys_tpu.data.ram_rays import np_get_rays, np_ray_directions
+
+    fov = 0.7
+    fy = side / (2 * np.tan(fov / 2))
+    dx, dy = pixel_offset
+    dirs_cam = np_ray_directions(side, side, fy, fy,
+                                 side / 2 - dx, side / 2 - dy)
+    rays_all = []
+    for c2w in _spiral_c2ws(n_views, seed):
+        r = np_get_rays(dirs_cam, c2w, aabb=_SCENE_AABB)
         rays_all.append(r.reshape(-1, 8))
     return np.concatenate(rays_all)
+
+
+def _gt_for_rows(rows, n_views, side, seed=0, aa=2):
+    """Anti-aliased GT for global ray rows (view-major packing).
+
+    Averages the first-hit color over aa x aa sub-pixel rays per pixel —
+    the binary-edge GT of a single center ray caps achievable PSNR at the
+    silhouettes (a NeRF renders soft edges; real captures are integrated
+    over the pixel footprint). Returns (rgb (R,3), hit_fraction (R,)).
+    Memory-bounded: dirs are built per view (side^2 x 3), never a full
+    offset rig."""
+    from nerfsys_tpu.data.ram_rays import np_ray_directions
+
+    px = side * side
+    fov = 0.7
+    fy = side / (2 * np.tan(fov / 2))
+    c2ws = _spiral_c2ws(n_views, seed)
+    offs = (np.arange(aa) + 0.5) / aa - 0.5 if aa > 1 else np.zeros(1)
+
+    rows = np.asarray(rows)
+    view_of, pix_of = rows // px, rows % px
+    rgb = np.zeros((len(rows), 3), np.float32)
+    hit = np.zeros((len(rows),), np.float32)
+    for v in np.unique(view_of):
+        m = view_of == v
+        R, t = c2ws[v][:3, :3], c2ws[v][:3, 3]
+        for dv in offs:
+            for du in offs:
+                dirs = np_ray_directions(
+                    side, side, fy, fy, side / 2 - du, side / 2 - dv
+                ).reshape(-1, 3)[pix_of[m]]
+                d = dirs @ R.T
+                o = np.broadcast_to(t, d.shape).astype(np.float32)
+                g, h = _ray_gt(o, d.astype(np.float32), return_hit=True)
+                rgb[m] += g
+                hit[m] += h
+    n_sub = len(offs) ** 2
+    return rgb / n_sub, hit / n_sub
 
 
 def main(argv=None):
@@ -116,6 +167,8 @@ def main(argv=None):
                          "host ray-march was the bottleneck: ~7 s/step on "
                          "the 1-core host vs <1 s device)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--gt_aa", type=int, default=2,
+                    help="GT anti-aliasing factor (aa^2 sub-pixel rays)")
     a = ap.parse_args(argv)
 
     import jax
@@ -154,14 +207,9 @@ def main(argv=None):
     pool_idx = rng.choice(train_view_rows, min(a.pool, len(train_view_rows)),
                           replace=False)
     pool_rays = rays[pool_idx]
-    gt_chunks, hit_chunks = [], []
-    for s in range(0, len(pool_rays), 131072):
-        c = pool_rays[s:s + 131072]
-        g, h = _ray_gt(c[:, :3], c[:, 3:6], return_hit=True)
-        gt_chunks.append(g)
-        hit_chunks.append(h)
-    pool_rgb = np.concatenate(gt_chunks)
-    pool_hit = np.concatenate(hit_chunks)
+    # anti-aliased GT (sub-pixel average) + per-ray GT alpha fraction
+    pool_rgb, pool_hit = _gt_for_rows(pool_idx, a.views, a.side, a.seed,
+                                      aa=a.gt_aa)
     t_data = time.perf_counter() - t_data0
     print(f"[fit] {rays.shape[0]:,} rays, GT pool {len(pool_rays):,} "
           f"in {t_data:.1f}s host")
@@ -215,7 +263,11 @@ def main(argv=None):
                 bg_policy="none",
             )
             pred = fg + (1.0 - acc)[:, None] * bg
-            tgt = jnp.where(hit_b[:, None], rgb_b, bg)
+            # GT alpha is a FRACTION under sub-pixel AA: recover the
+            # premultiplied foreground from the white-composited GT
+            # (fg_gt = rgb - (1-alpha)*white), then composite onto bg
+            miss = (1.0 - hit_b)[:, None]
+            tgt = (rgb_b - miss) + miss * bg
             return jnp.mean((pred - tgt) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -227,7 +279,8 @@ def main(argv=None):
     # eval on 4096 held-out rays from the unseen views
     ev_idx = rng.choice(heldout_rows, 4096, replace=False)
     ev_rays = jnp.asarray(rays[ev_idx])
-    ev_rgb = jnp.asarray(_ray_gt(rays[ev_idx, :3], rays[ev_idx, 3:6]))
+    ev_rgb = jnp.asarray(
+        _gt_for_rows(ev_idx, a.views, a.side, a.seed, aa=a.gt_aa)[0])
 
     @jax.jit
     def eval_psnr(p):
