@@ -28,7 +28,32 @@ import time
 import numpy as np
 
 
+def _await_tpu_relay(timeout_s: float = 600.0) -> None:
+    """Fail fast (or wait briefly) instead of hanging when the axon TPU
+    tunnel relay is down: the plugin's client creation blocks forever if
+    nothing listens on the relay port (observed when the host closed the
+    relay's stdio). Only engages when the axon plugin is configured."""
+    import os
+    import socket
+    import sys
+    import time as _t
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # no axon tunnel in this environment (e.g. CPU run)
+    deadline = _t.time() + timeout_s
+    while _t.time() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+                return
+        except OSError:
+            _t.sleep(10)
+    print("bench.py: TPU tunnel relay (127.0.0.1:8082) is not listening; "
+          "refusing to hang in axon client creation", file=sys.stderr)
+    raise SystemExit(1)
+
+
 def main():
+    _await_tpu_relay()
     import jax
     import jax.numpy as jnp
 
