@@ -239,9 +239,14 @@ def make_chunk_renderer(
     in occupied space (reference render_rays occ path).
 
     With a `jax.sharding.Mesh`, the chunk's ray axis shards over the mesh's
-    'data' axis (params/statics replicated, per-ray work is communication-
-    free) — the same renderer scales a big frame across chips. The chunk
-    size must divide by the 'data' axis length."""
+    'data' axis (per-ray work is communication-free) — the same renderer
+    scales a big frame across chips. The chunk size must divide by the
+    'data' axis length. When the mesh also has an 'expert' axis > 1, the
+    stacked expert tables shard across it (expert parallelism for large K:
+    each device holds and evaluates only its experts; XLA inserts the
+    blend's cross-expert reduction) and the expert dispatch switches from
+    lax.map to vmap so the mesh, not a serial scan, walks the expert
+    axis."""
 
     if occ_state is not None:
         from nerfsys_tpu.models.occupancy import render_rays_occ
@@ -265,18 +270,36 @@ def make_chunk_renderer(
     if mesh is None:
         return jax.jit(render_fn)
 
-    from nerfsys_tpu.parallel.mesh import ray_batch_sharding, replicated
+    from nerfsys_tpu.parallel.mesh import (
+        ray_batch_sharding,
+        replicated,
+        shard_params,
+    )
+
+    shard_experts = mesh.shape.get("expert", 1) > 1
+    if shard_experts and cfg.expert_map:
+        # a lax.map scan over a sharded expert axis would serialize what
+        # the mesh parallelizes — rebind the renderer on the vmap path
+        import dataclasses as _dc
+
+        return make_chunk_renderer(
+            _dc.replace(cfg, expert_map=False), ray_samples=ray_samples,
+            bg_policy=bg_policy, active_expert=active_expert,
+            occ_state=occ_state, occ_importance=occ_importance, mesh=mesh,
+        )
 
     ray_sh = ray_batch_sharding(mesh)  # P('data', None)
     rep = replicated(mesh)
     out_vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
     jitted = jax.jit(
         render_fn,
-        in_shardings=(rep, rep, ray_sh),
+        # params/statics shardings inferred from their committed placement
+        # (replicated, or expert-stacked leaves on 'expert')
+        in_shardings=(None, None, ray_sh),
         out_shardings=(ray_sh, out_vec, out_vec),
     )
     data_axis = mesh.shape["data"]
-    rep_cache = {}  # id(params) -> replicated copy: device_put ONCE per
+    rep_cache = {}  # id(params) -> placed copy: device_put ONCE per
     # params version, not a full-pytree broadcast on every chunk call
 
     def render_sharded(params, statics, rays):
@@ -291,8 +314,11 @@ def make_chunk_renderer(
             rep_cache.clear()
             # keep `params` itself in the entry so its id stays pinned
             # for the cache's lifetime (no id-reuse aliasing after gc)
-            rep_cache[key] = (params, jax.device_put(params, rep),
-                              jax.device_put(statics, rep))
+            rep_cache[key] = (
+                params,
+                shard_params(params, mesh, shard_experts=shard_experts),
+                jax.device_put(statics, rep),
+            )
         _, p_rep, s_rep = rep_cache[key]
         return jitted(p_rep, s_rep, rays)
 

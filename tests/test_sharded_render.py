@@ -120,3 +120,41 @@ def test_sharded_renderer_rejects_indivisible_chunk():
     sharded = make_chunk_renderer(cfg, ray_samples=16, mesh=make_mesh("8"))
     with pytest.raises(ValueError, match="divide"):
         sharded(params, st, rays[:1023])
+
+
+def test_expert_sharded_render_matches_single_device():
+    """2x4 ('data' x 'expert') mesh with K=8: expert tables shard across
+    devices, dense and bucketed renders match the single-device output."""
+    rng = np.random.default_rng(7)
+    K = 8
+    cents = jnp.asarray(rng.uniform(-2, 2, (K, 3)), jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.5, c + 1.5]) for c in cents])
+    st = ContainerStatics(cents, boxes,
+                          jnp.asarray([[-3.5, -3.5, -3.5], [3.5, 3.5, 3.5]]))
+    expert = NGPConfig(hidden=8, sigma_depth=1, color_hidden=8, color_depth=1,
+                       geo_feat_dim=3,
+                       hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                           log2_hashmap_size=8))
+    cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
+                          bg_hidden=8)
+    params = init_container_params(jax.random.PRNGKey(7), cfg)
+
+    n = 512
+    o = np.tile([0.0, 0.0, 3.0], (n, 1)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.3
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.tile([0.1, 6.0], (n, 1)).astype(np.float32)], 1))
+
+    mesh = make_mesh("2x4")
+    for c in (cfg, _dc.replace(cfg, bucketed=True, experts_per_point=2,
+                               capacity_factor=3.0)):
+        single = make_chunk_renderer(c, ray_samples=16)
+        sharded = make_chunk_renderer(c, ray_samples=16, mesh=mesh)
+        rgb_s, _, acc_s = single(params, st, rays)
+        rgb_m, _, acc_m = sharded(params, st, rays)
+        np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_m),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(acc_s), np.asarray(acc_m),
+                                   rtol=1e-4, atol=1e-4)
