@@ -281,3 +281,16 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     assert [r["tto"] for r in rows] == [0, 1]
     assert all(np.isfinite(r["psnr"]) for r in rows)
     assert (Path(ctx2["run_dir"]) / "eval_results.json").exists()
+
+    # ---- eval once more with sharded rendering (--mesh_shape over the 8
+    # virtual devices): same checkpoint, PSNR must match the single-device
+    # render to float noise ----
+    P3 = parse_args(argv + [
+        "--op", "eval", "--checkpoint_path", str(run_dir),
+        "--prefix", "last", "--tto", "0", "--cap_images", "1",
+        "--mesh_shape", "8", "--fname", "it_eval_mesh",
+    ])
+    ctx3 = build_context(P3, "eval")
+    rows3 = evaluate(ctx3)
+    assert np.isfinite(rows3[0]["psnr"])
+    np.testing.assert_allclose(rows3[0]["psnr"], rows[0]["psnr"], atol=1e-3)
