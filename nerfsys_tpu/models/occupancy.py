@@ -26,8 +26,9 @@ from nerfsys_tpu.ops.occupancy import (
     OccGridConfig,
     init_occ_state,
     mark_invisible_cells,
-    occupancy_sample_tvals,
+    occupancy_probe_cdf,
     query_binary,
+    sample_tvals_from_cdf,
     update_occ_grid,
 )
 from nerfsys_tpu.ops.volrend import background_rgb, t_to_points, volume_render
@@ -168,6 +169,108 @@ def occ_ready(occ_state: Dict, min_updates: int = 1) -> Array:
 
 
 # --------------------------- occupancy renderer -------------------------------
+def _ray_validity(rays: Array) -> Tuple[Array, Array, Array]:
+    """(valid, near_s, far_s) — shared by the probe/render/dead paths so all
+    three see identical sanitized ray bounds."""
+    near, far = rays[:, 6], rays[:, 7]
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (far < 1e9)
+    return valid, jnp.where(valid, near, 0.0), jnp.where(valid, far, 1.0)
+
+
+def _occ_query_fns(
+    occ_state: Dict,
+    statics: ContainerStatics,
+    active_expert: Optional[int],
+    importance: bool,
+):
+    if active_expert is not None:
+        bin_fn = expert_binary_fn(occ_state, statics, active_expert)
+        val_fn = (expert_value_fn(occ_state, statics, active_expert)
+                  if importance else None)
+    else:
+        bin_fn = union_binary_fn(occ_state, statics)
+        val_fn = union_value_fn(occ_state, statics) if importance else None
+    return bin_fn, val_fn
+
+
+def probe_rays_occ(
+    statics: ContainerStatics,
+    occ_state: Dict,
+    rays: Array,  # (N, 8)
+    *,
+    n_probes: int = 128,
+    active_expert: Optional[int] = None,
+    importance: bool = False,
+    uniform_frac: float = 0.25,
+) -> Tuple[Dict, Array]:
+    """Wave-1 of chunked occupancy rendering: the probe/CDF pass alone.
+
+    Returns (cdf_state, chunk_alive) where chunk_alive is a scalar bool —
+    True iff ANY valid ray hit occupied space. A False chunk renders to
+    exactly the background (render_rays_occ zeroes sigma on dead/invalid
+    rays), so the caller can skip the field eval entirely for it
+    (render_rays_occ_dead) and feed cdf_state to render_rays_occ for the
+    alive ones — zero duplicated probe work, identical math."""
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    valid, near_s, far_s = _ray_validity(rays)
+    bin_fn, val_fn = _occ_query_fns(occ_state, statics, active_expert,
+                                    importance)
+    state = occupancy_probe_cdf(
+        bin_fn, o, d, near_s, far_s, n_probes,
+        weight_fn=val_fn, uniform_frac=uniform_frac,
+    )
+    return state, jnp.any(state["alive"] & valid)
+
+
+def render_rays_occ_dead(
+    params,
+    cfg: ContainerConfig,
+    statics: ContainerStatics,
+    rays: Array,  # (N, 8)
+    n_samples: int,
+    *,
+    n_probes: int = 128,
+    bg_policy: str = "white",
+    use_bg_fn: bool = True,
+    sigma_scale: float = 1.0,
+) -> Tuple[Array, Array, Array, Array]:
+    """Exact render_rays_occ output for a chunk with NO alive ray — no grid
+    probes, no field eval.
+
+    A dead ray's probe weights are exactly 1e-12 everywhere (zero occupancy
+    mass + the all-zero-cdf guard in occupancy_probe_cdf), its sigma is
+    zeroed by the alive mask, and the composited color reduces to the
+    background. This rebuilds that uniform CDF with the same float ops and
+    runs the same sampler + compositor on zero rgb/sigma, so outputs match
+    the full program bit-for-bit. Only background policies that do not read
+    field colors qualify (white/black/none or the learned bg MLP) — callers
+    gate on that (make_chunk_renderer)."""
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    n_rays = o.shape[0]
+    valid, near_s, far_s = _ray_validity(rays)
+
+    # dead-ray CDF exactly as occupancy_probe_cdf builds it (w = 0 + 1e-12)
+    w = jnp.full((n_rays, n_probes), 1e-12, dtype=o.dtype)
+    cdf = jnp.cumsum(w, axis=1)
+    cdf = cdf / cdf[:, -1:]
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=1)
+    state = {
+        "cdf": cdf,
+        "alive": jnp.zeros((n_rays,), bool),
+        "occ": jnp.zeros((n_rays, n_probes), bool),
+    }
+    t_vals, _ = sample_tvals_from_cdf(state, near_s, far_s, n_samples)
+
+    rgb = jnp.zeros((n_rays, n_samples, 3), o.dtype)
+    sigma = jnp.zeros((n_rays, n_samples), o.dtype)
+    if use_bg_fn and cfg.use_bg_nerf and "bg" in params:
+        bg = container_bg_fn(params, cfg)(d)
+    else:
+        bg = background_rgb(bg_policy, n_rays, dtype=rgb.dtype)
+    rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+    return volume_render(rgb_sigma, t_vals, bg_rgb=bg, sigma_scale=sigma_scale)
+
+
 def render_rays_occ(
     params,
     cfg: ContainerConfig,
@@ -185,6 +288,7 @@ def render_rays_occ(
     sigma_scale: float = 1.0,
     importance: bool = False,
     uniform_frac: float = 0.25,
+    cdf_state: Optional[Dict] = None,  # precomputed probe_rays_occ wave-1
 ) -> Tuple[Array, Array, Array, Array]:
     """Dense occupancy-guided MoE render (reference render_rays_occ,
     ray_rendering.py:348-558, without packed samples or segment unions).
@@ -192,30 +296,29 @@ def render_rays_occ(
     Samples concentrate inside the union of expert occupancy fields; sigma is
     additionally masked by the union field at the final sample positions, so
     empty space contributes exactly zero regardless of probe aliasing.
+
+    `cdf_state` skips the probe pass and samples from a CDF already computed
+    by probe_rays_occ on the SAME rays/grid — the render-path analogue of the
+    training loop's per-task probe hoist (meta_core.task_adapt).
     """
     o, d = rays[:, 0:3], rays[:, 3:6]
-    near, far = rays[:, 6], rays[:, 7]
     n_rays = o.shape[0]
+    valid, near_s, far_s = _ray_validity(rays)
 
-    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (far < 1e9)
-    near_s = jnp.where(valid, near, 0.0)
-    far_s = jnp.where(valid, far, 1.0)
-
-    if active_expert is not None:
-        bin_fn = expert_binary_fn(occ_state, statics, active_expert)
-        val_fn = (expert_value_fn(occ_state, statics, active_expert)
-                  if importance else None)
-    else:
-        bin_fn = union_binary_fn(occ_state, statics)
-        val_fn = union_value_fn(occ_state, statics) if importance else None
+    bin_fn, val_fn = _occ_query_fns(occ_state, statics, active_expert,
+                                    importance)
 
     k_samp = k_bg = None
     if key is not None:
         k_samp, k_bg = jax.random.split(key)
-    t_vals, alive = occupancy_sample_tvals(
-        bin_fn, o, d, near_s, far_s, n_samples, n_probes=n_probes,
-        key=k_samp, randomized=randomized, weight_fn=val_fn,
-        uniform_frac=uniform_frac,
+    if cdf_state is None:
+        cdf_state = occupancy_probe_cdf(
+            bin_fn, o, d, near_s, far_s, n_probes,
+            weight_fn=val_fn, uniform_frac=uniform_frac,
+        )
+    t_vals, alive = sample_tvals_from_cdf(
+        cdf_state, near_s, far_s, n_samples, key=k_samp,
+        randomized=randomized,
     )
     pts = t_to_points(o, d, t_vals)  # (N, S, 3)
     dirs = jnp.broadcast_to(d[:, None, :], pts.shape)

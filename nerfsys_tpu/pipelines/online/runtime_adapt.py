@@ -224,6 +224,30 @@ def runtime_adapt(
 
 
 # --------------------------- full-image rendering -----------------------------
+class TwoWaveOccRenderer:
+    """Chunk renderer with exact empty-chunk skipping (occupancy path).
+
+    Callable exactly like the plain jitted renderer (the one-shot program),
+    plus the two-wave surface render_image exploits: `probe` runs only the
+    occupancy probe/CDF pass and reports whether any valid ray is alive;
+    `render_from_cdf` finishes an alive chunk from that CDF (no duplicated
+    probe work); `render_dead` produces the bit-exact background fill for a
+    chunk with zero alive rays WITHOUT evaluating the field — on sky-heavy
+    aerial frames most chunks take this path (design note: NEXT.md round-3
+    item; reference analogue is nerfacc marching emitting zero samples for
+    empty rays, ray_rendering.py:430-443).
+    """
+
+    def __init__(self, full, probe, render_from_cdf, render_dead):
+        self.full = full
+        self.probe = probe
+        self.render_from_cdf = render_from_cdf
+        self.render_dead = render_dead
+
+    def __call__(self, params, statics, rays):
+        return self.full(params, statics, rays)
+
+
 def make_chunk_renderer(
     cfg: ContainerConfig,
     *,
@@ -258,6 +282,48 @@ def make_chunk_renderer(
                 active_expert=active_expert, importance=occ_importance,
             )
             return rgb, depth, acc
+
+        # dead chunks reduce to the background only when the background does
+        # not read field colors ('last_sample' does; 'random' also needs a
+        # key the eval renderer never has). Whether the learned bg MLP is
+        # live depends on params at call time, so gate on the policy alone —
+        # the dead program applies the same bg-MLP-else-policy fallback as
+        # the full one.
+        skippable_bg = bg_policy in ("white", "black", "none")
+        if mesh is None and skippable_bg:
+            from nerfsys_tpu.models.occupancy import (
+                probe_rays_occ,
+                render_rays_occ_dead,
+            )
+
+            def probe_fn(statics, rays):
+                return probe_rays_occ(
+                    statics, occ_state, rays, active_expert=active_expert,
+                    importance=occ_importance,
+                )
+
+            def render_cdf_fn(params, statics, rays, cdf_state):
+                rgb, depth, _, acc = render_rays_occ(
+                    params, cfg, statics, occ_state, rays, ray_samples,
+                    randomized=False, bg_policy=bg_policy,
+                    active_expert=active_expert, importance=occ_importance,
+                    cdf_state=cdf_state,
+                )
+                return rgb, depth, acc
+
+            def render_dead_fn(params, statics, rays):
+                rgb, depth, _, acc = render_rays_occ_dead(
+                    params, cfg, statics, rays, ray_samples,
+                    bg_policy=bg_policy,
+                )
+                return rgb, depth, acc
+
+            return TwoWaveOccRenderer(
+                full=jax.jit(render_fn),
+                probe=jax.jit(probe_fn),
+                render_from_cdf=jax.jit(render_cdf_fn),
+                render_dead=jax.jit(render_dead_fn),
+            )
     else:
         def render_fn(params, statics, rays):
             field = container_field_fn(params, cfg, statics, active_expert)
@@ -362,21 +428,45 @@ def render_image(
     rgb_out = np.zeros((n, 3), np.float32)
     depth_out = np.zeros((n,), np.float32)
     acc_out = np.zeros((n,), np.float32)
-    # dispatch every chunk before fetching any: jax queues the computations
-    # asynchronously, so device compute overlaps the (slow, high-latency)
-    # device->host readbacks; one packed (C, 5) fetch per chunk instead of
-    # three synchronous round-trips
-    pending = []
+
+    chunks = []
     for s in range(0, n, chunk_rays):
         chunk = rays[s : s + chunk_rays]
         pad = chunk_rays - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad, 8), np.float32)], 0)
-        rgb, depth, acc = chunk_renderer(params, statics, jnp.asarray(chunk))
-        packed = jnp.concatenate(
-            [rgb, depth[:, None], acc[:, None]], axis=1
-        )
-        pending.append((s, chunk_rays - pad, packed))
+        chunks.append((s, chunk_rays - pad, jnp.asarray(chunk)))
+
+    # dispatch every chunk before fetching any: jax queues the computations
+    # asynchronously, so device compute overlaps the (slow, high-latency)
+    # device->host readbacks; one packed (C, 5) fetch per chunk instead of
+    # three synchronous round-trips
+    pending = []
+    if getattr(chunk_renderer, "probe", None) is not None:
+        # two-wave occupancy path: wave 1 dispatches all probes and fetches
+        # one bool per chunk; wave 2 renders alive chunks FROM the probe CDF
+        # and fills dead chunks from the background-only program (exact —
+        # dead rays composite to bg in the full program too)
+        probed = [
+            (s, m, dev, chunk_renderer.probe(statics, dev))
+            for s, m, dev in chunks
+        ]
+        for s, m, dev, (cdf_state, alive) in probed:
+            if bool(alive):
+                rgb, depth, acc = chunk_renderer.render_from_cdf(
+                    params, statics, dev, cdf_state
+                )
+            else:
+                rgb, depth, acc = chunk_renderer.render_dead(
+                    params, statics, dev
+                )
+            packed = jnp.concatenate([rgb, depth[:, None], acc[:, None]], 1)
+            pending.append((s, m, packed))
+    else:
+        for s, m, dev in chunks:
+            rgb, depth, acc = chunk_renderer(params, statics, dev)
+            packed = jnp.concatenate([rgb, depth[:, None], acc[:, None]], 1)
+            pending.append((s, m, packed))
     for s, m, packed in pending:
         host = np.asarray(packed)
         rgb_out[s : s + m] = host[:m, 0:3]

@@ -142,7 +142,7 @@ def measure_train(iters: int = 3):
 
 
 def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
-                   iters: int = 3, top1: bool = False):
+                   iters: int = 3, top1: bool = False, sky: float = 0.0):
     import jax
     import jax.numpy as jnp
 
@@ -160,7 +160,24 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         occ_state = init_occ_state(
             OccGridConfig(resolution=64, levels=2, warmup_steps=0), 4
         )
-        occ_state["binary"] = jnp.ones_like(occ_state["binary"])
+        if sky > 0.0:
+            # geometry-shaped grid: only cells whose centers sit below the
+            # level-0 box tops (z <= 2.2) are occupied, so up-pointing rays
+            # above the scene are genuinely dead (an all-ones binary marks
+            # the level-1 halo up to z=3.4 and nothing would skip)
+            from nerfsys_tpu.ops.occupancy import level_aabbs
+
+            K_, L_, R_ = occ_state["binary"].shape[:3]
+            binary = np.zeros(occ_state["binary"].shape, bool)
+            for k in range(K_):
+                la = np.asarray(level_aabbs(statics.expert_aabbs[k], L_))
+                for lv in range(L_):
+                    lo, hi = la[lv, 0, 2], la[lv, 1, 2]
+                    zc = lo + (np.arange(R_) + 0.5) * (hi - lo) / R_
+                    binary[k, lv, :, :, zc <= 2.2] = True
+            occ_state["binary"] = jnp.asarray(binary)
+        else:
+            occ_state["binary"] = jnp.ones_like(occ_state["binary"])
         occ_state["num_updates"] = jnp.asarray(1000, jnp.int32)
 
     # renderer over CHUNK-sized ray batches (HBM-safe: 65536 x 96 samples
@@ -187,20 +204,50 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d[:, 2] = -np.abs(d[:, 2]) - 0.5
     d /= np.linalg.norm(d, axis=1, keepdims=True)
+    if sky > 0.0:
+        # aerial-frame shape: the last `sky` fraction of rows starts above
+        # every expert box and points UP — those chunks are pure background
+        # and the two-wave occupancy renderer skips their field eval
+        i0 = int(n * (1.0 - sky))
+        o[i0:, 2] = 3.0
+        d[i0:, 2] = np.abs(d[i0:, 2]) + 0.5
+        d[i0:] /= np.linalg.norm(d[i0:], axis=1, keepdims=True)
     nf = np.tile(np.array([0.1, 4.5], np.float32), (n, 1))
     rays = np.concatenate([o, d, nf], 1)
 
-    def frame():
-        outs = []
+    two_wave = getattr(renderer, "probe", None) is not None
+    dead_counter = [0]
+
+    def chunks():
         for s in range(0, n, chunk):
             c = rays[s:s + chunk]
             if c.shape[0] < chunk:
                 c = np.concatenate(
                     [c, np.zeros((chunk - c.shape[0], 8), np.float32)]
                 )
-            outs.append(renderer(params, statics, jnp.asarray(c)))
-        # sync on the last chunk's first pixel
-        _sync(outs[-1][0][0, 0])
+            yield jnp.asarray(c)
+
+    def frame():
+        if two_wave:
+            # the exact render_image two-wave flow: probe all chunks, fetch
+            # one bool each, field-eval only the alive ones
+            probed = [(c, renderer.probe(statics, c)) for c in chunks()]
+            outs = []
+            dead = 0
+            for c, (cdf_state, alive) in probed:
+                if bool(alive):
+                    outs.append(
+                        renderer.render_from_cdf(params, statics, c, cdf_state)
+                    )
+                else:
+                    dead += 1
+                    outs.append(renderer.render_dead(params, statics, c))
+            dead_counter[0] = dead
+        else:
+            outs = [renderer(params, statics, c) for c in chunks()]
+        # sync on every chunk's first pixel (a dead chunk can be the last)
+        for out in outs:
+            _sync(out[0][0, 0])
         return outs
 
     frame()  # compile
@@ -208,6 +255,20 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     for _ in range(iters):
         frame()
     dt = (time.perf_counter() - t0) / iters
+
+    dt_full = None
+    if two_wave and sky > 0.0:
+        # same frame through the one-shot program: the skip's denominator
+        def frame_full():
+            outs = [renderer.full(params, statics, c) for c in chunks()]
+            for out in outs:
+                _sync(out[0][0, 0])
+
+        frame_full()  # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            frame_full()
+        dt_full = (time.perf_counter() - t0) / iters
 
     fl = compiled_flops(
         renderer, params, statics, jnp.asarray(rays[:chunk])
@@ -218,7 +279,15 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         "samples": samples,
         "use_occ": use_occ,
         "top1_routing": top1,
+        "sky_fraction": sky,
+        "two_wave": two_wave,
+        "chunks_skipped": dead_counter[0],
+        "chunks_total": int(np.ceil(n / chunk)),
         "frame_seconds": round(dt, 4),
+        "frame_seconds_one_shot": (round(dt_full, 4)
+                                   if dt_full is not None else None),
+        "skip_speedup": (round(dt_full / dt, 3)
+                         if dt_full is not None else None),
         "rays_per_sec": round(n / dt, 1),
         "chunk_flops": fl,
         "tflops_per_sec": (
@@ -324,6 +393,9 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=96)
     ap.add_argument("--use_occ", action="store_true")
     ap.add_argument("--top1", action="store_true")
+    ap.add_argument("--sky", type=float, default=0.0,
+                    help="fraction of rays aimed at empty sky "
+                         "(sizes the two-wave chunk skip)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--K", type=int, default=16)
     ap.add_argument("--experts_per_point", type=int, default=2)
@@ -336,7 +408,8 @@ def main(argv=None):
                     experts_per_point=a.experts_per_point,
                     capacity_factor=a.capacity_factor)
     else:
-        measure_render(a.side, a.samples, a.use_occ, a.iters, a.top1)
+        measure_render(a.side, a.samples, a.use_occ, a.iters, a.top1,
+                       sky=a.sky)
 
 
 if __name__ == "__main__":

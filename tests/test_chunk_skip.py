@@ -1,0 +1,185 @@
+"""Exact empty-chunk skipping in the occupancy render path.
+
+Wave 1 probes each render chunk (cheap grid gathers only) and wave 2 skips
+the field eval for chunks with zero alive rays — their render_rays_occ
+output is exactly the background fill (dead/invalid rays get sigma zeroed).
+These tests pin the equivalences the skip relies on:
+  - probe + render_from_cdf == the one-shot occ render (the CDF hoist);
+  - render_rays_occ_dead == the one-shot render on an all-dead chunk;
+  - render_image's two-wave path == its plain per-chunk path, with both
+    alive and dead chunks present in the frame.
+"""
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    init_container_params,
+)
+from nerfsys_tpu.models.ngp import NGPConfig
+from nerfsys_tpu.models.occupancy import (
+    probe_rays_occ,
+    render_rays_occ,
+    render_rays_occ_dead,
+)
+from nerfsys_tpu.ops.encodings import HashGridConfig
+from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+from nerfsys_tpu.pipelines.online.runtime_adapt import (
+    TwoWaveOccRenderer,
+    make_chunk_renderer,
+    render_image,
+)
+
+
+def _setup(K=2, seed=0, occupied_experts=(0,)):
+    """Two experts at y=-1 / y=+1; only `occupied_experts` have marked
+    cells, so rays aimed at the other box (or past both) are dead."""
+    rng = np.random.default_rng(seed)
+    cents = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)[:K]
+    boxes = jnp.stack([jnp.stack([c - 1.2, c + 1.2]) for c in cents])
+    st = ContainerStatics(cents, boxes,
+                          jnp.asarray([[-2.5, -2.5, -2.5], [2.5, 2.5, 2.5]]))
+    expert = NGPConfig(hidden=8, sigma_depth=1, color_hidden=8, color_depth=1,
+                       geo_feat_dim=3,
+                       hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                           log2_hashmap_size=8))
+    cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
+                          bg_hidden=8)
+    params = init_container_params(jax.random.PRNGKey(seed), cfg)
+
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=1,
+                                       warmup_steps=0), K)
+    binary = np.zeros(occ["binary"].shape, bool)
+    for k in occupied_experts:
+        binary[k] = True
+    occ["binary"] = jnp.asarray(binary)
+    occ["occs"] = jnp.where(occ["binary"], 0.5, 0.0)
+    occ["num_updates"] = jnp.asarray(10, jnp.int32)
+    return cfg, st, params, occ, rng
+
+
+def _rays_at(rng, n, target_y, spread=0.3):
+    """Rays from above aimed at (0, target_y, 0)."""
+    o = np.tile([0.0, float(target_y), 3.0], (n, 1)).astype(np.float32)
+    o[:, :2] += rng.normal(scale=0.1, size=(n, 2))
+    d = np.zeros((n, 3), np.float32)
+    d[:, 2] = -1.0
+    d[:, :2] = rng.normal(scale=spread, size=(n, 2))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile([0.5, 6.0], (n, 1)).astype(np.float32)
+    return jnp.asarray(np.concatenate([o, d, nf], 1))
+
+
+def test_probe_then_render_matches_one_shot():
+    cfg, st, params, occ, rng = _setup()
+    rays = _rays_at(rng, 256, target_y=-1.0)
+
+    full = jax.jit(lambda p, s, r: render_rays_occ(
+        p, cfg, s, occ, r, 16, bg_policy="white", importance=True))
+    cdf_state, alive = jax.jit(lambda s, r: probe_rays_occ(
+        s, occ, r, importance=True))(st, rays)
+    assert bool(alive)
+    split = jax.jit(lambda p, s, r, c: render_rays_occ(
+        p, cfg, s, occ, r, 16, bg_policy="white", importance=True,
+        cdf_state=c))
+    rgb_f, depth_f, _, acc_f = full(params, st, rays)
+    rgb_s, depth_s, _, acc_s = split(params, st, rays, cdf_state)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_s),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_s),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_f), np.asarray(acc_s),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dead_chunk_program_matches_full_render():
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    # aim every ray at the UNoccupied expert's box: probes all miss
+    rays = _rays_at(rng, 256, target_y=1.0, spread=0.05)
+    _, alive = probe_rays_occ(st, occ, rays, importance=True)
+    assert not bool(alive)
+
+    rgb_f, depth_f, _, acc_f = render_rays_occ(
+        params, cfg, st, occ, rays, 16, bg_policy="white", importance=True)
+    rgb_d, depth_d, _, acc_d = render_rays_occ_dead(
+        params, cfg, st, rays, 16, bg_policy="white")
+    np.testing.assert_array_equal(np.asarray(rgb_f), np.asarray(rgb_d))
+    np.testing.assert_array_equal(np.asarray(depth_f), np.asarray(depth_d))
+    np.testing.assert_array_equal(np.asarray(acc_f), np.asarray(acc_d))
+
+
+def test_dead_chunk_invalid_rays_and_bg_nerf():
+    """Padding rays (all-zero => invalid) and the learned background both go
+    through the dead program unchanged."""
+    cfg, st, params, occ, rng = _setup()
+    rays = np.array(_rays_at(rng, 64, target_y=1.0, spread=0.05))
+    rays[::3] = 0.0  # invalid padding rays
+    rays = jnp.asarray(rays)
+    _, alive = probe_rays_occ(st, occ, rays)
+    assert not bool(alive)
+    assert cfg.use_bg_nerf and "bg" in params
+    rgb_f, depth_f, _, acc_f = render_rays_occ(
+        params, cfg, st, occ, rays, 16)
+    rgb_d, depth_d, _, acc_d = render_rays_occ_dead(
+        params, cfg, st, rays, 16)
+    np.testing.assert_array_equal(np.asarray(rgb_f), np.asarray(rgb_d))
+    np.testing.assert_array_equal(np.asarray(depth_f), np.asarray(depth_d))
+    np.testing.assert_array_equal(np.asarray(acc_f), np.asarray(acc_d))
+
+
+def test_render_image_two_wave_matches_plain():
+    from nerfsys_tpu.data.image_metadata import ImageMetadata
+
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    renderer = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                   occ_importance=True)
+    assert isinstance(renderer, TwoWaveOccRenderer)
+
+    # camera above the scene looking straight down (-z); image rows sweep
+    # world y, so some chunks cover only the unoccupied half
+    c2w = np.array([[1, 0, 0, 0.0],
+                    [0, 1, 0, 0.0],
+                    [0, 0, 1, 3.0]], np.float32)
+    md = ImageMetadata(image_path=Path("/dev/null"), c2w=c2w, W=16, H=16,
+                       intrinsics=np.array([8.0, 8.0, 8.0, 8.0], np.float32),
+                       image_index=0)
+    aabb = np.asarray(st.global_aabb)
+
+    kw = dict(scene_aabb=aabb, near=0.5, far=8.0, chunk_rays=32)
+    rgb2, depth2, acc2 = render_image(renderer, params, st, md, **kw)
+    rgb1, depth1, acc1 = render_image(renderer.full, params, st, md, **kw)
+    np.testing.assert_allclose(rgb2, rgb1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(depth2, depth1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(acc2, acc1, rtol=1e-6, atol=1e-6)
+
+    # the frame must actually exercise BOTH chunk kinds
+    from nerfsys_tpu.data.ram_rays import (
+        np_clamp_rays,
+        np_get_rays,
+        np_ray_directions,
+    )
+
+    dirs = np_ray_directions(md.H, md.W, 8.0, 8.0, 8.0, 8.0,
+                             center_pixels=True)
+    rays = np_get_rays(dirs, md.c2w, aabb=aabb, near=0.5, far=8.0)
+    rays, _ = np_clamp_rays(rays.reshape(-1, 8).astype(np.float32), 0.5, 8.0)
+    flags = []
+    for s in range(0, rays.shape[0], 32):
+        _, alive = renderer.probe(st, jnp.asarray(rays[s:s + 32]))
+        flags.append(bool(alive))
+    assert any(flags) and not all(flags), flags
+
+
+def test_two_wave_gating():
+    """last_sample backgrounds read field colors — no skip; mesh path keeps
+    the one-shot renderer."""
+    cfg, st, params, occ, _ = _setup()
+    r = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                            bg_policy="last_sample")
+    assert not isinstance(r, TwoWaveOccRenderer)
+    assert getattr(r, "probe", None) is None
