@@ -238,11 +238,16 @@ class TwoWaveOccRenderer:
     empty rays, ray_rendering.py:430-443).
     """
 
-    def __init__(self, full, probe, render_from_cdf, render_dead):
+    def __init__(self, full, probe, render_from_cdf, render_dead,
+                 packable=True):
         self.full = full
         self.probe = probe
         self.render_from_cdf = render_from_cdf
         self.render_dead = render_dead
+        # ray packing re-batches rays across chunk boundaries; exact only
+        # when per-ray outputs are batch-independent (bucketed MoE capacity
+        # overflow depends on chunk composition -> not packable)
+        self.packable = packable
 
     def __call__(self, params, statics, rays):
         return self.full(params, statics, rays)
@@ -323,6 +328,7 @@ def make_chunk_renderer(
                 probe=jax.jit(probe_fn),
                 render_from_cdf=jax.jit(render_cdf_fn),
                 render_dead=jax.jit(render_dead_fn),
+                packable=not cfg.bucketed,
             )
     else:
         def render_fn(params, statics, rays):
@@ -424,59 +430,122 @@ def render_image(
     rays = rays.reshape(-1, 8).astype(np.float32)
     rays, _ = np_clamp_rays(rays, near, far)
 
-    n = rays.shape[0]
-    rgb_out = np.zeros((n, 3), np.float32)
-    depth_out = np.zeros((n,), np.float32)
-    acc_out = np.zeros((n,), np.float32)
-
-    chunks = []
-    for s in range(0, n, chunk_rays):
-        chunk = rays[s : s + chunk_rays]
-        pad = chunk_rays - chunk.shape[0]
-        if pad:
-            chunk = np.concatenate([chunk, np.zeros((pad, 8), np.float32)], 0)
-        chunks.append((s, chunk_rays - pad, jnp.asarray(chunk)))
-
-    # dispatch every chunk before fetching any: jax queues the computations
-    # asynchronously, so device compute overlaps the (slow, high-latency)
-    # device->host readbacks; one packed (C, 5) fetch per chunk instead of
-    # three synchronous round-trips
-    pending = []
-    if getattr(chunk_renderer, "probe", None) is not None:
-        # two-wave occupancy path: wave 1 dispatches all probes and fetches
-        # one bool per chunk; wave 2 renders alive chunks FROM the probe CDF
-        # and fills dead chunks from the background-only program (exact —
-        # dead rays composite to bg in the full program too)
-        probed = [
-            (s, m, dev, chunk_renderer.probe(statics, dev))
-            for s, m, dev in chunks
-        ]
-        for s, m, dev, (cdf_state, alive) in probed:
-            if bool(alive):
-                rgb, depth, acc = chunk_renderer.render_from_cdf(
-                    params, statics, dev, cdf_state
-                )
-            else:
-                rgb, depth, acc = chunk_renderer.render_dead(
-                    params, statics, dev
-                )
-            packed = jnp.concatenate([rgb, depth[:, None], acc[:, None]], 1)
-            pending.append((s, m, packed))
-    else:
-        for s, m, dev in chunks:
-            rgb, depth, acc = chunk_renderer(params, statics, dev)
-            packed = jnp.concatenate([rgb, depth[:, None], acc[:, None]], 1)
-            pending.append((s, m, packed))
-    for s, m, packed in pending:
-        host = np.asarray(packed)
-        rgb_out[s : s + m] = host[:m, 0:3]
-        depth_out[s : s + m] = host[:m, 3]
-        acc_out[s : s + m] = host[:m, 4]
+    out = render_rays_chunked(chunk_renderer, params, statics, rays,
+                              chunk_rays)
     return (
-        rgb_out.reshape(H, W, 3),
-        depth_out.reshape(H, W),
-        acc_out.reshape(H, W),
+        out[:, 0:3].reshape(H, W, 3).copy(),
+        out[:, 3].reshape(H, W).copy(),
+        out[:, 4].reshape(H, W).copy(),
     )
+
+
+def _pad_chunk(chunk: np.ndarray, chunk_rays: int) -> np.ndarray:
+    pad = chunk_rays - chunk.shape[0]
+    if pad:
+        chunk = np.concatenate([chunk, np.zeros((pad, 8), np.float32)], 0)
+    return chunk
+
+
+def _pack5(rgb, depth, acc):
+    return jnp.concatenate([rgb, depth[:, None], acc[:, None]], 1)
+
+
+def render_rays_chunked(
+    chunk_renderer,
+    params,
+    statics: ContainerStatics,
+    rays: np.ndarray,  # (n, 8) float32, host
+    chunk_rays: int,
+    stats: Optional[dict] = None,
+) -> np.ndarray:
+    """Render an arbitrary ray batch through fixed-size padded chunks.
+
+    Returns (n, 5) float32 [rgb, depth, acc] on host. Every chunk is
+    dispatched before any fetch so device compute overlaps the high-latency
+    device->host readbacks (one packed fetch per chunk, not three).
+
+    With a TwoWaveOccRenderer, wave 1 probes every chunk's occupancy CDF and
+    fetches the per-ray alive bits; wave 2 then picks per frame:
+      - ray packing (renderer.packable and it saves field-eval launches):
+        alive rays from the whole frame are re-batched into dense chunks —
+        field-eval cost scales with alive RAYS, not alive chunks, which is
+        what matters when sky interleaves with geometry inside every chunk.
+        Exact because per-ray outputs are batch-independent.
+      - chunk skipping otherwise: alive chunks render FROM the wave-1 CDF
+        (zero duplicated probe work), dead chunks from the background-only
+        program (bit-exact, tests/test_chunk_skip.py).
+    """
+    n = rays.shape[0]
+    out = np.zeros((n, 5), np.float32)
+    if stats is None:
+        stats = {}
+    spans = [(s, min(chunk_rays, n - s)) for s in range(0, n, chunk_rays)]
+    stats.update(chunks_total=len(spans), mode="plain", chunks_skipped=0)
+
+    if getattr(chunk_renderer, "probe", None) is None:
+        pending = []
+        for s, m in spans:
+            dev = jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays))
+            rgb, depth, acc = chunk_renderer(params, statics, dev)
+            pending.append((s, m, _pack5(rgb, depth, acc)))
+        for s, m, packed in pending:
+            out[s : s + m] = np.asarray(packed)[:m]
+        return out
+
+    # ---- wave 1: probe every chunk, fetch per-ray alive bits ----
+    probed = []
+    for s, m in spans:
+        dev = jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays))
+        probed.append((s, m, dev, chunk_renderer.probe(statics, dev)))
+    alive = np.zeros(n, bool)
+    for s, m, _, (cdf_state, _) in probed:
+        alive[s : s + m] = np.asarray(cdf_state["alive"])[:m]
+    near, far = rays[:, 6], rays[:, 7]
+    alive &= np.isfinite(near) & np.isfinite(far) & (far > near) & (far < 1e9)
+
+    alive_chunks = sum(1 for s, m in spans if alive[s : s + m].any())
+    n_alive = int(alive.sum())
+    packed_chunks = -(-n_alive // chunk_rays) if n_alive else 0
+
+    pending = []  # (index_array | slice_start+len, device (C,5))
+    if getattr(chunk_renderer, "packable", False) and (
+        packed_chunks < alive_chunks
+    ):
+        # ---- ray packing: field-eval launches = ceil(alive / chunk) ----
+        stats.update(mode="packed", packed_chunks=packed_chunks,
+                     alive_chunks=alive_chunks, n_alive=n_alive)
+        idx_alive = np.flatnonzero(alive)
+        idx_dead = np.flatnonzero(~alive)
+        for s in range(0, len(idx_alive), chunk_rays):
+            ids = idx_alive[s : s + chunk_rays]
+            dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
+            rgb, depth, acc = chunk_renderer.full(params, statics, dev)
+            pending.append((ids, _pack5(rgb, depth, acc)))
+        for s in range(0, len(idx_dead), chunk_rays):
+            ids = idx_dead[s : s + chunk_rays]
+            dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
+            rgb, depth, acc = chunk_renderer.render_dead(params, statics, dev)
+            pending.append((ids, _pack5(rgb, depth, acc)))
+        for ids, packed in pending:
+            out[ids] = np.asarray(packed)[: len(ids)]
+        return out
+
+    # ---- chunk skipping from the hoisted CDF ----
+    skipped = 0
+    for s, m, dev, (cdf_state, _) in probed:
+        if alive[s : s + m].any():
+            rgb, depth, acc = chunk_renderer.render_from_cdf(
+                params, statics, dev, cdf_state
+            )
+        else:
+            skipped += 1
+            rgb, depth, acc = chunk_renderer.render_dead(params, statics, dev)
+        pending.append((s, m, _pack5(rgb, depth, acc)))
+    stats.update(mode="two_wave", chunks_skipped=skipped,
+                 alive_chunks=alive_chunks, n_alive=n_alive)
+    for s, m, packed in pending:
+        out[s : s + m] = np.asarray(packed)[:m]
+    return out
 
 
 # --------------------------- evaluate ----------------------------------------

@@ -215,40 +215,16 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     nf = np.tile(np.array([0.1, 4.5], np.float32), (n, 1))
     rays = np.concatenate([o, d, nf], 1)
 
-    two_wave = getattr(renderer, "probe", None) is not None
-    dead_counter = [0]
+    from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
 
-    def chunks():
-        for s in range(0, n, chunk):
-            c = rays[s:s + chunk]
-            if c.shape[0] < chunk:
-                c = np.concatenate(
-                    [c, np.zeros((chunk - c.shape[0], 8), np.float32)]
-                )
-            yield jnp.asarray(c)
+    two_wave = getattr(renderer, "probe", None) is not None
+    stats = {}
 
     def frame():
-        if two_wave:
-            # the exact render_image two-wave flow: probe all chunks, fetch
-            # one bool each, field-eval only the alive ones
-            probed = [(c, renderer.probe(statics, c)) for c in chunks()]
-            outs = []
-            dead = 0
-            for c, (cdf_state, alive) in probed:
-                if bool(alive):
-                    outs.append(
-                        renderer.render_from_cdf(params, statics, c, cdf_state)
-                    )
-                else:
-                    dead += 1
-                    outs.append(renderer.render_dead(params, statics, c))
-            dead_counter[0] = dead
-        else:
-            outs = [renderer(params, statics, c) for c in chunks()]
-        # sync on every chunk's first pixel (a dead chunk can be the last)
-        for out in outs:
-            _sync(out[0][0, 0])
-        return outs
+        # the exact render_image flow (two-wave skip + ray packing when the
+        # renderer supports them); returns host numpy = fully synced
+        return render_rays_chunked(renderer, params, statics, rays, chunk,
+                                   stats=stats)
 
     frame()  # compile
     t0 = time.perf_counter()
@@ -259,10 +235,10 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     dt_full = None
     if two_wave and sky > 0.0:
         # same frame through the one-shot program: the skip's denominator
+        plain = renderer.full
+
         def frame_full():
-            outs = [renderer.full(params, statics, c) for c in chunks()]
-            for out in outs:
-                _sync(out[0][0, 0])
+            return render_rays_chunked(plain, params, statics, rays, chunk)
 
         frame_full()  # compile
         t0 = time.perf_counter()
@@ -281,8 +257,7 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         "top1_routing": top1,
         "sky_fraction": sky,
         "two_wave": two_wave,
-        "chunks_skipped": dead_counter[0],
-        "chunks_total": int(np.ceil(n / chunk)),
+        "render_stats": stats,
         "frame_seconds": round(dt, 4),
         "frame_seconds_one_shot": (round(dt_full, 4)
                                    if dt_full is not None else None),

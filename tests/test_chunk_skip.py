@@ -175,6 +175,44 @@ def test_render_image_two_wave_matches_plain():
     assert any(flags) and not all(flags), flags
 
 
+def test_ray_packing_matches_plain():
+    """Sky interleaved WITHIN every chunk: packing re-batches the alive rays
+    into fewer field-eval chunks; outputs must match the plain path exactly
+    (per-ray work is batch-independent)."""
+    from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
+
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    renderer = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                   occ_importance=True)
+    assert renderer.packable
+
+    # 4 chunks of 64; in each chunk 1/4 of rays aim at the occupied box,
+    # the rest at the empty one — no chunk is dead, so chunk skipping alone
+    # would save nothing, but packing folds all alive rays into one chunk
+    ground = np.array(_rays_at(rng, 256, target_y=-1.0, spread=0.05))
+    sky = np.array(_rays_at(rng, 256, target_y=1.0, spread=0.05))
+    take_ground = (np.arange(256) % 4) == 0
+    rays = np.where(take_ground[:, None], ground, sky).astype(np.float32)
+    rays[7] = 0.0  # an invalid ray inside an alive chunk
+
+    stats = {}
+    out_packed = render_rays_chunked(renderer, params, st, rays, 64,
+                                     stats=stats)
+    assert stats["mode"] == "packed", stats
+    assert stats["packed_chunks"] == 1 and stats["alive_chunks"] == 4, stats
+
+    out_plain = render_rays_chunked(renderer.full, params, st, rays, 64)
+    np.testing.assert_allclose(out_packed, out_plain, rtol=1e-6, atol=1e-6)
+
+    # forcing the renderer unpackable falls back to the CDF chunk path
+    renderer.packable = False
+    stats2 = {}
+    out_cdf = render_rays_chunked(renderer, params, st, rays, 64,
+                                  stats=stats2)
+    assert stats2["mode"] == "two_wave" and stats2["chunks_skipped"] == 0
+    np.testing.assert_allclose(out_cdf, out_plain, rtol=1e-6, atol=1e-6)
+
+
 def test_two_wave_gating():
     """last_sample backgrounds read field colors — no skip; mesh path keeps
     the one-shot renderer."""
