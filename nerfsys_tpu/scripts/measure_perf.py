@@ -97,8 +97,11 @@ def measure_train(iters: int = 3):
     import jax
 
     from nerfsys_tpu.utils.flops import (
+        V5E_GATHER_ROWS_PER_S_HIGH,
+        V5E_GATHER_ROWS_PER_S_LOW,
         V5E_PEAK_BF16,
         analytic_train_step_flops,
+        analytic_train_step_gather_rows,
         compiled_flops,
         mfu,
     )
@@ -127,6 +130,15 @@ def measure_train(iters: int = 3):
     flops = max(ana_fl, xla_fl or 0.0)
 
     rays_per_step = d["K"] * d["B"] * (d["S"] * d["INNER"] + d["Q"])
+    # the honest utilization number: this step is encoder-gather bound, so
+    # compare achieved gather transactions/s against the measured v5e
+    # transaction peak (MXU-peak MFU is ~0.2% by construction — 64-wide
+    # MLPs carry almost no FLOPs)
+    rows = analytic_train_step_gather_rows(
+        num_experts=d["K"], tasks_per_expert=d["B"],
+        support_rays=d["S"], query_rays=d["Q"],
+        inner_iter=d["INNER"], ray_samples=d["SAMPLES"],
+    )
     out = {
         "mode": "train",
         "step_seconds": round(dt, 4),
@@ -136,6 +148,12 @@ def measure_train(iters: int = 3):
         "flops_xla_cost_analysis_loop_bodies_once": xla_fl,
         "mfu_vs_v5e_bf16_peak": round(mfu(flops, dt, V5E_PEAK_BF16), 5),
         "tflops_per_sec": round(flops / dt / 1e12, 3),
+        "gather_rows_per_step": rows,
+        "gather_rows_per_sec": round(rows / dt, 1),
+        "transaction_util_vs_measured_peak": [
+            round(rows / dt / V5E_GATHER_ROWS_PER_S_HIGH, 3),
+            round(rows / dt / V5E_GATHER_ROWS_PER_S_LOW, 3),
+        ],
     }
     print(json.dumps(out))
     return out

@@ -18,6 +18,14 @@ from typing import Optional
 V5E_PEAK_BF16 = 1.97e14
 V5E_PEAK_F32 = 0.985e14
 
+# Measured on this chip (BASELINE.md encoding economics, 2026-08-16):
+# random row gathers are TRANSACTION-rate bound at ~1.1-1.4e8 rows/s,
+# independent of row width up to the 128-lane tile. For this workload the
+# gather issue rate — not the MXU — is the speed-of-light resource, so
+# utilization against it is the honest "how close to peak" number.
+V5E_GATHER_ROWS_PER_S_LOW = 1.1e8
+V5E_GATHER_ROWS_PER_S_HIGH = 1.4e8
+
 
 def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
     """FLOPs per call of a jitted function, from XLA cost analysis.
@@ -94,3 +102,43 @@ def analytic_train_step_flops(
         # remat roughly doubles the inner compute
         inner *= 2
     return num_experts * tasks_per_expert * (inner + query)
+
+
+def analytic_train_step_gather_rows(
+    *,
+    num_experts: int,
+    tasks_per_expert: int,
+    support_rays: int,
+    query_rays: int,
+    inner_iter: int,
+    ray_samples: int,
+    plane_levels: int = 3,
+    packed_corners: bool = True,
+    occ_probes: int = 0,  # >0: one cached probe pass per task (CDF hoist)
+    occ_levels: int = 1,
+) -> float:
+    """Gather TRANSACTIONS (rows) issued per meta outer step, planes path.
+
+    The bench step's cost is encoder table traffic, and v5e gathers are
+    transaction-rate bound (~1.1-1.4e8 rows/s regardless of row width) —
+    so rows/step / step_time vs that peak is this program's honest
+    utilization number (the MXU-peak MFU is ~0.2% by construction: 64-wide
+    MLPs put almost no FLOPs in a step, utils/flops.py module docstring).
+
+    Per point per level the packed VM encoder issues 3 plane + 3 line row
+    gathers (ops/planes.py: each 2x2 corner block / 2-corner line is one
+    packed wide row); unpacked is 3x4 + 3x2. The matmul-bwd VJP with
+    pos_grad=False does ZERO table reads, so only forward passes count:
+    inner_iter support passes + one query pass per task (FoMAML; the
+    backward recomputation under MAML remat would double the inner rows).
+    With occupancy training, each task pays one probe pass over its
+    support rays (the CDF is hoisted across inner iterations,
+    meta_core.task_adapt): n_probes x occ_levels grid-row gathers per ray.
+    """
+    rows_per_point = plane_levels * ((3 + 3) if packed_corners
+                                     else (3 * 4 + 3 * 2))
+    pts = inner_iter * support_rays * ray_samples + query_rays * ray_samples
+    rows = pts * rows_per_point
+    if occ_probes:
+        rows += support_rays * occ_probes * occ_levels
+    return float(num_experts * tasks_per_expert * rows)
