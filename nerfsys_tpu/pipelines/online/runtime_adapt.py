@@ -252,6 +252,25 @@ class TwoWaveOccRenderer:
     def __call__(self, params, statics, rays):
         return self.full(params, statics, rays)
 
+    def map_outputs(self, fn):
+        """Two-wave renderer with `fn` fused onto every render program.
+
+        fn(rgb, depth, acc, *extra) runs on device inside the same jit
+        (e.g. the viewer's uint8 tonemap — the fetch then moves 3 B/ray
+        instead of 20). `extra` are per-call traced args threaded through
+        render calls; the probe is shared untouched. Cache the result —
+        each call builds fresh jit wrappers."""
+        full, rcdf, dead = self.full, self.render_from_cdf, self.render_dead
+        return TwoWaveOccRenderer(
+            full=jax.jit(lambda p, s, r, *ex: fn(*full(p, s, r), *ex)),
+            probe=self.probe,
+            render_from_cdf=jax.jit(
+                lambda p, s, r, c, *ex: fn(*rcdf(p, s, r, c), *ex)
+            ),
+            render_dead=jax.jit(lambda p, s, r, *ex: fn(*dead(p, s, r), *ex)),
+            packable=self.packable,
+        )
+
 
 def make_chunk_renderer(
     cfg: ContainerConfig,
@@ -450,22 +469,26 @@ def _pack5(rgb, depth, acc):
     return jnp.concatenate([rgb, depth[:, None], acc[:, None]], 1)
 
 
-def render_rays_chunked(
+def two_wave_dispatch(
     chunk_renderer,
     params,
     statics: ContainerStatics,
     rays: np.ndarray,  # (n, 8) float32, host
     chunk_rays: int,
+    *extra,
     stats: Optional[dict] = None,
-) -> np.ndarray:
-    """Render an arbitrary ray batch through fixed-size padded chunks.
+):
+    """Dispatch a ray batch through fixed-size padded chunks; the caller
+    fetches and scatters. Returns [(ids (m,) int, device_output), ...] with
+    every chunk dispatched before the first fetch, so device compute
+    overlaps the high-latency device->host readbacks.
 
-    Returns (n, 5) float32 [rgb, depth, acc] on host. Every chunk is
-    dispatched before any fetch so device compute overlaps the high-latency
-    device->host readbacks (one packed fetch per chunk, not three).
+    Output-agnostic: works for the (rgb, depth, acc) renderer and for any
+    `map_outputs` variant (e.g. the viewer's fused uint8 tonemap); `extra`
+    per-call traced args are threaded through render calls (not the probe).
 
-    With a TwoWaveOccRenderer, wave 1 probes every chunk's occupancy CDF and
-    fetches the per-ray alive bits; wave 2 then picks per frame:
+    With a TwoWaveOccRenderer, wave 1 probes every chunk's occupancy CDF
+    and fetches the per-ray alive bits; wave 2 then picks per frame:
       - ray packing (renderer.packable and it saves field-eval launches):
         alive rays from the whole frame are re-batched into dense chunks —
         field-eval cost scales with alive RAYS, not alive chunks, which is
@@ -476,21 +499,20 @@ def render_rays_chunked(
         program (bit-exact, tests/test_chunk_skip.py).
     """
     n = rays.shape[0]
-    out = np.zeros((n, 5), np.float32)
     if stats is None:
         stats = {}
     spans = [(s, min(chunk_rays, n - s)) for s in range(0, n, chunk_rays)]
     stats.update(chunks_total=len(spans), mode="plain", chunks_skipped=0)
 
     if getattr(chunk_renderer, "probe", None) is None:
-        pending = []
-        for s, m in spans:
-            dev = jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays))
-            rgb, depth, acc = chunk_renderer(params, statics, dev)
-            pending.append((s, m, _pack5(rgb, depth, acc)))
-        for s, m, packed in pending:
-            out[s : s + m] = np.asarray(packed)[:m]
-        return out
+        return [
+            (np.arange(s, s + m),
+             chunk_renderer(
+                 params, statics,
+                 jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays)), *extra,
+             ))
+            for s, m in spans
+        ]
 
     # ---- wave 1: probe every chunk, fetch per-ray alive bits ----
     probed = []
@@ -507,7 +529,7 @@ def render_rays_chunked(
     n_alive = int(alive.sum())
     packed_chunks = -(-n_alive // chunk_rays) if n_alive else 0
 
-    pending = []  # (index_array | slice_start+len, device (C,5))
+    pending = []
     if getattr(chunk_renderer, "packable", False) and (
         packed_chunks < alive_chunks
     ):
@@ -519,32 +541,59 @@ def render_rays_chunked(
         for s in range(0, len(idx_alive), chunk_rays):
             ids = idx_alive[s : s + chunk_rays]
             dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
-            rgb, depth, acc = chunk_renderer.full(params, statics, dev)
-            pending.append((ids, _pack5(rgb, depth, acc)))
+            pending.append(
+                (ids, chunk_renderer.full(params, statics, dev, *extra))
+            )
         for s in range(0, len(idx_dead), chunk_rays):
             ids = idx_dead[s : s + chunk_rays]
             dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
-            rgb, depth, acc = chunk_renderer.render_dead(params, statics, dev)
-            pending.append((ids, _pack5(rgb, depth, acc)))
-        for ids, packed in pending:
-            out[ids] = np.asarray(packed)[: len(ids)]
-        return out
+            pending.append(
+                (ids,
+                 chunk_renderer.render_dead(params, statics, dev, *extra))
+            )
+        return pending
 
     # ---- chunk skipping from the hoisted CDF ----
     skipped = 0
     for s, m, dev, (cdf_state, _) in probed:
         if alive[s : s + m].any():
-            rgb, depth, acc = chunk_renderer.render_from_cdf(
-                params, statics, dev, cdf_state
+            out = chunk_renderer.render_from_cdf(
+                params, statics, dev, cdf_state, *extra
             )
         else:
             skipped += 1
-            rgb, depth, acc = chunk_renderer.render_dead(params, statics, dev)
-        pending.append((s, m, _pack5(rgb, depth, acc)))
+            out = chunk_renderer.render_dead(params, statics, dev, *extra)
+        pending.append((np.arange(s, s + m), out))
     stats.update(mode="two_wave", chunks_skipped=skipped,
                  alive_chunks=alive_chunks, n_alive=n_alive)
-    for s, m, packed in pending:
-        out[s : s + m] = np.asarray(packed)[:m]
+    return pending
+
+
+def render_rays_chunked(
+    chunk_renderer,
+    params,
+    statics: ContainerStatics,
+    rays: np.ndarray,  # (n, 8) float32, host
+    chunk_rays: int,
+    stats: Optional[dict] = None,
+) -> np.ndarray:
+    """Render an arbitrary ray batch through fixed-size padded chunks.
+
+    Returns (n, 5) float32 [rgb, depth, acc] on host — two_wave_dispatch
+    with the outputs packed on device into one (C, 5) fetch per chunk."""
+    if getattr(chunk_renderer, "probe", None) is not None:
+        packed = getattr(chunk_renderer, "_pack5_cache", None)
+        if packed is None:
+            packed = chunk_renderer.map_outputs(_pack5)
+            chunk_renderer._pack5_cache = packed
+        packed.packable = chunk_renderer.packable  # may be toggled post-build
+    else:
+        base = chunk_renderer
+        packed = lambda p, s, c: _pack5(*base(p, s, c))  # noqa: E731
+    out = np.zeros((rays.shape[0], 5), np.float32)
+    for ids, dev in two_wave_dispatch(packed, params, statics, rays,
+                                      chunk_rays, stats=stats):
+        out[ids] = np.asarray(dev)[: len(ids)]
     return out
 
 

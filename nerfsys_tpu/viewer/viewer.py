@@ -93,12 +93,20 @@ class RenderEngine:
         if r is None:
             base = self._renderer(samples, bg_policy, active)
 
-            def render_u8(p, statics, chunk, exposure, inv_gamma):
-                rgb, _, _ = base(p, statics, chunk)
+            def tonemap_u8(rgb, depth, acc, exposure, inv_gamma):
                 x = jnp.clip(rgb * (2.0 ** exposure), 0.0, 1.0) ** inv_gamma
                 return (x * 255.0 + 0.5).astype(jnp.uint8)
 
-            r = jax.jit(render_u8)
+            if getattr(base, "map_outputs", None) is not None:
+                # two-wave occupancy renderer: keep the probe/skip/packing
+                # machinery AND the fused uint8 fetch
+                r = base.map_outputs(tonemap_u8)
+            else:
+                def render_u8(p, statics, chunk, exposure, inv_gamma):
+                    return tonemap_u8(*base(p, statics, chunk),
+                                      exposure, inv_gamma)
+
+                r = jax.jit(render_u8)
             self._renderers[key] = r
         return r
 
@@ -156,8 +164,6 @@ class RenderEngine:
         """Returns (H, W, 3) uint8. Never raises on bad poses — non-finite
         inputs are scrubbed and OOM degrades to a blank frame (reference
         viewer.py:779-801)."""
-        import jax.numpy as jnp
-
         from nerfsys_tpu.data.ram_rays import np_clamp_rays, np_get_rays
 
         p = params if params is not None else self.base_params
@@ -189,46 +195,33 @@ class RenderEngine:
 
         n = rays.shape[0]
 
-        def chunks():
-            """Dispatch every chunk before fetching any: device compute
-            overlaps the high-latency device->host readbacks."""
-            for s in range(0, n, self.chunk_rays):
-                chunk = rays[s : s + self.chunk_rays]
-                pad = self.chunk_rays - chunk.shape[0]
-                if pad:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((pad, 8), np.float32)], 0
-                    )
-                yield s, self.chunk_rays - pad, jnp.asarray(chunk)
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            render_rays_chunked,
+            two_wave_dispatch,
+        )
 
         try:
             if output == "rgb":
                 # fused device tonemap -> one uint8 fetch (3 B/ray vs the
-                # 20 B/ray f32 rgb+depth+acc path)
+                # 20 B/ray f32 rgb+depth+acc path); under occupancy the
+                # dispatcher also skips/packs sky chunks (two-wave)
                 renderer = self._rgb_u8_renderer(samples, bg, active)
                 inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
                 exp_f = np.float32(exposure)
-                pending = [
-                    (s, m, renderer(p, self.statics, c, exp_f, inv_gamma))
-                    for s, m, c in chunks()
-                ]
                 frame_u8 = np.zeros((n, 3), np.uint8)
-                for s, m, out in pending:
-                    frame_u8[s : s + m] = np.asarray(out)[:m]
+                for ids, out in two_wave_dispatch(
+                    renderer, p, self.statics, rays, self.chunk_rays,
+                    exp_f, inv_gamma,
+                ):
+                    frame_u8[ids] = np.asarray(out)[: len(ids)]
                 frame_u8 = np.where(valid[:, None], frame_u8, 0)
                 return frame_u8.reshape(H, W, 3).astype(np.uint8)
 
             renderer = self._renderer(samples, bg, active)
-            rgb = np.zeros((n, 3), np.float32)
-            depth = np.zeros((n,), np.float32)
-            acc = np.zeros((n,), np.float32)
-            pending = [
-                (s, m, renderer(p, self.statics, c)) for s, m, c in chunks()
-            ]
-            for s, m, (r, d, a) in pending:
-                rgb[s : s + m] = np.asarray(r)[:m]
-                depth[s : s + m] = np.asarray(d)[:m]
-                acc[s : s + m] = np.asarray(a)[:m]
+            out5 = render_rays_chunked(
+                renderer, p, self.statics, rays, self.chunk_rays
+            )
+            rgb, depth, acc = out5[:, 0:3], out5[:, 3], out5[:, 4]
         except Exception as e:  # device OOM etc. -> blank frame, keep serving
             print(f"[viewer] render failed ({type(e).__name__}: {e})")
             return np.zeros((H, W, 3), np.uint8)

@@ -347,6 +347,38 @@ def test_render_engine_with_occupancy(tiny_engine):
         tiny_engine.use_occ = False
 
 
+def test_render_engine_occ_two_wave_matches_plain(tiny_engine):
+    """The interactive uint8 path rides the two-wave dispatcher under
+    occupancy; its frame must match the one-shot u8 program exactly."""
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.pipelines.online.runtime_adapt import TwoWaveOccRenderer
+
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=2), 2)
+    occ = {**occ, "binary": jnp.ones_like(occ["binary"]),
+           "num_updates": jnp.asarray(1)}
+    tiny_engine.occ_state = occ
+    tiny_engine.use_occ = True
+    try:
+        c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+        f1 = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+        key = ("u8", 8, "white", None, True)
+        r = tiny_engine._renderers[key]
+        assert isinstance(r, TwoWaveOccRenderer)
+        tiny_engine._renderers[key] = r.full  # plain callable, no .probe
+        f2 = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+        np.testing.assert_array_equal(f1, f2)
+
+        # depth output goes through render_rays_chunked under occ too
+        fd = tiny_engine.render(c2w, 8, 8, fov_y=0.8, output="depth")
+        assert fd.shape == (8, 8, 3) and np.isfinite(fd.astype(float)).all()
+    finally:
+        tiny_engine._renderers.clear()
+        tiny_engine.occ_state = None
+        tiny_engine.use_occ = False
+
+
 # --------------------------- camera pose actions -----------------------------
 def test_pose_look_center_aims_at_center():
     from nerfsys_tpu.viewer.utils import pose_look_center
