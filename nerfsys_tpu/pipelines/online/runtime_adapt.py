@@ -239,7 +239,7 @@ class TwoWaveOccRenderer:
     """
 
     def __init__(self, full, probe, render_from_cdf, render_dead,
-                 packable=True):
+                 packable=True, prepare=None, check_rays=None):
         self.full = full
         self.probe = probe
         self.render_from_cdf = render_from_cdf
@@ -248,8 +248,19 @@ class TwoWaveOccRenderer:
         # when per-ray outputs are batch-independent (bucketed MoE capacity
         # overflow depends on chunk composition -> not packable)
         self.packable = packable
+        # mesh-sharded renderers: prepare(params, statics) commits the
+        # params/statics placement ONCE per dispatch (device_put cached per
+        # params version) and check_rays validates chunk divisibility —
+        # both must run OUTSIDE jit (id()-keyed caching and raising don't
+        # survive tracing), hence hooks rather than wrappers
+        self.prepare = prepare
+        self.check_rays = check_rays
 
     def __call__(self, params, statics, rays):
+        if self.check_rays is not None:
+            self.check_rays(rays)
+        if self.prepare is not None:
+            params, statics = self.prepare(params, statics)
         return self.full(params, statics, rays)
 
     def map_outputs(self, fn):
@@ -269,6 +280,8 @@ class TwoWaveOccRenderer:
             ),
             render_dead=jax.jit(lambda p, s, r, *ex: fn(*dead(p, s, r), *ex)),
             packable=self.packable,
+            prepare=self.prepare,
+            check_rays=self.check_rays,
         )
 
 
@@ -314,7 +327,7 @@ def make_chunk_renderer(
         # the dead program applies the same bg-MLP-else-policy fallback as
         # the full one.
         skippable_bg = bg_policy in ("white", "black", "none")
-        if mesh is None and skippable_bg:
+        if skippable_bg:
             from nerfsys_tpu.models.occupancy import (
                 probe_rays_occ,
                 render_rays_occ_dead,
@@ -342,14 +355,18 @@ def make_chunk_renderer(
                 )
                 return rgb, depth, acc
 
-            return TwoWaveOccRenderer(
-                full=jax.jit(render_fn),
-                probe=jax.jit(probe_fn),
-                render_from_cdf=jax.jit(render_cdf_fn),
-                render_dead=jax.jit(render_dead_fn),
-                packable=not cfg.bucketed,
-            )
+            if mesh is None:
+                return TwoWaveOccRenderer(
+                    full=jax.jit(render_fn),
+                    probe=jax.jit(probe_fn),
+                    render_from_cdf=jax.jit(render_cdf_fn),
+                    render_dead=jax.jit(render_dead_fn),
+                    packable=not cfg.bucketed,
+                )
+        else:
+            probe_fn = None
     else:
+        probe_fn = None
         def render_fn(params, statics, rays):
             field = container_field_fn(params, cfg, statics, active_expert)
             rgb, depth, _, acc = render_rays_stratified(
@@ -393,13 +410,15 @@ def make_chunk_renderer(
     rep_cache = {}  # id(params) -> placed copy: device_put ONCE per
     # params version, not a full-pytree broadcast on every chunk call
 
-    def render_sharded(params, statics, rays):
+    def check_rays(rays):
         if rays.shape[0] % data_axis != 0:
             raise ValueError(
                 f"render chunk of {rays.shape[0]} rays does not divide the "
                 f"mesh data axis ({data_axis}); pad the chunk or pick a "
                 f"chunk size that is a multiple of the data axis"
             )
+
+    def prepare(params, statics):
         key = id(params)
         if key not in rep_cache:
             rep_cache.clear()
@@ -411,6 +430,31 @@ def make_chunk_renderer(
                 jax.device_put(statics, rep),
             )
         _, p_rep, s_rep = rep_cache[key]
+        return p_rep, s_rep
+
+    if probe_fn is not None:
+        # sharded two-wave: the probe/CDF render/dead programs shard the
+        # ray axis exactly like the one-shot program; cdf_state flows
+        # probe -> render committed, so its shardings are inferred
+        return TwoWaveOccRenderer(
+            full=jitted,
+            probe=jax.jit(probe_fn, in_shardings=(None, ray_sh)),
+            render_from_cdf=jax.jit(
+                render_cdf_fn, in_shardings=(None, None, ray_sh, None),
+                out_shardings=(ray_sh, out_vec, out_vec),
+            ),
+            render_dead=jax.jit(
+                render_dead_fn, in_shardings=(None, None, ray_sh),
+                out_shardings=(ray_sh, out_vec, out_vec),
+            ),
+            packable=not cfg.bucketed,
+            prepare=prepare,
+            check_rays=check_rays,
+        )
+
+    def render_sharded(params, statics, rays):
+        check_rays(rays)
+        p_rep, s_rep = prepare(params, statics)
         return jitted(p_rep, s_rep, rays)
 
     return render_sharded
@@ -513,6 +557,11 @@ def two_wave_dispatch(
              ))
             for s, m in spans
         ]
+
+    if chunk_renderer.check_rays is not None and spans:
+        chunk_renderer.check_rays(np.empty((chunk_rays, 8), np.float32))
+    if chunk_renderer.prepare is not None:
+        params, statics = chunk_renderer.prepare(params, statics)
 
     # ---- wave 1: probe every chunk, fetch per-ray alive bits ----
     probed = []

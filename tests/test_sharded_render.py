@@ -91,6 +91,46 @@ def test_sharded_render_occ_path():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_two_wave_matches_single_device():
+    """Occ + mesh: the sharded renderer is two-wave too — render_rays_chunked
+    (probe/skip/pack over sharded chunks) matches the single-device frame."""
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        TwoWaveOccRenderer,
+        render_rays_chunked,
+    )
+
+    cfg, st, params, rays = _setup()
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=1,
+                                       warmup_steps=0), cfg.num_experts)
+    # only expert 0 occupied: rays toward expert 1's box are dead
+    binary = np.zeros(occ["binary"].shape, bool)
+    binary[0] = True
+    occ["binary"] = jnp.asarray(binary)
+    occ["num_updates"] = jnp.asarray(10, jnp.int32)
+
+    mesh = make_mesh("8")
+    single = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                 occ_importance=True)
+    sharded = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                  occ_importance=True, mesh=mesh)
+    assert isinstance(sharded, TwoWaveOccRenderer)
+
+    # mix of alive and dead rays so both wave-2 programs execute
+    r = np.array(rays)
+    r[::2, 3:5] = 0.0
+    r[::2, 5] = 1.0  # straight up: misses both boxes
+    r[::2, 0:3] = [0.0, 0.0, 2.0]
+    stats_s, stats_m = {}, {}
+    out_s = render_rays_chunked(single, params, st, r.astype(np.float32),
+                                256, stats=stats_s)
+    out_m = render_rays_chunked(sharded, params, st, r.astype(np.float32),
+                                256, stats=stats_m)
+    assert stats_m["mode"] in ("packed", "two_wave"), stats_m
+    assert stats_m["mode"] == stats_s["mode"]
+    np.testing.assert_allclose(out_m, out_s, rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_render_bucketed_top1():
     """The block-sparse dispatch also lays out over the data axis."""
     cfg, st, params, rays = _setup()
