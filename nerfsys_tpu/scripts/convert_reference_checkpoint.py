@@ -148,6 +148,71 @@ def reference_state_to_params(state: dict, cfg) -> tuple[dict, list]:
     return params, ignored
 
 
+def params_to_reference_state(params: dict, cfg, statics=None) -> dict:
+    """Inverse mapping: native params pytree -> reference-named torch
+    state_dict, so models trained HERE run in the reference runner.
+
+    Excludes nerfacc occupancy-grid buffers (their packed layout is
+    nerfacc-internal; load with the reference's --no_strict, utils.py:339,
+    or with occupancy off). Requires the hash or vanilla encoder — the
+    factorized planes encoder is a TPU-build addition with no reference
+    module to map onto."""
+    import torch
+    from jax import tree_util
+
+    if getattr(cfg.expert, "xyz_encoding", "hash") == "planes":
+        raise NotImplementedError(
+            "the planes encoder is TPU-build-only; train (or re-save) with "
+            "--xyz_encoding hash to export a reference-loadable checkpoint"
+        )
+
+    def w(x):  # ours (in, out) -> torch Linear (out, in)
+        return torch.tensor(np.ascontiguousarray(np.asarray(x).T))
+
+    def v(x):
+        return torch.tensor(np.asarray(x))
+
+    state = {}
+    experts = params["experts"]
+    for k in range(cfg.num_experts):
+        ek = tree_util.tree_map(lambda x: np.asarray(x[k]), experts)
+        p = f"submodules.{k}."
+        if cfg.nerf_variant == "instant":
+            state[p + "xyz_encoder.hash_table"] = v(ek["hash_table"])
+            for i, lin in enumerate(ek["sigma_trunk"]):
+                state[p + f"sigma_trunk.{i}.linear.weight"] = w(lin["w"])
+                state[p + f"sigma_trunk.{i}.linear.bias"] = v(lin["b"])
+            *blocks, final = ek["color_mlp"]
+            for i, lin in enumerate(blocks):
+                state[p + f"color_mlp.{i}.linear.weight"] = w(lin["w"])
+                state[p + f"color_mlp.{i}.linear.bias"] = v(lin["b"])
+            state[p + f"color_mlp.{len(blocks)}.weight"] = w(final["w"])
+            state[p + f"color_mlp.{len(blocks)}.bias"] = v(final["b"])
+        else:  # vanilla (meta_vanilla.py:69-94)
+            for i, lin in enumerate(ek["trunk"]):
+                state[p + f"trunk.{i}.linear.weight"] = w(lin["w"])
+                state[p + f"trunk.{i}.linear.bias"] = v(lin["b"])
+            *blocks, final = ek["color_mlp"]
+            for l, lin in enumerate(blocks):
+                state[p + f"color_mlp.layer{l}.linear.weight"] = w(lin["w"])
+                state[p + f"color_mlp.layer{l}.linear.bias"] = v(lin["b"])
+            state[p + "color_mlp.color_out.weight"] = w(final["w"])
+            state[p + "color_mlp.color_out.bias"] = v(final["b"])
+        state[p + "sigma_head.weight"] = w(ek["sigma_head"]["w"])
+        state[p + "sigma_head.bias"] = v(ek["sigma_head"]["b"])
+        state[p + "geo_head.weight"] = w(ek["geo_head"]["w"])
+        state[p + "geo_head.bias"] = v(ek["geo_head"]["b"])
+    if "bg" in params:
+        state["bg_mlp.0.weight"] = w(params["bg"]["l0"]["w"])
+        state["bg_mlp.0.bias"] = v(params["bg"]["l0"]["b"])
+        state["bg_mlp.2.weight"] = w(params["bg"]["l1"]["w"])
+        state["bg_mlp.2.bias"] = v(params["bg"]["l1"]["b"])
+    if statics is not None:
+        state["centroids"] = v(statics.centroids)
+        state["aabb"] = v(statics.global_aabb)
+    return state
+
+
 def convert(reference_dir: Path, prefix: str, out_dir: Path) -> Path:
     import torch
 
@@ -156,7 +221,6 @@ def convert(reference_dir: Path, prefix: str, out_dir: Path) -> Path:
     from nerfsys_tpu.utils.config import (
         find_checkpoint_cfg,
         load_checkpoint_cfg,
-        parse_args,
     )
 
     reference_dir = Path(reference_dir)
@@ -169,18 +233,12 @@ def convert(reference_dir: Path, prefix: str, out_dir: Path) -> Path:
         )
     stored = load_checkpoint_cfg(cfg_path)
     # defaults < checkpoint config (the reference's own merge order,
-    # common/args.py:220-277); CLI/json layers don't apply here
-    P = parse_args([])
-    for k, v in dict(stored).items():
-        # unconditional: hash-conf keys like high_levels are plain namespace
-        # attrs in the reference too (nerf_runner.py:104-108 getattr's them)
-        setattr(P, k, v)
-    # dataset-derived routing fields (normally set by build_context from the
-    # clustering meta) — they shape ROUTING only, never the params tree
-    if not hasattr(P, "boundary_margin_effective"):
-        P.boundary_margin_effective = max(1.0, float(getattr(P, "bm", 1.0)))
-    if not hasattr(P, "cluster_2d"):
-        P.cluster_2d = True
+    # common/args.py:220-277); CLI/json layers don't apply here. setattr is
+    # unconditional: hash-conf keys like high_levels are plain namespace
+    # attrs in the reference too (nerf_runner.py:104-108 getattr's them);
+    # dataset-derived routing fields get defaults — they shape ROUTING
+    # only, never the params tree.
+    P = _config_to_P(stored)
     cfg = container_config_from_args(P)
 
     state = torch.load(model_path, map_location="cpu", weights_only=True)
@@ -201,14 +259,72 @@ def convert(reference_dir: Path, prefix: str, out_dir: Path) -> Path:
     return out_dir / f"{prefix}.model"
 
 
+def _config_to_P(stored: dict):
+    from nerfsys_tpu.utils.config import parse_args
+
+    P = parse_args([])
+    for k, v in dict(stored).items():
+        setattr(P, k, v)
+    if not hasattr(P, "boundary_margin_effective"):
+        P.boundary_margin_effective = max(1.0, float(getattr(P, "bm", 1.0)))
+    if not hasattr(P, "cluster_2d"):
+        P.cluster_2d = True
+    return P
+
+
+def export(native_dir: Path, prefix: str, out_dir: Path) -> Path:
+    """Native checkpoint -> reference-format {prefix}.model + {prefix}.P."""
+    import jax
+    import torch
+
+    from nerfsys_tpu.models.container import init_container_params
+    from nerfsys_tpu.runner import container_config_from_args
+    from nerfsys_tpu.utils.checkpoint import load_checkpoint
+    from nerfsys_tpu.utils.config import (
+        find_checkpoint_cfg,
+        load_checkpoint_cfg,
+    )
+
+    native_dir = Path(native_dir)
+    cfg_path = find_checkpoint_cfg(native_dir, prefix)
+    if cfg_path is None:
+        raise FileNotFoundError(f"no {prefix} config in {native_dir}")
+    stored = load_checkpoint_cfg(cfg_path)
+    P = _config_to_P(stored)
+    cfg = container_config_from_args(P)
+    template = init_container_params(jax.random.PRNGKey(0), cfg)
+    params, _, _ = load_checkpoint(native_dir, prefix, template)
+    state = params_to_reference_state(params, cfg)
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    torch.save(state, out_dir / f"{prefix}.model")
+    torch.save(argparse.Namespace(**dict(stored)), out_dir / f"{prefix}.P")
+    print(f"[export] wrote {out_dir}/{prefix}.model for the reference "
+          "runner (load with --no_strict if the model was built with "
+          "occupancy grids)")
+    return out_dir / f"{prefix}.model"
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--reference_dir", required=True,
+    ap.add_argument("--reference_dir",
                     help="reference run dir holding <prefix>.model + .P")
+    ap.add_argument("--reverse", action="store_true",
+                    help="export a NATIVE checkpoint to reference format")
+    ap.add_argument("--checkpoint_dir",
+                    help="(--reverse) native run dir to export")
     ap.add_argument("--prefix", default="best")
     ap.add_argument("--out", required=True, help="output checkpoint dir")
     a = ap.parse_args(argv)
-    convert(Path(a.reference_dir), a.prefix, Path(a.out))
+    if a.reverse:
+        if not a.checkpoint_dir:
+            ap.error("--reverse requires --checkpoint_dir")
+        export(Path(a.checkpoint_dir), a.prefix, Path(a.out))
+    else:
+        if not a.reference_dir:
+            ap.error("--reference_dir is required (or use --reverse)")
+        convert(Path(a.reference_dir), a.prefix, Path(a.out))
 
 
 if __name__ == "__main__":

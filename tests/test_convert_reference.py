@@ -192,6 +192,68 @@ def test_tcnn_checkpoint_rejected():
         reference_state_to_params(state, cfg)
 
 
+def test_export_import_roundtrip_identity():
+    """params -> reference state -> params is the identity (both variants),
+    so the two mappings are mutual inverses."""
+    import jax
+    from jax import tree_util
+
+    from nerfsys_tpu.models.container import init_container_params
+    from nerfsys_tpu.scripts.convert_reference_checkpoint import (
+        params_to_reference_state,
+    )
+
+    for extra in ({}, {"nerf_variant": "vanilla", "sigma_depth": 3}):
+        cfg, _ = _cfg(extra)
+        params = init_container_params(jax.random.PRNGKey(5), cfg)
+        state = params_to_reference_state(params, cfg)
+        back, ignored = reference_state_to_params(state, cfg)
+        assert ignored == []
+        assert (tree_util.tree_structure(back)
+                == tree_util.tree_structure(params))
+        for a, b in zip(tree_util.tree_leaves(params),
+                        tree_util.tree_leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_rejects_planes_encoder():
+    import jax
+
+    from nerfsys_tpu.models.container import init_container_params
+    from nerfsys_tpu.scripts.convert_reference_checkpoint import (
+        params_to_reference_state,
+    )
+
+    cfg, _ = _cfg({"xyz_encoding": "planes"})
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError, match="planes"):
+        params_to_reference_state(params, cfg)
+
+
+def test_export_cli_writes_reference_files(tmp_path):
+    import jax
+
+    from nerfsys_tpu.models.container import init_container_params
+    from nerfsys_tpu.scripts.convert_reference_checkpoint import export
+    from nerfsys_tpu.utils.checkpoint import save_checkpoint
+
+    cfg, _ = _cfg()
+    params = init_container_params(jax.random.PRNGKey(6), cfg)
+    native = tmp_path / "native"
+    save_checkpoint(native, "best", params, config=dict(STORED))
+
+    out = tmp_path / "exported"
+    export(native, "best", out)
+    state = torch.load(out / "best.model", weights_only=True)
+    assert "submodules.1.xyz_encoder.hash_table" in state
+    assert "bg_mlp.2.bias" in state
+    np.testing.assert_array_equal(
+        state["submodules.0.sigma_head.weight"].numpy().T,
+        np.asarray(params["experts"]["sigma_head"]["w"][0]))
+    P = torch.load(out / "best.P", weights_only=False)
+    assert P.num_submodules == 2
+
+
 def test_cli_roundtrip_via_runner_loader(tmp_path):
     """convert() writes a checkpoint our load_checkpoint restores exactly,
     with the reference .P as the config source."""
