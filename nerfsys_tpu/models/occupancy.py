@@ -168,6 +168,91 @@ def occ_ready(occ_state: Dict, min_updates: int = 1) -> Array:
     )
 
 
+# --------------------------- union probe grid ---------------------------------
+def build_union_probe_grid(
+    occ_state: Dict,
+    statics: ContainerStatics,
+    res: int = 128,
+    importance: bool = False,
+) -> Dict:
+    """Resample the K experts' occupancy union into ONE single-level grid
+    over the global aabb, for PROBING only.
+
+    The MoE probe pass queries every expert's every level per probe point
+    (K x L grid-row gathers; at K=4 L=2 P=128 that is 1024 transaction-
+    bound rows per ray — comparable to the field eval itself). Probing one
+    resampled grid instead costs 1 row per probe point. Placement-only
+    approximation: the final hard sigma mask still uses the exact
+    per-expert union, so geometry can never be deleted by resampling
+    aliasing — only the sample pdf (and the dead-ray gate) coarsens.
+
+    Marking samples each cell at its center AND its 8 corners against the
+    exact union, so a cell is occupied if any of 9 lattice points is —
+    near-conservative at 1/res granularity (a strictly interior sliver
+    thinner than a cell can still be missed; pick res >= the expert grid
+    resolution).
+
+    Returns {"binary": (1, res, res, res), "values": (1, res³ ...) or
+    None} queried with query_binary/query_values against the global aabb.
+    """
+    aabb = statics.global_aabb
+    bin_fn = union_binary_fn(occ_state, statics)
+
+    def grid_pts(n, offset_half):
+        # corner lattice (n+1 per axis) or cell centers (n per axis)
+        if offset_half:
+            xs = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+        else:
+            xs = jnp.arange(n + 1, dtype=jnp.float32) / n
+        gx, gy, gz = jnp.meshgrid(xs, xs, xs, indexing="ij")
+        rel = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        return aabb[0] + rel * (aabb[1] - aabb[0])
+
+    def chunked(fn, pts):
+        n_pts = pts.shape[0]
+        chunk = min(131072, n_pts)
+        pad = (-n_pts) % chunk
+        if pad:
+            pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+        out = jax.lax.map(fn, pts.reshape(-1, chunk, 3))
+        return out.reshape(-1)[:n_pts]
+
+    occ_corner = chunked(bin_fn, grid_pts(res, False)).reshape(
+        res + 1, res + 1, res + 1
+    )
+    occ_center = chunked(bin_fn, grid_pts(res, True)).reshape(res, res, res)
+    c = occ_corner
+    cell = (
+        occ_center
+        | c[:-1, :-1, :-1] | c[1:, :-1, :-1] | c[:-1, 1:, :-1]
+        | c[:-1, :-1, 1:] | c[1:, 1:, :-1] | c[1:, :-1, 1:]
+        | c[:-1, 1:, 1:] | c[1:, 1:, 1:]
+    )
+    out = {"binary": cell[None], "values": None}
+    if importance:
+        val_fn = union_value_fn(occ_state, statics)
+        vals = chunked(val_fn, grid_pts(res, True)).reshape(res, res, res)
+        out["values"] = vals[None]
+    return out
+
+
+def union_probe_fns(probe_grid: Dict, statics: ContainerStatics):
+    """(bin_fn, val_fn) querying a build_union_probe_grid result."""
+    from nerfsys_tpu.ops.occupancy import query_values
+
+    aabb = statics.global_aabb
+
+    def bin_fn(pts):
+        return query_binary(probe_grid["binary"], aabb, pts)
+
+    val_fn = None
+    if probe_grid.get("values") is not None:
+        def val_fn(pts):  # noqa: E306
+            return query_values(probe_grid["values"], aabb, pts)
+
+    return bin_fn, val_fn
+
+
 # --------------------------- occupancy renderer -------------------------------
 def _ray_validity(rays: Array) -> Tuple[Array, Array, Array]:
     """(valid, near_s, far_s) — shared by the probe/render/dead paths so all
@@ -202,6 +287,7 @@ def probe_rays_occ(
     active_expert: Optional[int] = None,
     importance: bool = False,
     uniform_frac: float = 0.25,
+    probe_fns=None,  # (bin_fn, val_fn) override, e.g. union_probe_fns
 ) -> Tuple[Dict, Array]:
     """Wave-1 of chunked occupancy rendering: the probe/CDF pass alone.
 
@@ -213,8 +299,9 @@ def probe_rays_occ(
     alive ones — zero duplicated probe work, identical math."""
     o, d = rays[:, 0:3], rays[:, 3:6]
     valid, near_s, far_s = _ray_validity(rays)
-    bin_fn, val_fn = _occ_query_fns(occ_state, statics, active_expert,
-                                    importance)
+    bin_fn, val_fn = probe_fns if probe_fns is not None else _occ_query_fns(
+        occ_state, statics, active_expert, importance
+    )
     state = occupancy_probe_cdf(
         bin_fn, o, d, near_s, far_s, n_probes,
         weight_fn=val_fn, uniform_frac=uniform_frac,
@@ -289,6 +376,8 @@ def render_rays_occ(
     importance: bool = False,
     uniform_frac: float = 0.25,
     cdf_state: Optional[Dict] = None,  # precomputed probe_rays_occ wave-1
+    probe_fns=None,  # (bin_fn, val_fn) probe override (union_probe_fns);
+    # the hard sigma mask below always uses the EXACT per-expert union
 ) -> Tuple[Array, Array, Array, Array]:
     """Dense occupancy-guided MoE render (reference render_rays_occ,
     ray_rendering.py:348-558, without packed samples or segment unions).
@@ -312,9 +401,11 @@ def render_rays_occ(
     if key is not None:
         k_samp, k_bg = jax.random.split(key)
     if cdf_state is None:
+        p_bin, p_val = (probe_fns if probe_fns is not None
+                        else (bin_fn, val_fn))
         cdf_state = occupancy_probe_cdf(
-            bin_fn, o, d, near_s, far_s, n_probes,
-            weight_fn=val_fn, uniform_frac=uniform_frac,
+            p_bin, o, d, near_s, far_s, n_probes,
+            weight_fn=p_val, uniform_frac=uniform_frac,
         )
     t_vals, alive = sample_tvals_from_cdf(
         cdf_state, near_s, far_s, n_samples, key=k_samp,

@@ -224,6 +224,49 @@ def runtime_adapt(
 
 
 # --------------------------- full-image rendering -----------------------------
+def _union_probe_wrap(occ_state, occ_importance, res):
+    """Wave-1 probe wrapper over ONE resampled union grid.
+
+    Only the probe (shared by every map_outputs variant) switches grids:
+    wave-2 alive chunks sample from the resulting CDF, so they inherit
+    the cheap probing; the one-shot `full` program keeps exact per-expert
+    probing (packing mode and direct calls stay exact). The grid is built
+    lazily per statics version (outside jit — the cache and id() keying
+    don't survive tracing) and fed to the jitted program as an argument,
+    so a new statics never silently reuses a stale grid."""
+    import functools
+
+    from nerfsys_tpu.models.occupancy import (
+        build_union_probe_grid,
+        probe_rays_occ,
+        union_probe_fns,
+    )
+
+    build_j = jax.jit(functools.partial(
+        build_union_probe_grid, res=res, importance=occ_importance))
+
+    def probe_impl(grid, statics, rays):
+        return probe_rays_occ(
+            statics, occ_state, rays, importance=occ_importance,
+            probe_fns=union_probe_fns(grid, statics),
+        )
+
+    probe_j = jax.jit(probe_impl)
+    cache = {}
+
+    def grid_for(statics):
+        key = id(statics)
+        if key not in cache:
+            cache.clear()
+            cache[key] = (statics, build_j(occ_state, statics))
+        return cache[key][1]
+
+    def probe(statics, rays):
+        return probe_j(grid_for(statics), statics, rays)
+
+    return probe
+
+
 class TwoWaveOccRenderer:
     """Chunk renderer with exact empty-chunk skipping (occupancy path).
 
@@ -294,10 +337,16 @@ def make_chunk_renderer(
     occ_state=None,
     occ_importance: bool = False,
     mesh=None,
+    occ_probe_grid_res: int = 0,
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
     (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
     in occupied space (reference render_rays occ path).
+
+    occ_probe_grid_res > 0 probes a single resampled union grid instead of
+    every expert's every level (K x L fewer probe transactions; placement-
+    only approximation — the hard sigma mask stays exact). Unsharded MoE
+    path only.
 
     With a `jax.sharding.Mesh`, the chunk's ray axis shards over the mesh's
     'data' axis (per-ray work is communication-free) — the same renderer
@@ -327,6 +376,8 @@ def make_chunk_renderer(
         # the dead program applies the same bg-MLP-else-policy fallback as
         # the full one.
         skippable_bg = bg_policy in ("white", "black", "none")
+        union_probe = bool(occ_probe_grid_res) and active_expert is None \
+            and mesh is None
         if skippable_bg:
             from nerfsys_tpu.models.occupancy import (
                 probe_rays_occ,
@@ -356,9 +407,14 @@ def make_chunk_renderer(
                 return rgb, depth, acc
 
             if mesh is None:
+                probe_w = (
+                    _union_probe_wrap(occ_state, occ_importance,
+                                      int(occ_probe_grid_res))
+                    if union_probe else jax.jit(probe_fn)
+                )
                 return TwoWaveOccRenderer(
                     full=jax.jit(render_fn),
-                    probe=jax.jit(probe_fn),
+                    probe=probe_w,
                     render_from_cdf=jax.jit(render_cdf_fn),
                     render_dead=jax.jit(render_dead_fn),
                     packable=not cfg.bucketed,
@@ -671,6 +727,7 @@ def runtime_evaluate(
     occ_importance: bool = False,
     occ_probe_mask: bool = False,
     occ_hard_mask: bool = True,
+    occ_probe_grid_res: int = 0,  # Phase-B union-grid probing (0 = exact)
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
     mesh=None,  # jax.sharding.Mesh -> Phase-B frames shard over 'data'
 ) -> Dict[str, float]:
@@ -732,6 +789,7 @@ def runtime_evaluate(
     renderer = make_chunk_renderer(
         cfg, ray_samples=ray_samples, bg_policy="white", occ_state=occ_state,
         occ_importance=occ_importance, mesh=mesh,
+        occ_probe_grid_res=occ_probe_grid_res,
     )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []

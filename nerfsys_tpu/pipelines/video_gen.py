@@ -272,6 +272,7 @@ def render_video(ctx) -> Path:
         cfg, ray_samples=P.ray_samples, bg_policy="white",
         occ_state=ctx.get("occ_state"),
         occ_importance=bool(getattr(P, "occ_importance", False)),
+        occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
         mesh=maybe_render_mesh(P),
     )
 

@@ -160,7 +160,8 @@ def measure_train(iters: int = 3):
 
 
 def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
-                   iters: int = 3, top1: bool = False, sky: float = 0.0):
+                   iters: int = 3, top1: bool = False, sky: float = 0.0,
+                   union_probe: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -214,6 +215,7 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     renderer = make_chunk_renderer(
         cfg, ray_samples=samples, bg_policy="white",
         occ_state=occ_state, occ_importance=use_occ,
+        occ_probe_grid_res=union_probe,
     )
 
     n = side * side
@@ -274,6 +276,7 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         "use_occ": use_occ,
         "top1_routing": top1,
         "sky_fraction": sky,
+        "union_probe_res": union_probe,
         "two_wave": two_wave,
         "render_stats": stats,
         "frame_seconds": round(dt, 4),
@@ -386,6 +389,8 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=96)
     ap.add_argument("--use_occ", action="store_true")
     ap.add_argument("--top1", action="store_true")
+    ap.add_argument("--union_probe", type=int, default=0,
+                    help="probe one resampled union grid at this resolution")
     ap.add_argument("--sky", type=float, default=0.0,
                     help="fraction of rays aimed at empty sky "
                          "(sizes the two-wave chunk skip)")
@@ -402,7 +407,7 @@ def main(argv=None):
                     capacity_factor=a.capacity_factor)
     else:
         measure_render(a.side, a.samples, a.use_occ, a.iters, a.top1,
-                       sky=a.sky)
+                       sky=a.sky, union_probe=a.union_probe)
 
 
 if __name__ == "__main__":

@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "space stays sampled and trainable")
     p.add_argument("--occ_probes", type=int, default=128,
                    help="probes per ray for the occupancy CDF pass")
+    p.add_argument("--occ_union_probe_res", type=int, default=0,
+                   help="render-time probing from ONE resampled union grid "
+                        "at this resolution instead of every expert's every "
+                        "level (K x L fewer probe gathers; placement-only "
+                        "approximation). 0 = exact per-expert probing")
     p.add_argument("--routing_policy", type=str, default="dda",
                    choices=["dda", "alpha", "sampled"],
                    help="TaskDataset micro-cell routing: exact DDA traversal "

@@ -213,6 +213,68 @@ def test_ray_packing_matches_plain():
     np.testing.assert_allclose(out_cdf, out_plain, rtol=1e-6, atol=1e-6)
 
 
+def test_union_probe_grid_marks_centers_and_renders_close():
+    """occ_probe_grid_res: wave-1 probes one resampled union grid (K x L
+    fewer gather transactions). Placement-only — outputs stay close to
+    exact probing on blocky occupancy, sky rays still dead-fill exactly."""
+    from nerfsys_tpu.models.occupancy import (
+        build_union_probe_grid,
+        union_binary_fn,
+        union_probe_fns,
+    )
+    from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
+
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    grid = build_union_probe_grid(occ, st, res=16, importance=True)
+    assert grid["binary"].shape == (1, 16, 16, 16)
+    assert grid["values"].shape == (1, 16, 16, 16)
+
+    # every cell whose center the exact union marks is marked in the grid
+    aabb = np.asarray(st.global_aabb)
+    xs = (np.arange(16) + 0.5) / 16
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    centers = aabb[0] + np.stack([gx, gy, gz], -1).reshape(-1, 3) * (
+        aabb[1] - aabb[0])
+    exact = np.asarray(union_binary_fn(occ, st)(jnp.asarray(
+        centers.astype(np.float32))))
+    marked = np.asarray(grid["binary"][0]).reshape(-1)
+    assert np.all(~exact | marked)
+
+    bin_u, val_u = union_probe_fns(grid, st)
+    assert bool(jnp.any(bin_u(jnp.asarray(centers[:64].astype(np.float32))))
+                ) == bool(exact[:64].any())
+
+    # renderer comparison on a mixed frame
+    ground = np.array(_rays_at(rng, 128, target_y=-1.0, spread=0.05))
+    sky = np.array(_rays_at(rng, 128, target_y=1.0, spread=0.05))
+    rays = np.concatenate([ground, sky]).astype(np.float32)
+
+    r_exact = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                  occ_importance=True)
+    r_union = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                  occ_importance=True,
+                                  occ_probe_grid_res=32)
+    s1, s2 = {}, {}
+    out_e = render_rays_chunked(r_exact, params, st, rays, 128, stats=s1)
+    out_u = render_rays_chunked(r_union, params, st, rays, 128, stats=s2)
+    assert s2["chunks_skipped"] == 1 or s2["mode"] == "packed", s2
+    # sky rays: identical background fill either way
+    np.testing.assert_array_equal(out_e[128:], out_u[128:])
+    # ground rays: same geometry, slightly different sample placement
+    assert np.mean(np.abs(out_e[:128, :3] - out_u[:128, :3])) < 0.05
+
+    # stale-grid guard: a new statics rebuilds the union grid
+    import dataclasses as _dc  # noqa: F401
+
+    from nerfsys_tpu.models.container import ContainerStatics
+
+    st2 = ContainerStatics(st.centroids, st.expert_aabbs * 0.01,
+                           st.global_aabb)
+    _, alive1 = r_union.probe(st, jnp.asarray(ground))
+    _, alive2 = r_union.probe(st2, jnp.asarray(ground))
+    assert bool(alive1) and not bool(alive2)
+
+
 def test_two_wave_gating():
     """last_sample backgrounds read field colors — no skip; mesh path keeps
     the one-shot renderer."""
