@@ -378,13 +378,20 @@ def render_rays_occ(
     cdf_state: Optional[Dict] = None,  # precomputed probe_rays_occ wave-1
     probe_fns=None,  # (bin_fn, val_fn) probe override (union_probe_fns);
     # the hard sigma mask below always uses the EXACT per-expert union
+    hard_mask: bool = True,
+    ray_floor: Optional[float] = None,  # soft mode: whole-ray pdf floor
 ) -> Tuple[Array, Array, Array, Array]:
     """Dense occupancy-guided MoE render (reference render_rays_occ,
     ray_rendering.py:348-558, without packed samples or segment unions).
 
-    Samples concentrate inside the union of expert occupancy fields; sigma is
-    additionally masked by the union field at the final sample positions, so
-    empty space contributes exactly zero regardless of probe aliasing.
+    Samples concentrate inside the union of expert occupancy fields; with
+    hard_mask, sigma is additionally zeroed outside the union at the final
+    sample positions, so empty space contributes exactly zero regardless of
+    probe aliasing. hard_mask=False is the SOFT mode matching soft-trained
+    checkpoints (--occ_no_hard_mask): the grid only steers sample placement
+    (with a whole-ray pdf floor keeping unmarked space reachable) and the
+    field's density is never deleted — dead rays then still composite the
+    field, so empty-chunk skipping does not apply.
 
     `cdf_state` skips the probe pass and samples from a CDF already computed
     by probe_rays_occ on the SAME rays/grid — the render-path analogue of the
@@ -400,12 +407,17 @@ def render_rays_occ(
     k_samp = k_bg = None
     if key is not None:
         k_samp, k_bg = jax.random.split(key)
+    if ray_floor is None:
+        # mirrors ops.occupancy.render_rays_occ_field: hard mode would zero
+        # floor-placed samples anyway, soft mode needs them reachable
+        ray_floor = 0.0 if hard_mask else 0.25
     if cdf_state is None:
         p_bin, p_val = (probe_fns if probe_fns is not None
                         else (bin_fn, val_fn))
         cdf_state = occupancy_probe_cdf(
             p_bin, o, d, near_s, far_s, n_probes,
             weight_fn=p_val, uniform_frac=uniform_frac,
+            ray_floor=ray_floor,
         )
     t_vals, alive = sample_tvals_from_cdf(
         cdf_state, near_s, far_s, n_samples, key=k_samp,
@@ -422,9 +434,14 @@ def render_rays_occ(
     rgb = rgb.reshape(n_rays, n_samples, 3)
     sigma = sigma.reshape(n_rays, n_samples)
 
-    # hard-zero sigma outside the occupancy union and on dead/invalid rays
-    occ_mask = bin_fn(flat_pts).reshape(n_rays, n_samples)
-    sigma = jnp.where(occ_mask & alive[:, None] & valid[:, None], sigma, 0.0)
+    if hard_mask:
+        # hard-zero sigma outside the occupancy union, on dead/invalid rays
+        occ_mask = bin_fn(flat_pts).reshape(n_rays, n_samples)
+        keep = occ_mask & alive[:, None] & valid[:, None]
+    else:
+        # soft: the grid steered placement only; density is never deleted
+        keep = valid[:, None] & jnp.ones_like(sigma, bool)
+    sigma = jnp.where(keep, sigma, 0.0)
 
     bg = None
     if use_bg_fn and cfg.use_bg_nerf and "bg" in params:

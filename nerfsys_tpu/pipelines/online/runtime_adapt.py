@@ -338,10 +338,14 @@ def make_chunk_renderer(
     occ_importance: bool = False,
     mesh=None,
     occ_probe_grid_res: int = 0,
+    occ_hard_mask: bool = True,
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
     (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
-    in occupied space (reference render_rays occ path).
+    in occupied space (reference render_rays occ path). occ_hard_mask=False
+    renders the SOFT mode (grid steers placement, never zeroes sigma) —
+    match it to how the checkpoint was trained (--occ_no_hard_mask); dead
+    rays then composite the field, so two-wave skipping is disabled.
 
     occ_probe_grid_res > 0 probes a single resampled union grid instead of
     every expert's every level (K x L fewer probe transactions; placement-
@@ -366,16 +370,19 @@ def make_chunk_renderer(
                 params, cfg, statics, occ_state, rays, ray_samples,
                 randomized=False, bg_policy=bg_policy,
                 active_expert=active_expert, importance=occ_importance,
+                hard_mask=occ_hard_mask,
             )
             return rgb, depth, acc
 
         # dead chunks reduce to the background only when the background does
         # not read field colors ('last_sample' does; 'random' also needs a
-        # key the eval renderer never has). Whether the learned bg MLP is
-        # live depends on params at call time, so gate on the policy alone —
-        # the dead program applies the same bg-MLP-else-policy fallback as
-        # the full one.
-        skippable_bg = bg_policy in ("white", "black", "none")
+        # key the eval renderer never has) AND sigma is hard-masked (soft
+        # mode composites the field on dead rays too). Whether the learned
+        # bg MLP is live depends on params at call time, so gate on the
+        # policy alone — the dead program applies the same
+        # bg-MLP-else-policy fallback as the full one.
+        skippable_bg = occ_hard_mask and bg_policy in ("white", "black",
+                                                       "none")
         union_probe = bool(occ_probe_grid_res) and active_expert is None \
             and mesh is None
         if skippable_bg:
@@ -790,6 +797,7 @@ def runtime_evaluate(
         cfg, ray_samples=ray_samples, bg_policy="white", occ_state=occ_state,
         occ_importance=occ_importance, mesh=mesh,
         occ_probe_grid_res=occ_probe_grid_res,
+        occ_hard_mask=occ_hard_mask,  # render how the checkpoint trained
     )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []

@@ -56,12 +56,14 @@ class RenderEngine:
         chunk_rays: int = 65536,
         default_samples: int = 64,
         occ_state=None,  # stacked expert occupancy (viewer occ toggle)
+        occ_hard_mask: bool = True,  # match how the checkpoint trained
     ):
         self.cfg = cfg
         self.statics = statics
         self.base_params = base_params
         self.occ_state = occ_state
         self.use_occ = occ_state is not None
+        self.occ_hard_mask = bool(occ_hard_mask)
         self.global_aabb = (
             np.asarray(global_aabb, np.float32) if global_aabb is not None else None
         )
@@ -122,6 +124,7 @@ class RenderEngine:
             r = make_chunk_renderer(
                 self.cfg, ray_samples=int(samples), bg_policy=str(bg_policy),
                 active_expert=active, occ_state=occ,
+                occ_hard_mask=self.occ_hard_mask,
             )
             self._renderers[key] = r
         return r
@@ -274,6 +277,7 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         near=getattr(P, "near", None), far=getattr(P, "far", None),
         default_samples=min(int(getattr(P, "ray_samples", 64)), 128),
         occ_state=ctx.get("occ_state"),
+        occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
     )
 
     from nerfsys_tpu.runner import optim_config_from_args

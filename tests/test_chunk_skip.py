@@ -275,6 +275,27 @@ def test_union_probe_grid_marks_centers_and_renders_close():
     assert bool(alive1) and not bool(alive2)
 
 
+def test_soft_render_mode_keeps_unmarked_density():
+    """occ_hard_mask=False (soft-trained checkpoints): the grid steers
+    placement only; density outside the marked cells still composites."""
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    rays = _rays_at(rng, 128, target_y=1.0, spread=0.05)  # unmarked box
+    _, alive = probe_rays_occ(st, occ, rays)
+    assert not bool(alive)
+
+    _, _, _, acc_hard = render_rays_occ(
+        params, cfg, st, occ, rays, 16, importance=True)
+    _, _, _, acc_soft = render_rays_occ(
+        params, cfg, st, occ, rays, 16, importance=True, hard_mask=False)
+    assert float(jnp.max(acc_hard)) == 0.0  # hard: dead rays fully zeroed
+    assert float(jnp.max(acc_soft)) > 0.0  # soft: field density survives
+
+    # soft renderer cannot skip dead chunks (they composite the field)
+    r = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                            occ_hard_mask=False)
+    assert not isinstance(r, TwoWaveOccRenderer)
+
+
 def test_two_wave_gating():
     """last_sample backgrounds read field colors — no skip; mesh path keeps
     the one-shot renderer."""
