@@ -57,6 +57,7 @@ class RenderEngine:
         default_samples: int = 64,
         occ_state=None,  # stacked expert occupancy (viewer occ toggle)
         occ_hard_mask: bool = True,  # match how the checkpoint trained
+        occ_probe_grid_res: int = 0,  # union-grid probing (0 = exact)
     ):
         self.cfg = cfg
         self.statics = statics
@@ -64,6 +65,7 @@ class RenderEngine:
         self.occ_state = occ_state
         self.use_occ = occ_state is not None
         self.occ_hard_mask = bool(occ_hard_mask)
+        self.occ_probe_grid_res = int(occ_probe_grid_res)
         self.global_aabb = (
             np.asarray(global_aabb, np.float32) if global_aabb is not None else None
         )
@@ -125,6 +127,7 @@ class RenderEngine:
                 self.cfg, ray_samples=int(samples), bg_policy=str(bg_policy),
                 active_expert=active, occ_state=occ,
                 occ_hard_mask=self.occ_hard_mask,
+                occ_probe_grid_res=self.occ_probe_grid_res,
             )
             self._renderers[key] = r
         return r
@@ -278,6 +281,7 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         default_samples=min(int(getattr(P, "ray_samples", 64)), 128),
         occ_state=ctx.get("occ_state"),
         occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
+        occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
     )
 
     from nerfsys_tpu.runner import optim_config_from_args
