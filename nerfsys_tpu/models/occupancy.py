@@ -192,10 +192,22 @@ def build_union_probe_grid(
     thinner than a cell can still be missed; pick res >= the expert grid
     resolution).
 
-    Returns {"binary": (1, res, res, res), "values": (1, res³ ...) or
-    None} queried with query_binary/query_values against the global aabb.
+    Returns {"binary": (1, res, res, res), "values": (..., or None),
+    "aabb": (2, 3)} queried with query_binary/query_values against the
+    returned aabb — the enclosing box of every expert's every LEVEL (the
+    2^l-scaled halos extend beyond statics.global_aabb; resampling only the
+    global box would misclassify rays whose occupied probes sit in a halo
+    as dead), unioned with the global box.
     """
-    aabb = statics.global_aabb
+    from nerfsys_tpu.ops.occupancy import level_aabbs
+
+    L = occ_state["binary"].shape[1]
+    la = jax.vmap(lambda a: level_aabbs(a, L))(statics.expert_aabbs)
+    lo = jnp.minimum(jnp.min(la[:, :, 0], axis=(0, 1)),
+                     statics.global_aabb[0])
+    hi = jnp.maximum(jnp.max(la[:, :, 1], axis=(0, 1)),
+                     statics.global_aabb[1])
+    aabb = jnp.stack([lo, hi])
     bin_fn = union_binary_fn(occ_state, statics)
 
     def grid_pts(n, offset_half):
@@ -228,7 +240,7 @@ def build_union_probe_grid(
         | c[:-1, :-1, 1:] | c[1:, 1:, :-1] | c[1:, :-1, 1:]
         | c[:-1, 1:, 1:] | c[1:, 1:, 1:]
     )
-    out = {"binary": cell[None], "values": None}
+    out = {"binary": cell[None], "values": None, "aabb": aabb}
     if importance:
         val_fn = union_value_fn(occ_state, statics)
         vals = chunked(val_fn, grid_pts(res, True)).reshape(res, res, res)
@@ -240,7 +252,7 @@ def union_probe_fns(probe_grid: Dict, statics: ContainerStatics):
     """(bin_fn, val_fn) querying a build_union_probe_grid result."""
     from nerfsys_tpu.ops.occupancy import query_values
 
-    aabb = statics.global_aabb
+    aabb = probe_grid["aabb"]
 
     def bin_fn(pts):
         return query_binary(probe_grid["binary"], aabb, pts)
@@ -306,7 +318,11 @@ def probe_rays_occ(
         bin_fn, o, d, near_s, far_s, n_probes,
         weight_fn=val_fn, uniform_frac=uniform_frac,
     )
-    return state, jnp.any(state["alive"] & valid)
+    # per-ray alive & valid, computed HERE so host-side dispatch (chunk
+    # skipping / ray packing) shares the device's validity predicate
+    # instead of re-implementing it in numpy
+    state = {**state, "alive_valid": state["alive"] & valid}
+    return state, jnp.any(state["alive_valid"])
 
 
 def render_rays_occ_dead(
@@ -336,16 +352,14 @@ def render_rays_occ_dead(
     n_rays = o.shape[0]
     valid, near_s, far_s = _ray_validity(rays)
 
-    # dead-ray CDF exactly as occupancy_probe_cdf builds it (w = 0 + 1e-12)
-    w = jnp.full((n_rays, n_probes), 1e-12, dtype=o.dtype)
-    cdf = jnp.cumsum(w, axis=1)
-    cdf = cdf / cdf[:, -1:]
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=1)
-    state = {
-        "cdf": cdf,
-        "alive": jnp.zeros((n_rays,), bool),
-        "occ": jnp.zeros((n_rays, n_probes), bool),
-    }
+    # dead-ray CDF from THE probe builder itself with a constant-False
+    # occupancy (XLA folds the probe-point work away): structurally
+    # identical float pipeline to the full program's dead rays, so the
+    # bit-exactness contract can't drift if the weight math changes
+    state = occupancy_probe_cdf(
+        lambda pts: jnp.zeros(pts.shape[:-1], bool),
+        o, d, near_s, far_s, n_probes,
+    )
     t_vals, _ = sample_tvals_from_cdf(state, near_s, far_s, n_samples)
 
     rgb = jnp.zeros((n_rays, n_samples, 3), o.dtype)

@@ -385,6 +385,10 @@ def make_chunk_renderer(
                                                        "none")
         union_probe = bool(occ_probe_grid_res) and active_expert is None \
             and mesh is None
+        if bool(occ_probe_grid_res) and not union_probe:
+            print("[render] --occ_union_probe_res ignored: union-grid "
+                  "probing applies to the unsharded full-MoE path only "
+                  "(active_expert=None, no mesh)")
         if skippable_bg:
             from nerfsys_tpu.models.occupancy import (
                 probe_rays_occ,
@@ -457,6 +461,8 @@ def make_chunk_renderer(
             _dc.replace(cfg, expert_map=False), ray_samples=ray_samples,
             bg_policy=bg_policy, active_expert=active_expert,
             occ_state=occ_state, occ_importance=occ_importance, mesh=mesh,
+            occ_probe_grid_res=occ_probe_grid_res,
+            occ_hard_mask=occ_hard_mask,
         )
 
     ray_sh = ray_batch_sharding(mesh)  # P('data', None)
@@ -633,9 +639,9 @@ def two_wave_dispatch(
         probed.append((s, m, dev, chunk_renderer.probe(statics, dev)))
     alive = np.zeros(n, bool)
     for s, m, _, (cdf_state, _) in probed:
-        alive[s : s + m] = np.asarray(cdf_state["alive"])[:m]
-    near, far = rays[:, 6], rays[:, 7]
-    alive &= np.isfinite(near) & np.isfinite(far) & (far > near) & (far < 1e9)
+        # alive & valid per the DEVICE's validity predicate (probe_rays_occ
+        # computes it — one definition, no host numpy twin to keep in sync)
+        alive[s : s + m] = np.asarray(cdf_state["alive_valid"])[:m]
 
     alive_chunks = sum(1 for s, m in spans if alive[s : s + m].any())
     n_alive = int(alive.sum())

@@ -266,8 +266,11 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
             frame_full()
         dt_full = (time.perf_counter() - t0) / iters
 
+    # cost-analyze the one-shot jitted program (a TwoWaveOccRenderer is a
+    # Python object without .lower())
     fl = compiled_flops(
-        renderer, params, statics, jnp.asarray(rays[:chunk])
+        getattr(renderer, "full", renderer), params, statics,
+        jnp.asarray(rays[:chunk])
     )
     out = {
         "mode": "render",

@@ -131,6 +131,43 @@ def test_sharded_two_wave_matches_single_device():
     np.testing.assert_allclose(out_m, out_s, rtol=1e-5, atol=1e-5)
 
 
+def test_expert_sharded_rebind_preserves_soft_mask():
+    """The expert_map->vmap mesh rebind must carry occ_hard_mask through:
+    a soft-trained checkpoint rendered over a DxE mesh matches the
+    single-device SOFT render (regression: the recursion once dropped the
+    kwarg and silently hard-masked)."""
+    import dataclasses as _dc2
+
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.pipelines.online.runtime_adapt import TwoWaveOccRenderer
+
+    cfg, st, params, rays = _setup()
+    cfg = _dc2.replace(cfg, expert_map=True)
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=1,
+                                       warmup_steps=0), cfg.num_experts)
+    binary = np.zeros(occ["binary"].shape, bool)
+    binary[0] = True  # expert 1 unmarked: hard vs soft visibly differ
+    occ["binary"] = jnp.asarray(binary)
+    occ["num_updates"] = jnp.asarray(10, jnp.int32)
+
+    single = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                 occ_hard_mask=False)
+    sharded = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                  occ_hard_mask=False, mesh=make_mesh("4x2"))
+    assert not isinstance(single, TwoWaveOccRenderer)
+    assert not isinstance(sharded, TwoWaveOccRenderer)
+    rgb_s, _, acc_s = single(params, st, rays)
+    rgb_m, _, acc_m = sharded(params, st, rays)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_m),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(acc_s), np.asarray(acc_m),
+                               rtol=1e-4, atol=1e-4)
+    # soft really kept unmarked density: hard render differs
+    hard = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ)
+    rgb_h, _, acc_h = hard.full(params, st, rays)
+    assert float(jnp.max(jnp.abs(acc_h - acc_s))) > 1e-4
+
+
 def test_sharded_render_bucketed_top1():
     """The block-sparse dispatch also lays out over the data axis."""
     cfg, st, params, rays = _setup()
