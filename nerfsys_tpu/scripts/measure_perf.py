@@ -272,6 +272,22 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         getattr(renderer, "full", renderer), params, statics,
         jnp.asarray(rays[:chunk])
     )
+    from nerfsys_tpu.utils.flops import (
+        V5E_GATHER_ROWS_PER_S_HIGH,
+        V5E_GATHER_ROWS_PER_S_LOW,
+        analytic_render_gather_rows_per_ray,
+    )
+
+    rows_per_ray = analytic_render_gather_rows_per_ray(
+        ray_samples=samples, num_experts=4,
+        experts_evaluated=1 if top1 else None,
+        occ=use_occ, occ_levels=2, union_probe=bool(union_probe),
+    )
+    # utilization counts only the rays whose programs actually ran
+    alive = stats.get("n_alive", n) if use_occ else n
+    rows_frame = rows_per_ray * alive
+    tx_util = [round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_HIGH, 3),
+               round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_LOW, 3)]
     out = {
         "mode": "render",
         "resolution": f"{side}x{side}",
@@ -285,6 +301,8 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         "frame_seconds": round(dt, 4),
         "frame_seconds_one_shot": (round(dt_full, 4)
                                    if dt_full is not None else None),
+        "gather_rows_per_ray": rows_per_ray,
+        "transaction_util_vs_measured_peak": tx_util,
         "skip_speedup": (round(dt_full / dt, 3)
                          if dt_full is not None else None),
         "rays_per_sec": round(n / dt, 1),

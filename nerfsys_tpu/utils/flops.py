@@ -142,3 +142,36 @@ def analytic_train_step_gather_rows(
     if occ_probes:
         rows += support_rays * occ_probes * occ_levels
     return float(num_experts * tasks_per_expert * rows)
+
+
+def analytic_render_gather_rows_per_ray(
+    *,
+    ray_samples: int,
+    num_experts: int,
+    experts_evaluated: Optional[int] = None,  # None: dense = all K
+    plane_levels: int = 3,
+    packed_corners: bool = True,
+    occ: bool = False,
+    n_probes: int = 128,
+    occ_levels: int = 2,
+    union_probe: bool = False,
+    hard_mask: bool = True,
+) -> float:
+    """Gather transactions per rendered ray through the MoE chunk renderer.
+
+    Three components, all transaction-bound on v5e:
+      field:  S samples x 18 rows/point (packed planes) x experts evaluated
+      probe:  P probes x (1 row with the union grid, else K x L grid rows)
+      mask:   S samples x K x L exact-union rows (hard mode point masking)
+    This is the sizing model behind --occ_union_probe_res (probe is
+    comparable to the field itself at K=4 L=2 P=128) — measure_perf
+    reports it next to the measured frame time."""
+    e = num_experts if experts_evaluated is None else experts_evaluated
+    rows_per_point = plane_levels * ((3 + 3) if packed_corners
+                                     else (3 * 4 + 3 * 2))
+    rows = float(ray_samples * rows_per_point * e)
+    if occ:
+        rows += n_probes * (1 if union_probe else num_experts * occ_levels)
+        if hard_mask:
+            rows += ray_samples * num_experts * occ_levels
+    return rows
