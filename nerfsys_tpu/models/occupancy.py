@@ -394,6 +394,7 @@ def render_rays_occ(
     # the hard sigma mask below always uses the EXACT per-expert union
     hard_mask: bool = True,
     ray_floor: Optional[float] = None,  # soft mode: whole-ray pdf floor
+    mask_from_probes: bool = False,  # interval-bit masking, no grid re-query
 ) -> Tuple[Array, Array, Array, Array]:
     """Dense occupancy-guided MoE render (reference render_rays_occ,
     ray_rendering.py:348-558, without packed samples or segment unions).
@@ -433,10 +434,17 @@ def render_rays_occ(
             weight_fn=p_val, uniform_frac=uniform_frac,
             ray_floor=ray_floor,
         )
-    t_vals, alive = sample_tvals_from_cdf(
-        cdf_state, near_s, far_s, n_samples, key=k_samp,
-        randomized=randomized,
-    )
+    occ_bits = None
+    if mask_from_probes and hard_mask:
+        t_vals, alive, occ_bits = sample_tvals_from_cdf(
+            cdf_state, near_s, far_s, n_samples, key=k_samp,
+            randomized=randomized, with_mask=True,
+        )
+    else:
+        t_vals, alive = sample_tvals_from_cdf(
+            cdf_state, near_s, far_s, n_samples, key=k_samp,
+            randomized=randomized,
+        )
     pts = t_to_points(o, d, t_vals)  # (N, S, 3)
     dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
 
@@ -449,8 +457,17 @@ def render_rays_occ(
     sigma = sigma.reshape(n_rays, n_samples)
 
     if hard_mask:
-        # hard-zero sigma outside the occupancy union, on dead/invalid rays
-        occ_mask = bin_fn(flat_pts).reshape(n_rays, n_samples)
+        if occ_bits is not None:
+            # interval-resolution masking: each sample inherits its probe
+            # interval's occupancy bit — zero grid re-gathers, strictly
+            # MORE conservative than point masking (a sample in an occupied
+            # interval keeps its sigma). Under union probing the bit comes
+            # from the resampled grid, a further coarsening.
+            occ_mask = occ_bits
+        else:
+            # point-exact masking: one grid row per sample point per
+            # expert per level
+            occ_mask = bin_fn(flat_pts).reshape(n_rays, n_samples)
         keep = occ_mask & alive[:, None] & valid[:, None]
     else:
         # soft: the grid steered placement only; density is never deleted

@@ -339,6 +339,7 @@ def make_chunk_renderer(
     mesh=None,
     occ_probe_grid_res: int = 0,
     occ_hard_mask: bool = True,
+    occ_probe_mask: bool = False,  # interval-bit masking, no grid re-query
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
     (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
@@ -370,7 +371,7 @@ def make_chunk_renderer(
                 params, cfg, statics, occ_state, rays, ray_samples,
                 randomized=False, bg_policy=bg_policy,
                 active_expert=active_expert, importance=occ_importance,
-                hard_mask=occ_hard_mask,
+                hard_mask=occ_hard_mask, mask_from_probes=occ_probe_mask,
             )
             return rgb, depth, acc
 
@@ -406,7 +407,7 @@ def make_chunk_renderer(
                     params, cfg, statics, occ_state, rays, ray_samples,
                     randomized=False, bg_policy=bg_policy,
                     active_expert=active_expert, importance=occ_importance,
-                    cdf_state=cdf_state,
+                    cdf_state=cdf_state, mask_from_probes=occ_probe_mask,
                 )
                 return rgb, depth, acc
 
@@ -462,7 +463,7 @@ def make_chunk_renderer(
             bg_policy=bg_policy, active_expert=active_expert,
             occ_state=occ_state, occ_importance=occ_importance, mesh=mesh,
             occ_probe_grid_res=occ_probe_grid_res,
-            occ_hard_mask=occ_hard_mask,
+            occ_hard_mask=occ_hard_mask, occ_probe_mask=occ_probe_mask,
         )
 
     ray_sh = ray_batch_sharding(mesh)  # P('data', None)
@@ -804,6 +805,7 @@ def runtime_evaluate(
         occ_importance=occ_importance, mesh=mesh,
         occ_probe_grid_res=occ_probe_grid_res,
         occ_hard_mask=occ_hard_mask,  # render how the checkpoint trained
+        occ_probe_mask=occ_probe_mask,
     )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []

@@ -275,6 +275,31 @@ def test_union_probe_grid_marks_centers_and_renders_close():
     assert bool(alive1) and not bool(alive2)
 
 
+def test_moe_probe_mask_is_conservative():
+    """mask_from_probes (interval-bit masking, zero grid re-queries): never
+    darker than point masking — acc can only grow, and matches on a fully
+    occupied grid."""
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    rays = _rays_at(rng, 128, target_y=-1.0)
+    _, _, _, acc_pt = render_rays_occ(
+        params, cfg, st, occ, rays, 16, importance=True)
+    _, _, _, acc_iv = render_rays_occ(
+        params, cfg, st, occ, rays, 16, importance=True,
+        mask_from_probes=True)
+    assert np.all(np.asarray(acc_iv) >= np.asarray(acc_pt) - 1e-6)
+    # (no exact-equality case exists: even under an all-ones grid, point
+    # masking zeroes samples OUTSIDE the level aabbs while their probe
+    # interval — straddling the box edge — stays occupied)
+
+    # renderer-level: cdf path carries the interval bits
+    from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
+
+    r = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                            occ_importance=True, occ_probe_mask=True)
+    out = render_rays_chunked(r, params, st, np.array(rays), 64)
+    assert np.isfinite(out).all()
+
+
 def test_soft_render_mode_keeps_unmarked_density():
     """occ_hard_mask=False (soft-trained checkpoints): the grid steers
     placement only; density outside the marked cells still composites."""
