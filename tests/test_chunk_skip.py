@@ -321,6 +321,42 @@ def test_soft_render_mode_keeps_unmarked_density():
     assert not isinstance(r, TwoWaveOccRenderer)
 
 
+def test_dispatch_fuzz_matches_plain():
+    """Property check over random ray batches (NaN/inf corruption, random
+    grids, odd chunk sizes): the dispatcher — whatever mode it picks —
+    always reproduces the one-shot program's frame."""
+    from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
+
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    renderer = make_chunk_renderer(cfg, ray_samples=8, occ_state=occ,
+                                   occ_importance=True)
+    modes = set()
+    for trial in range(4):
+        n = int(rng.integers(30, 200))
+        rays = np.array(_rays_at(rng, n, target_y=float(rng.uniform(-2, 2)),
+                                 spread=float(rng.uniform(0.05, 0.6))))
+        # corrupt a few rays: NaN origins, inf far, reversed near/far
+        for i in rng.integers(0, n, size=3):
+            kind = int(rng.integers(3))
+            if kind == 0:
+                rays[i, 0] = np.nan
+            elif kind == 1:
+                rays[i, 7] = np.inf
+            else:
+                rays[i, 6], rays[i, 7] = 5.0, 1.0
+        rays = np.nan_to_num(rays, posinf=1e10, neginf=-1e10).astype(
+            np.float32)
+        chunk = int(rng.choice([32, 48, 64]))
+        stats = {}
+        out_d = render_rays_chunked(renderer, params, st, rays, chunk,
+                                    stats=stats)
+        out_p = render_rays_chunked(renderer.full, params, st, rays, chunk)
+        modes.add(stats["mode"])
+        np.testing.assert_allclose(out_d, out_p, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"trial {trial}: {stats}")
+    assert modes - {"plain"}, modes  # at least one non-trivial mode ran
+
+
 def test_two_wave_gating():
     """last_sample backgrounds read field colors — no skip; mesh path keeps
     the one-shot renderer."""
