@@ -296,6 +296,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(a.seed + 1)
     t0 = time.perf_counter()
     steps, psnr, hit_time = 0, 0.0, None
+    curve = []  # (elapsed_s, heldout_psnr) every eval: diagnosable misses
     while time.perf_counter() - t0 < a.budget_s:
         idx = rng.integers(0, len(pool_rays), a.batch)
         key, k = jax.random.split(key)
@@ -307,6 +308,7 @@ def main(argv=None):
         if steps % 50 == 0:
             psnr = float(eval_psnr(params))
             el = time.perf_counter() - t0
+            curve.append([round(el, 1), round(psnr, 2)])
             print(f"[fit] step {steps}  {el:.1f}s  heldout psnr {psnr:.2f}")
             if psnr >= a.target_psnr:
                 hit_time = el
@@ -323,6 +325,7 @@ def main(argv=None):
         "final_psnr": round(psnr, 2),
         "steps": steps,
         "rays_per_step": a.batch,
+        "psnr_curve": curve[-20:],
     }
     print(json.dumps(out))
 
