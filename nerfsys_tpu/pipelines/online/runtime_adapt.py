@@ -655,6 +655,8 @@ def two_wave_dispatch(
         # ---- ray packing: field-eval launches = ceil(alive / chunk) ----
         stats.update(mode="packed", packed_chunks=packed_chunks,
                      alive_chunks=alive_chunks, n_alive=n_alive)
+        probed = None  # release every chunk's probe CDF (~42 MB each at
+        # 65536 rays x 128 probes — a 4K frame holds 127 of them otherwise)
         idx_alive = np.flatnonzero(alive)
         idx_dead = np.flatnonzero(~alive)
         for s in range(0, len(idx_alive), chunk_rays):
@@ -674,7 +676,10 @@ def two_wave_dispatch(
 
     # ---- chunk skipping from the hoisted CDF ----
     skipped = 0
-    for s, m, dev, (cdf_state, _) in probed:
+    for i in range(len(probed)):
+        s, m, dev, (cdf_state, _) = probed[i]
+        probed[i] = None  # drop the CDF ref once its render is dispatched:
+        # device memory frees as the queue drains instead of at frame end
         if alive[s : s + m].any():
             out = chunk_renderer.render_from_cdf(
                 params, statics, dev, cdf_state, *extra
@@ -682,6 +687,7 @@ def two_wave_dispatch(
         else:
             skipped += 1
             out = chunk_renderer.render_dead(params, statics, dev, *extra)
+        del cdf_state
         pending.append((np.arange(s, s + m), out))
     stats.update(mode="two_wave", chunks_skipped=skipped,
                  alive_chunks=alive_chunks, n_alive=n_alive)
