@@ -174,6 +174,7 @@ def build_union_probe_grid(
     statics: ContainerStatics,
     res: int = 128,
     importance: bool = False,
+    dilate: int = 1,
 ) -> Dict:
     """Resample the K experts' occupancy union into ONE single-level grid
     over the global aabb, for PROBING only.
@@ -181,16 +182,18 @@ def build_union_probe_grid(
     The MoE probe pass queries every expert's every level per probe point
     (K x L grid-row gathers; at K=4 L=2 P=128 that is 1024 transaction-
     bound rows per ray — comparable to the field eval itself). Probing one
-    resampled grid instead costs 1 row per probe point. Placement-only
-    approximation: the final hard sigma mask still uses the exact
-    per-expert union, so geometry can never be deleted by resampling
-    aliasing — only the sample pdf (and the dead-ray gate) coarsens.
+    resampled grid instead costs 1 row per probe point.
 
-    Marking samples each cell at its center AND its 8 corners against the
-    exact union, so a cell is occupied if any of 9 lattice points is —
-    near-conservative at 1/res granularity (a strictly interior sliver
-    thinner than a cell can still be missed; pick res >= the expert grid
-    resolution).
+    APPROXIMATION, stated honestly: sample placement coarsens, and so does
+    the dead-ray gate — a ray whose occupied probes exist only under the
+    exact union but not this grid is classed dead and renders to pure
+    background (the hard sigma mask stays exact only for rays that remain
+    alive). Marking samples each cell at its center AND its 8 corners and
+    then dilates the marked set by `dilate` cells, so deletion requires
+    occupied geometry more than `dilate` cells away from any marked
+    lattice point — rare for EMA-trained grids, but possible for sub-cell
+    slivers; keep res high relative to scene extent and A/B eval PSNR
+    before trusting a new configuration.
 
     Returns {"binary": (1, res, res, res), "values": (..., or None),
     "aabb": (2, 3)} queried with query_binary/query_values against the
@@ -240,6 +243,13 @@ def build_union_probe_grid(
         | c[:-1, :-1, 1:] | c[1:, 1:, :-1] | c[1:, :-1, 1:]
         | c[:-1, 1:, 1:] | c[1:, 1:, 1:]
     )
+    for _ in range(max(int(dilate), 0)):
+        p = jnp.pad(cell, 1)
+        cell = jnp.zeros_like(cell)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    cell = cell | p[dx:dx + res, dy:dy + res, dz:dz + res]
     out = {"binary": cell[None], "values": None, "aabb": aabb}
     if importance:
         val_fn = union_value_fn(occ_state, statics)
@@ -248,7 +258,7 @@ def build_union_probe_grid(
     return out
 
 
-def union_probe_fns(probe_grid: Dict, statics: ContainerStatics):
+def union_probe_fns(probe_grid: Dict):
     """(bin_fn, val_fn) querying a build_union_probe_grid result."""
     from nerfsys_tpu.ops.occupancy import query_values
 
@@ -300,6 +310,9 @@ def probe_rays_occ(
     importance: bool = False,
     uniform_frac: float = 0.25,
     probe_fns=None,  # (bin_fn, val_fn) override, e.g. union_probe_fns
+    ray_floor: float = 0.0,  # MUST match the consuming render's floor:
+    # hard-mask renders use 0.0; a soft render (hard_mask=False) consuming
+    # this cdf_state needs the same whole-ray floor it would build itself
 ) -> Tuple[Dict, Array]:
     """Wave-1 of chunked occupancy rendering: the probe/CDF pass alone.
 
@@ -316,7 +329,7 @@ def probe_rays_occ(
     )
     state = occupancy_probe_cdf(
         bin_fn, o, d, near_s, far_s, n_probes,
-        weight_fn=val_fn, uniform_frac=uniform_frac,
+        weight_fn=val_fn, uniform_frac=uniform_frac, ray_floor=ray_floor,
     )
     # per-ray alive & valid, computed HERE so host-side dispatch (chunk
     # skipping / ray packing) shares the device's validity predicate

@@ -248,7 +248,7 @@ def _union_probe_wrap(occ_state, occ_importance, res):
     def probe_impl(grid, statics, rays):
         return probe_rays_occ(
             statics, occ_state, rays, importance=occ_importance,
-            probe_fns=union_probe_fns(grid, statics),
+            probe_fns=union_probe_fns(grid),
         )
 
     probe_j = jax.jit(probe_impl)
@@ -282,7 +282,8 @@ class TwoWaveOccRenderer:
     """
 
     def __init__(self, full, probe, render_from_cdf, render_dead,
-                 packable=True, prepare=None, check_rays=None):
+                 packable=True, prepare=None, check_rays=None,
+                 pack_cost_ratio=0.0):
         self.full = full
         self.probe = probe
         self.render_from_cdf = render_from_cdf
@@ -298,6 +299,10 @@ class TwoWaveOccRenderer:
         # survive tracing), hence hooks rather than wrappers
         self.prepare = prepare
         self.check_rays = check_rays
+        # packing discards wave-1 CDFs, so packed chunks re-pay the probe:
+        # probe cost as a fraction of a chunk's field+mask cost, used by
+        # the dispatcher's mode decision (0 = probe free, legacy behavior)
+        self.pack_cost_ratio = pack_cost_ratio
 
     def __call__(self, params, statics, rays):
         if self.check_rays is not None:
@@ -325,6 +330,7 @@ class TwoWaveOccRenderer:
             packable=self.packable,
             prepare=self.prepare,
             check_rays=self.check_rays,
+            pack_cost_ratio=self.pack_cost_ratio,
         )
 
 
@@ -390,6 +396,20 @@ def make_chunk_renderer(
             print("[render] --occ_union_probe_res ignored: union-grid "
                   "probing applies to the unsharded full-MoE path only "
                   "(active_expert=None, no mesh)")
+        # packing re-pays the probe the wave-1 CDFs already paid — weigh
+        # that in the dispatcher's mode decision (rows are the v5e cost)
+        from nerfsys_tpu.utils.flops import analytic_render_gather_rows_per_ray
+
+        occ_L = int(occ_state["binary"].shape[1])
+        probe_rows = 128.0 * (1 if union_probe
+                              else cfg.num_experts * occ_L)
+        total_rows = analytic_render_gather_rows_per_ray(
+            ray_samples=ray_samples, num_experts=cfg.num_experts,
+            experts_evaluated=(1 if active_expert is not None else None),
+            occ=True, occ_levels=occ_L, union_probe=union_probe,
+            hard_mask=occ_hard_mask,
+        )
+        pack_ratio = probe_rows / max(total_rows - probe_rows, 1.0)
         if skippable_bg:
             from nerfsys_tpu.models.occupancy import (
                 probe_rays_occ,
@@ -430,6 +450,7 @@ def make_chunk_renderer(
                     render_from_cdf=jax.jit(render_cdf_fn),
                     render_dead=jax.jit(render_dead_fn),
                     packable=not cfg.bucketed,
+                    pack_cost_ratio=pack_ratio,
                 )
         else:
             probe_fn = None
@@ -520,6 +541,7 @@ def make_chunk_renderer(
             packable=not cfg.bucketed,
             prepare=prepare,
             check_rays=check_rays,
+            pack_cost_ratio=pack_ratio,
         )
 
     def render_sharded(params, statics, rays):
@@ -633,6 +655,32 @@ def two_wave_dispatch(
     if chunk_renderer.prepare is not None:
         params, statics = chunk_renderer.prepare(params, statics)
 
+    # huge frames: process in segments so at most SEG probe CDF states
+    # (~21-42 MB each) are live on device at once — a 4K frame would
+    # otherwise hold ~250 of them (multi-GB) through the alive fetch.
+    # Mode (skip vs pack) is decided per segment; packing efficiency only
+    # degrades marginally (alive rays pack within their segment).
+    SEG = 16
+    if len(spans) > SEG:
+        pending = []
+        totals = {"chunks_total": 0, "chunks_skipped": 0, "n_alive": 0,
+                  "alive_chunks": 0}
+        modes = set()
+        for s0 in range(0, n, SEG * chunk_rays):
+            seg_stats: dict = {}
+            for ids, out in two_wave_dispatch(
+                chunk_renderer, params, statics,
+                rays[s0 : s0 + SEG * chunk_rays], chunk_rays, *extra,
+                stats=seg_stats,
+            ):
+                pending.append((ids + s0, out))
+            modes.add(seg_stats.get("mode"))
+            for k in totals:
+                totals[k] += int(seg_stats.get(k, 0))
+        stats.update(mode="+".join(sorted(m for m in modes if m)),
+                     segments=-(-len(spans) // SEG), **totals)
+        return pending
+
     # ---- wave 1: probe every chunk, fetch per-ray alive bits ----
     probed = []
     for s, m in spans:
@@ -649,8 +697,9 @@ def two_wave_dispatch(
     packed_chunks = -(-n_alive // chunk_rays) if n_alive else 0
 
     pending = []
+    ratio = getattr(chunk_renderer, "pack_cost_ratio", 0.0)
     if getattr(chunk_renderer, "packable", False) and (
-        packed_chunks < alive_chunks
+        packed_chunks * (1.0 + ratio) < alive_chunks
     ):
         # ---- ray packing: field-eval launches = ceil(alive / chunk) ----
         stats.update(mode="packed", packed_chunks=packed_chunks,

@@ -283,9 +283,14 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         experts_evaluated=1 if top1 else None,
         occ=use_occ, occ_levels=2, union_probe=bool(union_probe),
     )
-    # utilization counts only the rays whose programs actually ran
+    # achieved rows: wave 1 probes EVERY ray; field+mask run on alive rays
+    # only; packed mode re-probes the alive rays inside the full program
+    probe_rows = (128.0 * (1 if union_probe else 4 * 2)) if use_occ else 0.0
+    work_rows = rows_per_ray - probe_rows
     alive = stats.get("n_alive", n) if use_occ else n
-    rows_frame = rows_per_ray * alive
+    rows_frame = probe_rows * n + work_rows * alive
+    if "packed" in str(stats.get("mode", "")):
+        rows_frame += probe_rows * alive
     tx_util = [round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_HIGH, 3),
                round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_LOW, 3)]
     out = {

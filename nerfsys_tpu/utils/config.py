@@ -50,6 +50,18 @@ ARCH_KEYS = {
     "occ_levels",
 }
 
+# Occupancy RENDER-MODE keys: how a checkpoint was trained is how it should
+# be rendered (a soft-trained model hard-masked at eval deletes density it
+# legitimately holds — ~0.6 dB, BASELINE.md). Unlike ARCH_KEYS these are
+# overridable: an explicit CLI flag or JSON entry wins; otherwise the
+# checkpoint config decides.
+OCC_MODE_KEYS = {
+    "occ_no_hard_mask",
+    "occ_importance",
+    "occ_probe_mask",
+    "occ_ray_floor",
+}
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native Adaptive NeRF Framework")
@@ -333,6 +345,13 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                     if hasattr(args, k) and k not in cli_set and k not in json_cfg:
                         setattr(args, k, v)
             _enforce_arch_from_ckpt(args, ckpt_cfg)
+            # render-mode keys follow the checkpoint unless explicitly set:
+            # render how the model trained (soft/hard, importance, probe
+            # masking) without requiring --use_stored_args
+            for k in OCC_MODE_KEYS:
+                if (k in ckpt_cfg and hasattr(args, k)
+                        and k not in cli_set and k not in json_cfg):
+                    setattr(args, k, ckpt_cfg[k])
 
     return args
 

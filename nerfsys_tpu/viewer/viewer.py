@@ -58,6 +58,7 @@ class RenderEngine:
         occ_state=None,  # stacked expert occupancy (viewer occ toggle)
         occ_hard_mask: bool = True,  # match how the checkpoint trained
         occ_probe_grid_res: int = 0,  # union-grid probing (0 = exact)
+        occ_probe_mask: bool = False,  # interval-bit masking
     ):
         self.cfg = cfg
         self.statics = statics
@@ -66,6 +67,7 @@ class RenderEngine:
         self.use_occ = occ_state is not None
         self.occ_hard_mask = bool(occ_hard_mask)
         self.occ_probe_grid_res = int(occ_probe_grid_res)
+        self.occ_probe_mask = bool(occ_probe_mask)
         self.global_aabb = (
             np.asarray(global_aabb, np.float32) if global_aabb is not None else None
         )
@@ -128,6 +130,7 @@ class RenderEngine:
                 active_expert=active, occ_state=occ,
                 occ_hard_mask=self.occ_hard_mask,
                 occ_probe_grid_res=self.occ_probe_grid_res,
+                occ_probe_mask=self.occ_probe_mask,
             )
             self._renderers[key] = r
         return r
@@ -282,6 +285,7 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         occ_state=ctx.get("occ_state"),
         occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
         occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
+        occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
     )
 
     from nerfsys_tpu.runner import optim_config_from_args

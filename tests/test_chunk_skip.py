@@ -240,7 +240,7 @@ def test_union_probe_grid_marks_centers_and_renders_close():
     marked = np.asarray(grid["binary"][0]).reshape(-1)
     assert np.all(~exact | marked)
 
-    bin_u, val_u = union_probe_fns(grid, st)
+    bin_u, val_u = union_probe_fns(grid)
     assert bool(jnp.any(bin_u(jnp.asarray(centers[:64].astype(np.float32))))
                 ) == bool(exact[:64].any())
 
@@ -319,6 +319,27 @@ def test_soft_render_mode_keeps_unmarked_density():
     r = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
                             occ_hard_mask=False)
     assert not isinstance(r, TwoWaveOccRenderer)
+
+
+def test_segmented_dispatch_matches_plain():
+    """Frames beyond the live-CDF budget (>16 chunks) process in segments;
+    the output must still match the one-shot program exactly."""
+    from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
+
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    renderer = make_chunk_renderer(cfg, ray_samples=8, occ_state=occ,
+                                   occ_importance=True)
+    ground = np.array(_rays_at(rng, 300, target_y=-1.0, spread=0.2))
+    sky = np.array(_rays_at(rng, 300, target_y=1.0, spread=0.05))
+    rays = np.concatenate([ground, sky]).astype(np.float32)  # 600 rays
+
+    stats = {}
+    out_seg = render_rays_chunked(renderer, params, st, rays, 32,
+                                  stats=stats)  # 19 chunks -> 2 segments
+    assert stats.get("segments") == 2, stats
+    assert stats["chunks_total"] == 19
+    out_plain = render_rays_chunked(renderer.full, params, st, rays, 32)
+    np.testing.assert_allclose(out_seg, out_plain, rtol=1e-6, atol=1e-6)
 
 
 def test_dispatch_fuzz_matches_plain():

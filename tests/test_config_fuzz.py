@@ -148,6 +148,29 @@ def test_reference_p_namespace_roundtrip(tmp_path):
     assert a2.outer_steps == 777
 
 
+def test_occ_mode_keys_follow_checkpoint(tmp_path):
+    """Render-mode keys (soft/hard, importance, probe mask, ray floor) are
+    pinned from the checkpoint WITHOUT --use_stored_args — render how the
+    model trained — but an explicit JSON/CLI setting still wins."""
+    run = _write_ckpt_cfg(tmp_path, {"occ_no_hard_mask": True,
+                                     "occ_importance": True,
+                                     "occ_ray_floor": 0.4}, "json")
+    a = parse_args(["--checkpoint_path", run, "--prefix", "best"])
+    assert a.occ_no_hard_mask is True
+    assert a.occ_importance is True
+    assert a.occ_ray_floor == 0.4
+
+    cfg = tmp_path / "override.json"
+    cfg.write_text(json.dumps({"occ_no_hard_mask": False}))
+    a2 = parse_args(["--configPath", str(cfg),
+                     "--checkpoint_path", run, "--prefix", "best"])
+    assert a2.occ_no_hard_mask is False
+
+    a3 = parse_args(["--occ_ray_floor", "0.1",
+                     "--checkpoint_path", run, "--prefix", "best"])
+    assert a3.occ_ray_floor == 0.1
+
+
 def test_shipped_train_config_is_soft_occ():
     """configs/train.json ships the quality-gated soft-occupancy profile
     (BASELINE.md A/B); train_strat.json keeps stratified-96 parity. Guards
