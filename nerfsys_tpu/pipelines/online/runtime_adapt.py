@@ -613,6 +613,7 @@ def two_wave_dispatch(
     chunk_rays: int,
     *extra,
     stats: Optional[dict] = None,
+    probe_cache: Optional[dict] = None,
 ):
     """Dispatch a ray batch through fixed-size padded chunks; the caller
     fetches and scatters. Returns [(ids (m,) int, device_output), ...] with
@@ -622,6 +623,13 @@ def two_wave_dispatch(
     Output-agnostic: works for the (rgb, depth, acc) renderer and for any
     `map_outputs` variant (e.g. the viewer's fused uint8 tonemap); `extra`
     per-call traced args are threaded through render calls (not the probe).
+
+    `probe_cache` (a caller-owned dict) persists wave 1 across calls: the
+    probe depends only on (rays, grid), never params, so a viewer
+    rendering the SAME camera while adaptation updates params every frame
+    pays the probe once. The CALLER owns invalidation — pass a fresh dict
+    (or none) whenever rays or the occupancy grid change. Ignored for
+    frames larger than the segment budget.
 
     With a TwoWaveOccRenderer, wave 1 probes every chunk's occupancy CDF
     and fetches the per-ray alive bits; wave 2 then picks per frame:
@@ -682,15 +690,24 @@ def two_wave_dispatch(
         return pending
 
     # ---- wave 1: probe every chunk, fetch per-ray alive bits ----
-    probed = []
-    for s, m in spans:
-        dev = jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays))
-        probed.append((s, m, dev, chunk_renderer.probe(statics, dev)))
-    alive = np.zeros(n, bool)
-    for s, m, _, (cdf_state, _) in probed:
-        # alive & valid per the DEVICE's validity predicate (probe_rays_occ
-        # computes it — one definition, no host numpy twin to keep in sync)
-        alive[s : s + m] = np.asarray(cdf_state["alive_valid"])[:m]
+    if probe_cache is not None and probe_cache.get("chunk_rays") == chunk_rays:
+        probed = probe_cache["probed"]
+        alive = probe_cache["alive"]
+        stats.update(probe_cached=True)
+    else:
+        probed = []
+        for s, m in spans:
+            dev = jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays))
+            probed.append((s, m, dev, chunk_renderer.probe(statics, dev)))
+        alive = np.zeros(n, bool)
+        for s, m, _, (cdf_state, _) in probed:
+            # alive & valid per the DEVICE's validity predicate
+            # (probe_rays_occ computes it — one definition, no host numpy
+            # twin to keep in sync)
+            alive[s : s + m] = np.asarray(cdf_state["alive_valid"])[:m]
+        if probe_cache is not None:
+            probe_cache.update(probed=probed, alive=alive,
+                               chunk_rays=chunk_rays)
 
     alive_chunks = sum(1 for s, m in spans if alive[s : s + m].any())
     n_alive = int(alive.sum())
@@ -704,8 +721,9 @@ def two_wave_dispatch(
         # ---- ray packing: field-eval launches = ceil(alive / chunk) ----
         stats.update(mode="packed", packed_chunks=packed_chunks,
                      alive_chunks=alive_chunks, n_alive=n_alive)
-        probed = None  # release every chunk's probe CDF (~42 MB each at
-        # 65536 rays x 128 probes — a 4K frame holds 127 of them otherwise)
+        if probe_cache is None:
+            probed = None  # release every chunk's probe CDF (~42 MB each
+            # at 65536 rays x 128 probes — a 4K frame holds 127 otherwise)
         idx_alive = np.flatnonzero(alive)
         idx_dead = np.flatnonzero(~alive)
         for s in range(0, len(idx_alive), chunk_rays):
@@ -727,8 +745,10 @@ def two_wave_dispatch(
     skipped = 0
     for i in range(len(probed)):
         s, m, dev, (cdf_state, _) = probed[i]
-        probed[i] = None  # drop the CDF ref once its render is dispatched:
-        # device memory frees as the queue drains instead of at frame end
+        if probe_cache is None:
+            probed[i] = None  # drop the CDF ref once its render is
+            # dispatched: device memory frees as the queue drains instead
+            # of at frame end (kept when the caller caches the probe)
         if alive[s : s + m].any():
             out = chunk_renderer.render_from_cdf(
                 params, statics, dev, cdf_state, *extra

@@ -81,6 +81,10 @@ class RenderEngine:
             self.scale = float(coordinate_info["pose_scale_factor"])
         self._renderers: Dict[Tuple, object] = {}
         self._dir_cache: Dict[Tuple, np.ndarray] = {}
+        # probe caches for the two-wave occ path: the probe depends only on
+        # (rays, grid), so a stationary camera watching live adaptation
+        # pays wave 1 once (keyed by ray-buffer content + grid identity)
+        self._probe_caches: Dict[Tuple, dict] = {}
 
     # ------------------------------- plumbing ---------------------------------
     def _rgb_u8_renderer(self, samples, bg_policy, active):
@@ -217,10 +221,21 @@ class RenderEngine:
                 renderer = self._rgb_u8_renderer(samples, bg, active)
                 inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
                 exp_f = np.float32(exposure)
+                cache = None
+                if getattr(renderer, "probe", None) is not None:
+                    # the probe is params-independent: a stationary camera
+                    # watching live adaptation pays wave 1 once
+                    key = (hash(rays.tobytes()), self.chunk_rays,
+                           id(self.occ_state), int(samples), active)
+                    cache = self._probe_caches.get(key)
+                    if cache is None:
+                        if len(self._probe_caches) >= 4:
+                            self._probe_caches.clear()
+                        cache = self._probe_caches[key] = {}
                 frame_u8 = np.zeros((n, 3), np.uint8)
                 for ids, out in two_wave_dispatch(
                     renderer, p, self.statics, rays, self.chunk_rays,
-                    exp_f, inv_gamma,
+                    exp_f, inv_gamma, probe_cache=cache,
                 ):
                     frame_u8[ids] = np.asarray(out)[: len(ids)]
                 frame_u8 = np.where(valid[:, None], frame_u8, 0)

@@ -321,6 +321,49 @@ def test_soft_render_mode_keeps_unmarked_density():
     assert not isinstance(r, TwoWaveOccRenderer)
 
 
+def test_probe_cache_reuses_wave1_across_param_updates():
+    """The probe is params-independent: with a caller-owned probe_cache the
+    dispatcher skips wave 1 on repeat frames and still tracks params."""
+    from nerfsys_tpu.pipelines.online.runtime_adapt import two_wave_dispatch
+
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    renderer = make_chunk_renderer(cfg, ray_samples=8, occ_state=occ,
+                                   occ_importance=True)
+    ground = np.array(_rays_at(rng, 96, target_y=-1.0, spread=0.1))
+    sky = np.array(_rays_at(rng, 96, target_y=1.0, spread=0.05))
+    rays = np.concatenate([ground, sky]).astype(np.float32)
+
+    # prime the pack5-mapped renderer the way render_rays_chunked does
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        render_rays_chunked,
+    )
+
+    base = render_rays_chunked(renderer, params, st, rays, 64)
+
+    import jax
+
+    cache: dict = {}
+    s1, s2 = {}, {}
+    packed = renderer._pack5_cache
+    out1 = np.zeros((rays.shape[0], 5), np.float32)
+    for ids, dev in two_wave_dispatch(packed, params, st, rays, 64,
+                                      stats=s1, probe_cache=cache):
+        out1[ids] = np.asarray(dev)[: len(ids)]
+    assert "probe_cached" not in s1
+    np.testing.assert_allclose(out1, base, rtol=1e-6, atol=1e-6)
+
+    # new params (simulated adaptation step), same camera: cached wave 1
+    params2 = jax.tree_util.tree_map(lambda x: x * 1.05, params)
+    out2 = np.zeros((rays.shape[0], 5), np.float32)
+    for ids, dev in two_wave_dispatch(packed, params2, st, rays, 64,
+                                      stats=s2, probe_cache=cache):
+        out2[ids] = np.asarray(dev)[: len(ids)]
+    assert s2.get("probe_cached") is True
+    fresh2 = render_rays_chunked(renderer, params2, st, rays, 64)
+    np.testing.assert_allclose(out2, fresh2, rtol=1e-6, atol=1e-6)
+    assert np.abs(out2 - out1).max() > 1e-6  # params really changed output
+
+
 def test_segmented_dispatch_matches_plain():
     """Frames beyond the live-CDF budget (>16 chunks) process in segments;
     the output must still match the one-shot program exactly."""
