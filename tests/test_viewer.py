@@ -379,6 +379,39 @@ def test_render_engine_occ_two_wave_matches_plain(tiny_engine):
         tiny_engine.use_occ = False
 
 
+def test_render_engine_probe_cache_keys(tiny_engine):
+    """Stationary camera reuses the probe cache; moving invalidates by key;
+    the cache stays bounded."""
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=2), 2)
+    occ = {**occ, "binary": jnp.ones_like(occ["binary"]),
+           "num_updates": jnp.asarray(1)}
+    tiny_engine.occ_state = occ
+    tiny_engine.use_occ = True
+    try:
+        c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+        f1 = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+        assert len(tiny_engine._probe_caches) == 1
+        (cache,) = tiny_engine._probe_caches.values()
+        assert "probed" in cache  # wave 1 stored
+        f2 = tiny_engine.render(c2w, 16, 12, fov_y=0.8)  # cache hit
+        np.testing.assert_array_equal(f1, f2)
+        assert len(tiny_engine._probe_caches) == 1
+
+        for i in range(4):  # new poses create entries; cache stays bounded
+            c = look_at_rub(np.array([0.1 * (i + 1), 0.0, 4.0]), np.zeros(3))
+            tiny_engine.render(c, 16, 12, fov_y=0.8)
+        assert len(tiny_engine._probe_caches) <= 4
+    finally:
+        tiny_engine._probe_caches.clear()
+        tiny_engine._renderers.clear()
+        tiny_engine.occ_state = None
+        tiny_engine.use_occ = False
+
+
 # --------------------------- camera pose actions -----------------------------
 def test_pose_look_center_aims_at_center():
     from nerfsys_tpu.viewer.utils import pose_look_center
