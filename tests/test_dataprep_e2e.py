@@ -294,3 +294,32 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     rows3 = evaluate(ctx3)
     assert np.isfinite(rows3[0]["psnr"])
     np.testing.assert_allclose(rows3[0]["psnr"], rows[0]["psnr"], atol=1e-3)
+
+    # ---- occupancy + sharded rendering through the CLI: train 2 steps
+    # with a tiny occ grid, then eval the SAME checkpoint unsharded and
+    # with --mesh_shape (sharded two-wave renderer) — PSNRs must agree ----
+    occ_argv = [a for a in argv] + [
+        "--use_occ", "--occ_importance", "--occ_resolution", "8",
+        "--occ_levels", "1", "--occ_warmup", "1",
+        "--occ_update_interval", "1", "--occ_probes", "16",
+    ]
+    occ_argv[occ_argv.index("it_run")] = "it_occ_run"
+    P4 = parse_args(occ_argv)
+    ctx4 = build_context(P4, "train")
+    train(ctx4)
+    occ_dir = Path(ctx4["run_dir"])
+    assert (occ_dir / "last.occ").exists()
+
+    def eval_occ(extra, tag):
+        Pn = parse_args(occ_argv + [
+            "--op", "eval", "--checkpoint_path", str(occ_dir),
+            "--prefix", "last", "--tto", "0", "--cap_images", "1",
+            "--fname", tag, *extra,
+        ])
+        return evaluate(build_context(Pn, "eval"))
+
+    r_single = eval_occ([], "it_occ_eval")
+    r_mesh = eval_occ(["--mesh_shape", "8"], "it_occ_eval_mesh")
+    assert np.isfinite(r_single[0]["psnr"])
+    np.testing.assert_allclose(r_mesh[0]["psnr"], r_single[0]["psnr"],
+                               atol=1e-3)
