@@ -375,6 +375,7 @@ def test_render_engine_occ_two_wave_matches_plain(tiny_engine):
         assert fd.shape == (8, 8, 3) and np.isfinite(fd.astype(float)).all()
     finally:
         tiny_engine._renderers.clear()
+        tiny_engine._probe_caches.clear()
         tiny_engine.occ_state = None
         tiny_engine.use_occ = False
 
@@ -391,6 +392,7 @@ def test_render_engine_probe_cache_keys(tiny_engine):
            "num_updates": jnp.asarray(1)}
     tiny_engine.occ_state = occ
     tiny_engine.use_occ = True
+    tiny_engine._probe_caches.clear()  # other tests may have populated it
     try:
         c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
         f1 = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
