@@ -334,6 +334,16 @@ class TwoWaveOccRenderer:
         )
 
 
+def _fog_stats(weights):
+    """Per-ray (wmax, entropy) of the compositing weights — the reference's
+    haze signals (video_gen.py:349-352), computed on device so the video
+    path never ships (N, S) weight maps to host."""
+    wsum = jnp.maximum(jnp.sum(weights, axis=1, keepdims=True), 1e-12)
+    p = weights / wsum
+    entropy = -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-12)), axis=1)
+    return jnp.max(weights, axis=1), entropy
+
+
 def make_chunk_renderer(
     cfg: ContainerConfig,
     *,
@@ -346,6 +356,8 @@ def make_chunk_renderer(
     occ_probe_grid_res: int = 0,
     occ_hard_mask: bool = True,
     occ_probe_mask: bool = False,  # interval-bit masking, no grid re-query
+    use_bg_fn: bool = True,  # False: ignore the learned bg MLP (video op)
+    fog_stats: bool = False,  # append per-ray (wmax, entropy) haze signals
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
     (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
@@ -353,6 +365,13 @@ def make_chunk_renderer(
     renders the SOFT mode (grid steers placement, never zeroes sigma) —
     match it to how the checkpoint was trained (--occ_no_hard_mask); dead
     rays then composite the field, so two-wave skipping is disabled.
+
+    use_bg_fn=False composites the plain bg_policy color even when the
+    checkpoint carries a learned background MLP (the reference video path
+    sets model.use_bg_nerf = False, video_gen.py:407-408). fog_stats=True
+    appends (wmax (C,), entropy (C,)) of the compositing weights to every
+    program's outputs (incl. the dead program: zeros — its weights are
+    exactly zero) for host-side fog suppression (video_gen.py:329-363).
 
     occ_probe_grid_res > 0 probes a single resampled union grid instead of
     every expert's every level (K x L fewer probe transactions; placement-
@@ -369,17 +388,23 @@ def make_chunk_renderer(
     lax.map to vmap so the mesh, not a serial scan, walks the expert
     axis."""
 
+    def _with_stats(rgb, depth, weights, acc):
+        if fog_stats:
+            return (rgb, depth, acc) + _fog_stats(weights)
+        return rgb, depth, acc
+
     if occ_state is not None:
         from nerfsys_tpu.models.occupancy import render_rays_occ
 
         def render_fn(params, statics, rays):
-            rgb, depth, _, acc = render_rays_occ(
+            rgb, depth, w, acc = render_rays_occ(
                 params, cfg, statics, occ_state, rays, ray_samples,
                 randomized=False, bg_policy=bg_policy,
                 active_expert=active_expert, importance=occ_importance,
                 hard_mask=occ_hard_mask, mask_from_probes=occ_probe_mask,
+                use_bg_fn=use_bg_fn,
             )
-            return rgb, depth, acc
+            return _with_stats(rgb, depth, w, acc)
 
         # dead chunks reduce to the background only when the background does
         # not read field colors ('last_sample' does; 'random' also needs a
@@ -423,20 +448,21 @@ def make_chunk_renderer(
                 )
 
             def render_cdf_fn(params, statics, rays, cdf_state):
-                rgb, depth, _, acc = render_rays_occ(
+                rgb, depth, w, acc = render_rays_occ(
                     params, cfg, statics, occ_state, rays, ray_samples,
                     randomized=False, bg_policy=bg_policy,
                     active_expert=active_expert, importance=occ_importance,
                     cdf_state=cdf_state, mask_from_probes=occ_probe_mask,
+                    use_bg_fn=use_bg_fn,
                 )
-                return rgb, depth, acc
+                return _with_stats(rgb, depth, w, acc)
 
             def render_dead_fn(params, statics, rays):
-                rgb, depth, _, acc = render_rays_occ_dead(
+                rgb, depth, w, acc = render_rays_occ_dead(
                     params, cfg, statics, rays, ray_samples,
-                    bg_policy=bg_policy,
+                    bg_policy=bg_policy, use_bg_fn=use_bg_fn,
                 )
-                return rgb, depth, acc
+                return _with_stats(rgb, depth, w, acc)
 
             if mesh is None:
                 probe_w = (
@@ -458,11 +484,12 @@ def make_chunk_renderer(
         probe_fn = None
         def render_fn(params, statics, rays):
             field = container_field_fn(params, cfg, statics, active_expert)
-            rgb, depth, _, acc = render_rays_stratified(
+            rgb, depth, w, acc = render_rays_stratified(
                 field, rays, ray_samples, randomized=False,
-                bg_policy=bg_policy, bg_fn=container_bg_fn(params, cfg),
+                bg_policy=bg_policy,
+                bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
             )
-            return rgb, depth, acc
+            return _with_stats(rgb, depth, w, acc)
 
     if mesh is None:
         return jax.jit(render_fn)
@@ -485,17 +512,20 @@ def make_chunk_renderer(
             occ_state=occ_state, occ_importance=occ_importance, mesh=mesh,
             occ_probe_grid_res=occ_probe_grid_res,
             occ_hard_mask=occ_hard_mask, occ_probe_mask=occ_probe_mask,
+            use_bg_fn=use_bg_fn, fog_stats=fog_stats,
         )
 
     ray_sh = ray_batch_sharding(mesh)  # P('data', None)
     rep = replicated(mesh)
     out_vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    out_sh = (ray_sh, out_vec, out_vec) + ((out_vec, out_vec) if fog_stats
+                                           else ())
     jitted = jax.jit(
         render_fn,
         # params/statics shardings inferred from their committed placement
         # (replicated, or expert-stacked leaves on 'expert')
         in_shardings=(None, None, ray_sh),
-        out_shardings=(ray_sh, out_vec, out_vec),
+        out_shardings=out_sh,
     )
     data_axis = mesh.shape["data"]
     rep_cache = {}  # id(params) -> placed copy: device_put ONCE per
@@ -532,11 +562,11 @@ def make_chunk_renderer(
             probe=jax.jit(probe_fn, in_shardings=(None, ray_sh)),
             render_from_cdf=jax.jit(
                 render_cdf_fn, in_shardings=(None, None, ray_sh, None),
-                out_shardings=(ray_sh, out_vec, out_vec),
+                out_shardings=out_sh,
             ),
             render_dead=jax.jit(
                 render_dead_fn, in_shardings=(None, None, ray_sh),
-                out_shardings=(ray_sh, out_vec, out_vec),
+                out_shardings=out_sh,
             ),
             packable=not cfg.bucketed,
             prepare=prepare,
@@ -603,6 +633,12 @@ def _pad_chunk(chunk: np.ndarray, chunk_rays: int) -> np.ndarray:
 
 def _pack5(rgb, depth, acc):
     return jnp.concatenate([rgb, depth[:, None], acc[:, None]], 1)
+
+
+def _pack7(rgb, depth, acc, wmax, entropy):
+    return jnp.concatenate(
+        [rgb, depth[:, None], acc[:, None], wmax[:, None], entropy[:, None]], 1
+    )
 
 
 def two_wave_dispatch(
@@ -770,21 +806,26 @@ def render_rays_chunked(
     rays: np.ndarray,  # (n, 8) float32, host
     chunk_rays: int,
     stats: Optional[dict] = None,
+    fog_stats: bool = False,  # renderer built with fog_stats=True -> (n, 7)
 ) -> np.ndarray:
     """Render an arbitrary ray batch through fixed-size padded chunks.
 
     Returns (n, 5) float32 [rgb, depth, acc] on host — two_wave_dispatch
-    with the outputs packed on device into one (C, 5) fetch per chunk."""
+    with the outputs packed on device into one (C, 5) fetch per chunk.
+    With fog_stats (renderer built via make_chunk_renderer(fog_stats=True)),
+    the per-ray haze signals ride along: (n, 7) [..., wmax, entropy]."""
+    pack, ncols, attr = ((_pack7, 7, "_pack7_cache") if fog_stats
+                         else (_pack5, 5, "_pack5_cache"))
     if getattr(chunk_renderer, "probe", None) is not None:
-        packed = getattr(chunk_renderer, "_pack5_cache", None)
+        packed = getattr(chunk_renderer, attr, None)
         if packed is None:
-            packed = chunk_renderer.map_outputs(_pack5)
-            chunk_renderer._pack5_cache = packed
+            packed = chunk_renderer.map_outputs(pack)
+            setattr(chunk_renderer, attr, packed)
         packed.packable = chunk_renderer.packable  # may be toggled post-build
     else:
         base = chunk_renderer
-        packed = lambda p, s, c: _pack5(*base(p, s, c))  # noqa: E731
-    out = np.zeros((rays.shape[0], 5), np.float32)
+        packed = lambda p, s, c: pack(*base(p, s, c))  # noqa: E731
+    out = np.zeros((rays.shape[0], ncols), np.float32)
     for ids, dev in two_wave_dispatch(packed, params, statics, rays,
                                       chunk_rays, stats=stats):
         out[ids] = np.asarray(dev)[: len(ids)]

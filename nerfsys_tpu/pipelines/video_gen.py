@@ -206,12 +206,15 @@ PATH_GENERATORS = {
 # --------------------------- fog suppression ----------------------------------
 def suppress_fog(
     rgb: np.ndarray,  # (N, 3)
-    weights: np.ndarray,  # (N, S)
+    weights: Optional[np.ndarray],  # (N, S); None with wmax_entropy given
     acc: np.ndarray,  # (N,)
     bg_val: float,
     acc_thr: float = 0.05,
     wmax_thr: float = 0.08,
     entropy_thr: float = 1.5,
+    wmax_entropy=None,  # precomputed ((N,), (N,)) — the render path computes
+    # these on device (make_chunk_renderer fog_stats) so (N, S) weight maps
+    # never ship to host
 ):
     """Blank low-opacity / hazy pixels (video_gen.py:329-363).
 
@@ -220,10 +223,13 @@ def suppress_fog(
     rgb = rgb.copy()
     low = acc < acc_thr
     rgb[low] = bg_val
-    wsum = np.maximum(weights.sum(1, keepdims=True), 1e-12)
-    p = weights / wsum
-    entropy = -(p * np.log(np.maximum(p, 1e-12))).sum(1)
-    wmax = weights.max(1)
+    if wmax_entropy is not None:
+        wmax, entropy = wmax_entropy
+    else:
+        wsum = np.maximum(weights.sum(1, keepdims=True), 1e-12)
+        p = weights / wsum
+        entropy = -(p * np.log(np.maximum(p, 1e-12))).sum(1)
+        wmax = weights.max(1)
     fog = (acc < max(acc_thr * 1.3, 0.10)) & ((wmax < wmax_thr) | (entropy > entropy_thr))
     rgb[fog] = bg_val
     return rgb, {"pct_low": float(low.mean()), "pct_fog": float(fog.mean())}
@@ -233,17 +239,29 @@ def suppress_fog(
 def render_video(ctx) -> Path:
     """Render a camera-path video from a trained checkpoint (--op video).
 
-    Uses the global scene box for path extents and the chunked renderer for
-    frames; writes mp4 (imageio/libx264) or a PNG sequence as fallback.
+    Reference-parity drive of video_gen.py:368-522 + nerf_runner.py:371-427:
+    intrinsics come from the first test image when test metadata is loaded
+    (nerf_runner.py:378-383; the video_width/height/fov flags are the
+    fallback for contexts without data); turntable uses the inside radius
+    0.6 * half-min-extent and phi 45 deg (:388-396,417-420); every path gets
+    the camera drop 0.15 * extent_D (:451-452) and the near bias
+    0.15 * scene radius clamped to t_far (:454-459,479-481); the learned
+    background MLP is disabled (:407-408); fog suppression runs by default
+    with the reference's full opacity/weight-shape signals computed on
+    device (:468,506-514) — --no_suppress_fog disables it.
     """
     import jax.numpy as jnp
 
-    from nerfsys_tpu.data.image_metadata import ImageMetadata
+    from nerfsys_tpu.data.ram_rays import (
+        np_clamp_rays,
+        np_get_rays,
+        np_ray_directions,
+    )
     from nerfsys_tpu.ops.color_space import linear_to_srgb
     from nerfsys_tpu.pipelines.online.runtime_adapt import (
         default_chunk_rays,
         make_chunk_renderer,
-        render_image,
+        render_rays_chunked,
     )
 
     P = ctx["P"]
@@ -254,16 +272,35 @@ def render_video(ctx) -> Path:
     center = 0.5 * (aabb[0] + aabb[1])
     extent = aabb[1] - aabb[0]
 
-    n_poses = int(getattr(P, "video_frames", 120))
-    fps = int(getattr(P, "video_fps", 24))
-    W = int(getattr(P, "video_width", 800))
-    H = int(getattr(P, "video_height", 600))
-    focal = 0.9 * max(W, H)
+    n_poses = int(getattr(P, "video_frames", 210))
+    fps = int(getattr(P, "video_fps", 30))
+    test_md = ctx.get("test_metadata") or []
+    if test_md:
+        # reference: intrinsics of the first test image (nerf_runner.py:378-383)
+        md0 = test_md[0]
+        H, W = int(md0.H), int(md0.W)
+        fx, fy, cx, cy = [float(x) for x in np.asarray(md0.intrinsics[:4])]
+    else:
+        W = int(getattr(P, "video_width", 800))
+        H = int(getattr(P, "video_height", 600))
+        fx = fy = 0.9 * max(W, H)
+        cx, cy = W / 2, H / 2
 
-    gen = PATH_GENERATORS[P.camera_path]
-    poses = gen(center, extent, n_poses)
+    if P.camera_path == "turntable":
+        # inside_radius_from_box(frac=0.6) + phi_deg=45 (nerf_runner.py:388-420)
+        radius = 0.6 * 0.5 * float(extent.min())
+        poses = poses_turntable_drb(center, radius=radius, phi_deg=45.0,
+                                    n_poses=n_poses)
+    else:
+        poses = PATH_GENERATORS[P.camera_path](center, extent, n_poses)
+    # camera drop: push every camera down by 15% of the D extent
+    # (video_gen.py:451-452)
+    poses[:, 0, 3] += 0.15 * extent[0]
+    # near bias clips camera-adjacent haze (video_gen.py:454-459)
+    near_bias = 0.15 * (0.5 * float(np.linalg.norm(extent)))
     print(f"[video] path={P.camera_path} frames={len(poses)} {W}x{H}")
 
+    suppress = not getattr(P, "no_suppress_fog", False)
     # occupancy-accelerated frames when the checkpoint carried trained grids
     # (same dispatch as the eval op; reference render_rays, :564-574)
     from nerfsys_tpu.parallel.mesh import maybe_render_mesh
@@ -276,28 +313,34 @@ def render_video(ctx) -> Path:
         occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
         occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
         mesh=maybe_render_mesh(P),
+        use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
+        fog_stats=suppress,
     )
+    chunk_rays = default_chunk_rays(P.ray_samples)
+    dirs = np_ray_directions(H, W, fx, fy, cx, cy, center_pixels=True)
 
     frames = []
     for i, c2w in enumerate(poses):
-        md = ImageMetadata(
-            image_path=Path("/dev/null"), c2w=c2w[:3], W=W, H=H,
-            intrinsics=np.array([focal, focal, W / 2, H / 2], np.float32),
-            image_index=i,
+        rays = np_get_rays(dirs, c2w[:3], aabb=aabb).reshape(-1, 8)
+        rays = rays.astype(np.float32)
+        # t_near = clamp(t_near, 0) + near_bias, capped below t_far
+        # (video_gen.py:479-481); invalid rays stay inf-tagged
+        t_near = np.maximum(rays[:, 6], 0.0) + np.float32(near_bias)
+        rays[:, 6] = np.minimum(t_near, rays[:, 7] - 1e-4)
+        rays, _ = np_clamp_rays(rays)
+
+        out = render_rays_chunked(renderer, params, statics, rays,
+                                  chunk_rays, fog_stats=suppress)
+        rgb_lin = out[:, 0:3]
+        if suppress:
+            # reference fog_params: entropy_thr 1.4 in the video loop (:468)
+            rgb_lin, _fog = suppress_fog(
+                rgb_lin, None, out[:, 4], bg_val=1.0,
+                wmax_entropy=(out[:, 5], out[:, 6]), entropy_thr=1.4,
+            )
+        frame = np.asarray(
+            linear_to_srgb(jnp.asarray(rgb_lin.reshape(H, W, 3)))
         )
-        rgb_lin, depth, acc = render_image(
-            renderer, params, statics, md, scene_aabb=aabb,
-            near=P.near, far=P.far,
-            chunk_rays=default_chunk_rays(P.ray_samples),
-        )
-        if getattr(P, "suppress_fog", False):
-            # acc-based haze blanking (the per-sample entropy variant in
-            # suppress_fog() needs sample weights; acc covers the dominant
-            # low-opacity case without shipping (N, S) maps off device)
-            low = acc < 0.05
-            rgb_lin = rgb_lin.copy()
-            rgb_lin[low] = 1.0
-        frame = np.asarray(linear_to_srgb(jnp.asarray(rgb_lin)))
         frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
         if i % 10 == 0:
             print(f"[video] frame {i}/{len(poses)}")

@@ -242,10 +242,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     # --- video & viewer
     p.add_argument("--suppress_fog", action="store_true",
-                   help="blank low-opacity / hazy pixels in rendered video "
-                        "frames (reference video_gen.py:329-363)")
-    p.add_argument("--video_frames", type=int, default=120)
-    p.add_argument("--video_fps", type=int, default=24)
+                   help="deprecated no-op: fog suppression is the video "
+                        "default, as in the reference (video_gen.py:506-514)")
+    p.add_argument("--no_suppress_fog", action="store_true",
+                   help="disable the default blanking of low-opacity / hazy "
+                        "video pixels (reference video_gen.py:329-363)")
+    # frame count / fps / intrinsics fallback: the reference video op renders
+    # 210 frames at 30 fps with the first test image's intrinsics
+    # (nerf_runner.py:417-425); width/height apply only without test data
+    p.add_argument("--video_frames", type=int, default=210)
+    p.add_argument("--video_fps", type=int, default=30)
     p.add_argument("--video_width", type=int, default=800)
     p.add_argument("--video_height", type=int, default=600)
     p.add_argument("--camera_path", type=str, default="full_coverage",

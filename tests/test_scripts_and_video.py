@@ -204,6 +204,139 @@ def test_suppress_fog():
     np.testing.assert_allclose(out[2], 1.0)  # low acc -> bg
     assert stats["pct_low"] > 0
 
+    # precomputed (wmax, entropy) — the on-device fog_stats path — must
+    # reproduce the weights-based result exactly
+    wsum = np.maximum(w.sum(1, keepdims=True), 1e-12)
+    p = w / wsum
+    ent = -(p * np.log(np.maximum(p, 1e-12))).sum(1)
+    out2, stats2 = suppress_fog(rgb, None, acc, bg_val=1.0,
+                                wmax_entropy=(w.max(1), ent))
+    np.testing.assert_array_equal(out, out2)
+    assert stats == stats2
+
+
+def test_fog_stats_renderer_matches_host_math():
+    """make_chunk_renderer(fog_stats=True) appends per-ray (wmax, entropy)
+    equal to recomputing them from the stratified renderer's weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        container_bg_fn,
+        container_field_fn,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.ops.volrend import render_rays_stratified
+    from nerfsys_tpu.pipelines.online.runtime_adapt import make_chunk_renderer
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(hidden=16, sigma_depth=1, color_hidden=16,
+                         color_depth=1, geo_feat_dim=7,
+                         hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                             log2_hashmap_size=8)),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.0, c + 1.0]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    )
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(32, 3)).astype(np.float32) * 0.2
+    d = rng.normal(size=(32, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile(np.array([0.1, 2.0], np.float32), (32, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], 1))
+
+    r = make_chunk_renderer(cfg, ray_samples=8, bg_policy="white",
+                            fog_stats=True, use_bg_fn=False)
+    rgb, depth, acc, wmax, ent = r(params, statics, rays)
+
+    field = container_field_fn(params, cfg, statics, None)
+    rgb_h, depth_h, w_h, acc_h = render_rays_stratified(
+        field, rays, 8, randomized=False, bg_policy="white", bg_fn=None,
+    )
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_h), atol=1e-6)
+    w_np = np.asarray(w_h)
+    np.testing.assert_allclose(np.asarray(wmax), w_np.max(1), atol=1e-6)
+    wsum = np.maximum(w_np.sum(1, keepdims=True), 1e-12)
+    p = w_np / wsum
+    ent_h = -(p * np.log(np.maximum(p, 1e-12))).sum(1)
+    np.testing.assert_allclose(np.asarray(ent), ent_h, atol=1e-5)
+
+    # use_bg_fn=False must ignore the learned bg MLP: a white-bg render of
+    # empty rays (near/far outside geometry) equals pure white where acc~0
+    assert "bg" in params  # the container ships one by default
+
+
+def test_video_uses_test_metadata_intrinsics(tmp_path):
+    """--op video with loaded test metadata renders at the first test
+    image's H/W (reference nerf_runner.py:378-383), not the fallback flags."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.data.image_metadata import ImageMetadata
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.pipelines.video_gen import render_video
+    from nerfsys_tpu.utils.config import parse_args
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(hidden=16, sigma_depth=1, color_hidden=16,
+                         color_depth=1, geo_feat_dim=7,
+                         hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                             log2_hashmap_size=8)),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.0, c + 1.0]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    )
+    md0 = ImageMetadata(
+        image_path=tmp_path / "none.jpg",
+        c2w=np.eye(3, 4, dtype=np.float32), W=20, H=12,
+        intrinsics=np.array([15.0, 15.0, 10.0, 6.0], np.float32),
+        image_index=0,
+    )
+    P = parse_args([
+        "--op", "video", "--data_path", str(tmp_path),
+        "--camera_path", "turntable", "--video_frames", "1",
+        "--video_width", "64", "--video_height", "48",  # must be ignored
+        "--ray_samples", "4", "--near", "0.05", "--far", "6.0",
+    ])
+    ctx = {
+        "P": P, "cfg": cfg, "statics": statics,
+        "params": init_container_params(jax.random.PRNGKey(0), cfg),
+        "run_dir": tmp_path, "test_metadata": [md0],
+    }
+    out = render_video(ctx)
+    from pathlib import Path as _P
+
+    out = _P(out)
+    if out.is_dir():
+        frame = next(iter(out.glob("*.png")))
+        from PIL import Image as PILImage
+
+        assert PILImage.open(frame).size == (20, 12)
+    else:
+        import imageio.v3 as iio
+
+        assert iio.imread(out).shape[-3:-1] == (12, 20)
+
 
 def test_phase_timer_and_memory_stats():
     import time as _time
