@@ -41,6 +41,9 @@ def meta_trainer(
     occ_update_fn=None,  # jitted (occ_state, params, statics, step, key)
     fixed_eval: bool = False,  # reuse one eval episode set + key every eval
     metric_lag: int = 1,  # fetch step metrics N steps late (0 = exact sync)
+    eval_batches: int = 1,  # episode batches per eval point; the reference
+    # caps its eval loop at max_test_tasks loader batches
+    # (meta_eval_step.py:31,94-96) — the runner passes that flag here
 ):
     """Run the outer loop; returns (params, opt_state, best).
 
@@ -165,20 +168,28 @@ def meta_trainer(
         # ----- periodic eval + save-best (trainer.py:52-74) -----
         if eval_step is not None and eval_iter is not None and eval_every > 0 \
                 and (step + 1) % eval_every == 0:
+            n_eval = max(int(eval_batches), 1)
             if fixed_eval:
                 if fixed_eval_state is None:
                     fixed_eval_state = (
-                        next(eval_iter), jax.random.PRNGKey(seed + 7919)
+                        [next(eval_iter) for _ in range(n_eval)],
+                        jax.random.PRNGKey(seed + 7919),
                     )
-                eval_batch, k_eval = fixed_eval_state
+                eval_set, k_eval = fixed_eval_state
             else:
                 key, k_eval = jax.random.split(key)
-                eval_batch = next(eval_iter)
-            if occ_state is not None:
-                ev = eval_step(params, statics, eval_batch, k_eval,
-                               occ_state)
-            else:
-                ev = eval_step(params, statics, eval_batch, k_eval)
+                eval_set = [next(eval_iter) for _ in range(n_eval)]
+            # equal-weight mean over eval batches (batches share one shape,
+            # so per-batch task counts only differ through rare padding)
+            evs = []
+            for eval_batch in eval_set:
+                if occ_state is not None:
+                    evs.append(eval_step(params, statics, eval_batch, k_eval,
+                                         occ_state))
+                else:
+                    evs.append(eval_step(params, statics, eval_batch, k_eval))
+            ev = {k: np.mean([float(np.mean(np.asarray(e[k]))) for e in evs])
+                  for k in evs[0]}
             eval_psnr = float(ev["psnr_out"])
             if logger:
                 logger.scalars(ev, step, prefix="eval/")

@@ -411,6 +411,7 @@ def train(ctx):
         occ_state=occ_state,
         occ_update_fn=occ_update_fn,
         fixed_eval=bool(getattr(P, "fixed_eval", False)),
+        eval_batches=int(getattr(P, "max_test_tasks", 1)),
     )
     ctx["params"] = params
     return params

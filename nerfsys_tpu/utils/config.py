@@ -234,7 +234,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner_iter", type=int, default=8)
     p.add_argument("--inner_lr", type=float, default=15e-3)
     p.add_argument("--outer_steps", type=int, default=20_000)
-    p.add_argument("--max_test_tasks", type=int, default=4)
+    p.add_argument("--max_test_tasks", type=int, default=4,
+                   help="episode batches per in-training eval point "
+                        "(reference eval_step caps its loop at this many "
+                        "loader batches, meta_eval_step.py:31,94-96)")
 
     # --- eval
     p.add_argument("--tto", type=str, default="16",
