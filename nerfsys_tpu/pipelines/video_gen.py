@@ -316,7 +316,10 @@ def render_video(ctx) -> Path:
         use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
         fog_stats=suppress,
     )
-    chunk_rays = default_chunk_rays(P.ray_samples)
+    budget = (int(P.chunk_points)
+              if "chunk_points" in getattr(P, "explicit_keys", ())
+              else 3_145_728)
+    chunk_rays = default_chunk_rays(P.ray_samples, budget_pts=budget)
     dirs = np_ray_directions(H, W, fx, fy, cx, cy, center_pixels=True)
 
     frames = []

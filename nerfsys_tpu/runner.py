@@ -189,14 +189,31 @@ def build_context(P, op: str) -> dict:
         expert_aabbs=expert_aabbs,
     )
 
-    # default run-name mirrors the reference's hparam string
-    # (offline_stage/__init__.py:13) — num_layers' only consumer there
-    # besides the SIREN variants
-    fname = P.fname or (
-        f"{P.data_dirname}_{P.algo}_{P.nerf_variant}"
-        f"_dir-{P.dir_encoding}_depth-{P.num_layers}_hid-{P.dim_hidden}"
-    )
-    logger = Logger(fn=fname, logs_path="logs", resume=op != "train")
+    # default run-name: the reference's exact hparam string
+    # (offline_stage/__init__.py:6-21,33). Divergence, deliberate: the
+    # reference appends _seed to USER-provided fnames too; we keep explicit
+    # fnames verbatim (mediator job dirs and scripted runs rely on them).
+    if P.fname:
+        fname = P.fname
+    else:
+        if getattr(P, "data_type", "ray") != "ray":
+            raise NotImplementedError(
+                "Only ray-based data_type is implemented."
+            )
+        fname = (
+            f"{P.data_type}/{P.dataset}/"
+            f"cells-{P.num_submodules:02}/"
+            + ("fim/" if getattr(P, "fim", False) else "mod/")
+            + f"algo-{P.algo}/"
+            f"{P.nerf_variant}_dir-{P.dir_encoding}_depth-{P.num_layers}"
+            f"_hid-{P.dim_hidden}_ch-{P.color_hidden}/"
+            + ("no_bg/" if P.no_bg_nerf else f"bg_{P.bg_hidden}/")
+            + f"initer-{P.inner_iter:02}_samples-{P.ray_samples}/"
+            f"lr-{int(P.inner_lr * 1e3):03d}-{int(P.lr * 1e6):04d}"
+            f"_seed-{P.seed}"
+        )
+    logger = Logger(fn=fname, logs_path="logs", resume=op != "train",
+                    today=bool(getattr(P, "log_date", False)))
     ctx["logger"] = logger
     ctx["run_dir"] = logger.logdir
 
@@ -427,6 +444,16 @@ def evaluate(ctx):
     from nerfsys_tpu.parallel.mesh import maybe_render_mesh
 
     render_mesh = maybe_render_mesh(P)
+    # --chunk_points honors the reference's render point budget when the
+    # user asked for it; otherwise the HBM-aware default sizes the chunk
+    chunk_rays = None
+    if "chunk_points" in getattr(P, "explicit_keys", ()):
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            default_chunk_rays,
+        )
+
+        chunk_rays = default_chunk_rays(P.ray_samples,
+                                        budget_pts=int(P.chunk_points))
     rows = []
     for tto in tto_list:
         tx = build_optimizer(
@@ -465,6 +492,7 @@ def evaluate(ctx):
             logger=ctx["logger"],
             seed=P.seed,
             mesh=render_mesh,
+            chunk_rays=chunk_rays,
         )
         rows.append({"tto": tto, **{k: v for k, v in result.items()
                                     if k != "params"}})

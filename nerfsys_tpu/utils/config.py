@@ -206,7 +206,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     # --- rendering
     p.add_argument("--ray_samples", type=int, default=96)
-    p.add_argument("--chunk_points", type=int, default=262_144 * 17)
+    p.add_argument("--chunk_points", type=int, default=262_144 * 17,
+                   help="render point budget per chunk (reference semantics); "
+                        "consumed only when passed explicitly — the default "
+                        "render chunking is HBM-aware (default_chunk_rays; "
+                        "the reference default compiles a ~15 GB program at "
+                        "96 samples on a 16 GB v5e)")
     p.add_argument("--color_space", type=str, default="linear",
                    choices=["srgb", "linear", "identity"])
 
@@ -261,7 +266,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["spiral_in", "turntable", "east_west",
                             "north_south", "full_coverage"])
     p.add_argument("--viewer_timeout", type=int, default=900)
-    p.add_argument("--viewer_public_host", type=str, default="127.0.0.1")
+    p.add_argument("--viewer_host", type=str, default="0.0.0.0",
+                   help="bind address for the Viser server "
+                        "(reference nerf_runner.py:442)")
+    p.add_argument("--viewer_port", type=int, default=7070)
+    p.add_argument("--viewer_public_host", type=str, default="127.0.0.1",
+                   help="hostname printed in the viewer access URL (the "
+                        "bind address is --viewer_host)")
 
     # --- extras
     p.add_argument("--configPath", type=str, default=None)
@@ -362,6 +373,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         and k not in cli_set and k not in json_cfg):
                     setattr(args, k, ckpt_cfg[k])
 
+    # keys the user set explicitly (CLI or JSON) — consumers that replace a
+    # reference knob with a TPU-aware default (e.g. chunk_points -> HBM-safe
+    # chunk sizing) honor the reference semantics only on explicit request
+    args.explicit_keys = sorted(cli_set | set(json_cfg))
     return args
 
 

@@ -324,7 +324,12 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
 
     ctrl = Controller(runner_factory, mode="view")
 
-    server = viser.ViserServer(host="0.0.0.0", port=port)
+    host = str(getattr(P, "viewer_host", "0.0.0.0"))
+    port = int(getattr(P, "viewer_port", port))
+    server = viser.ViserServer(host=host, port=port)
+    pub = getattr(P, "viewer_public_host", None)
+    if pub:
+        print(f"[viewer] http://{pub}:{port}")
     state = {
         "output": "rgb", "bg": "white", "expert": "all", "samples":
         engine.default_samples, "exposure": 0.0, "gamma": 2.2,
