@@ -118,6 +118,44 @@ def anneal_alpha_thre(cfg: OccGridConfig, step) -> Array:
 
 
 # ------------------------------ queries --------------------------------------
+def _finest_level_index(
+    aabb: Array,  # (2, 3) roi
+    L: int,
+    R: int,
+    pts: Array,  # (..., 3)
+) -> Tuple[Array, Array]:
+    """(decided (...,) bool, flat_idx (...,) int32 into the (L*R^3,) table).
+
+    Level membership is pure arithmetic (levels are the roi scaled 2^l about
+    its center), so the finest containing level can be SELECTED before
+    touching the grid — one transaction-bound gather row per point instead
+    of one per level. `flat_idx` addresses the deciding level's cell in the
+    level-concatenated flat table; points outside all levels get level 0's
+    clamped cell (callers mask via `decided`). Selection reproduces the
+    per-level formula bit-for-bit: the deciding level's rel is the same
+    float expression the L-gather layout evaluated.
+    """
+    la = level_aabbs(aabb, L)  # (L, 2, 3)
+    inside = []
+    rels = []
+    for l in range(L):  # finest first (level 0 = innermost aabb)
+        lo, hi = la[l, 0], la[l, 1]
+        rel = (pts - lo) / (hi - lo)  # (..., 3)
+        inside.append(jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1))
+        rels.append(rel)
+    decided = inside[0]
+    level = jnp.zeros(pts.shape[:-1], jnp.int32)
+    rel_sel = rels[0]
+    for l in range(1, L):
+        take = inside[l] & ~decided
+        level = jnp.where(take, l, level)
+        rel_sel = jnp.where(take[..., None], rels[l], rel_sel)
+        decided = decided | inside[l]
+    ijk = jnp.clip((rel_sel * R).astype(jnp.int32), 0, R - 1)
+    flat_idx = ((level * R + ijk[..., 0]) * R + ijk[..., 1]) * R + ijk[..., 2]
+    return decided, flat_idx
+
+
 def query_binary(
     binary: Array,  # (L, R, R, R) one expert's field
     aabb: Array,  # (2, 3) roi
@@ -127,26 +165,15 @@ def query_binary(
     """Occupancy at world points: the FINEST level containing each point
     decides (nerfacc query convention). Points outside all levels -> False.
 
-    Laid out TPU-first: one flat (M,) gather per level instead of a single
-    gather with a trailing (.., L) axis — a small trailing axis lane-pads
-    32x on TPU (a 512MB index tensor became 16GB and OOM'd HBM)."""
+    Laid out TPU-first twice over: flat (M,) gathers (a small trailing axis
+    lane-pads 32x — a 512MB index tensor became 16GB and OOM'd HBM), and ONE
+    gather into the level-concatenated table instead of one per level
+    (random gathers are transaction-rate bound; level selection is free
+    arithmetic, so L gather rows per point were pure waste)."""
     L, R = binary.shape[0], binary.shape[1]
-    la = level_aabbs(aabb, L)  # (L, 2, 3)
-    lead = pts.shape[:-1]
-    flat_binary = binary.reshape(L, -1)
-
-    result = jnp.zeros(lead, bool)
-    decided = jnp.zeros(lead, bool)
-    for l in range(L):  # finest level first (level 0 = innermost aabb)
-        lo, hi = la[l, 0], la[l, 1]
-        rel = (pts - lo) / (hi - lo)  # (..., 3) elementwise, transient
-        inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
-        ijk = jnp.clip((rel * R).astype(jnp.int32), 0, R - 1)
-        flat_idx = (ijk[..., 0] * R + ijk[..., 1]) * R + ijk[..., 2]  # (...,)
-        occ_l = row_gather(flat_binary[l], flat_idx)
-        result = jnp.where(~decided & inside, occ_l, result)
-        decided = decided | inside
-    return result
+    decided, flat_idx = _finest_level_index(aabb, L, R, pts)
+    occ = row_gather(binary.reshape(-1), flat_idx)
+    return occ & decided
 
 
 def query_values(
@@ -156,25 +183,14 @@ def query_values(
 ) -> Array:
     """EMA occupancy VALUE (sigma * step, clamped >= 0) at world points from
     the finest containing level; 0 outside all levels. Same layout rules as
-    query_binary. This is the free importance signal for density-proportional
-    sampling: no MLP evals, one row gather per level."""
+    query_binary (one gather row per point, level-concatenated table). This
+    is the free importance signal for density-proportional sampling: no MLP
+    evals, one row gather per point."""
     L, R = occs.shape[0], occs.shape[1]
-    la = level_aabbs(aabb, L)
-    lead = pts.shape[:-1]
-    flat = occs.reshape(L, -1)
-
-    result = jnp.zeros(lead, flat.dtype)
-    decided = jnp.zeros(lead, bool)
-    for l in range(L):
-        lo, hi = la[l, 0], la[l, 1]
-        rel = (pts - lo) / (hi - lo)
-        inside = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
-        ijk = jnp.clip((rel * R).astype(jnp.int32), 0, R - 1)
-        flat_idx = (ijk[..., 0] * R + ijk[..., 1]) * R + ijk[..., 2]
-        val_l = row_gather(flat[l], flat_idx)
-        result = jnp.where(~decided & inside, val_l, result)
-        decided = decided | inside
-    return jnp.maximum(result, 0.0)  # -1 invisible tags -> 0
+    decided, flat_idx = _finest_level_index(aabb, L, R, pts)
+    val = row_gather(occs.reshape(-1), flat_idx)
+    val = jnp.where(decided, val, 0.0)
+    return jnp.maximum(val, 0.0)  # -1 invisible tags -> 0
 
 
 def dilate_binary(binary: Array, passes: int = 1) -> Array:

@@ -133,14 +133,19 @@ def analytic_train_step_gather_rows(
     backward recomputation under MAML remat would double the inner rows).
     With occupancy training, each task pays one probe pass over its
     support rays (the CDF is hoisted across inner iterations,
-    meta_core.task_adapt): n_probes x occ_levels grid-row gathers per ray.
+    meta_core.task_adapt): one grid row per probe point regardless of
+    grid levels — query_binary/query_values select the finest containing
+    level arithmetically and issue ONE gather into the level-concatenated
+    table (ops/occupancy._finest_level_index). `occ_levels` is kept for
+    signature compatibility; it no longer multiplies rows. Importance
+    probing (value weights) doubles the probe rows (binary + values).
     """
     rows_per_point = plane_levels * ((3 + 3) if packed_corners
                                      else (3 * 4 + 3 * 2))
     pts = inner_iter * support_rays * ray_samples + query_rays * ray_samples
     rows = pts * rows_per_point
     if occ_probes:
-        rows += support_rays * occ_probes * occ_levels
+        rows += support_rays * occ_probes * 2  # binary + importance values
     return float(num_experts * tasks_per_expert * rows)
 
 
@@ -161,17 +166,20 @@ def analytic_render_gather_rows_per_ray(
 
     Three components, all transaction-bound on v5e:
       field:  S samples x 18 rows/point (packed planes) x experts evaluated
-      probe:  P probes x (1 row with the union grid, else K x L grid rows)
-      mask:   S samples x K x L exact-union rows (hard mode point masking)
-    This is the sizing model behind --occ_union_probe_res (probe is
-    comparable to the field itself at K=4 L=2 P=128) — measure_perf
-    reports it next to the measured frame time."""
+      probe:  P probes x (1 row with the union grid, else K expert rows —
+              one per expert, level-selected arithmetically before the
+              gather, ops/occupancy._finest_level_index)
+      mask:   S samples x K exact-union rows (hard mode point masking)
+    `occ_levels` is kept for signature compatibility; levels no longer
+    multiply rows. This is the sizing model behind --occ_union_probe_res
+    (the probe still rivals the field at large K) — measure_perf reports
+    it next to the measured frame time."""
     e = num_experts if experts_evaluated is None else experts_evaluated
     rows_per_point = plane_levels * ((3 + 3) if packed_corners
                                      else (3 * 4 + 3 * 2))
     rows = float(ray_samples * rows_per_point * e)
     if occ:
-        rows += n_probes * (1 if union_probe else num_experts * occ_levels)
+        rows += n_probes * (1 if union_probe else num_experts)
         if hard_mask:
-            rows += ray_samples * num_experts * occ_levels
+            rows += ray_samples * num_experts
     return rows

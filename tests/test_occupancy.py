@@ -65,6 +65,59 @@ def test_query_binary_finest_level_wins():
     assert not bool(far[0])
 
 
+def test_query_single_gather_matches_per_level_reference():
+    """The level-concatenated single-gather layout must equal the naive
+    per-level walk (finest containing level decides) bit-for-bit — the
+    transaction-count optimization may not move any value."""
+    from nerfsys_tpu.ops.occupancy import level_aabbs, query_values
+
+    rng = np.random.default_rng(3)
+    R, L = 8, 3
+    binary = jnp.asarray(rng.random((L, R, R, R)) < 0.3)
+    occs = jnp.asarray(
+        rng.normal(size=(L, R, R, R)).astype(np.float32)
+    )  # incl. negatives (invisible tags)
+    pts = jnp.asarray(
+        rng.uniform(-9, 9, size=(4096, 3)).astype(np.float32)
+    )  # spans inside level 0, the halos, and outside all levels
+
+    def ref_binary(b, aabb, p):
+        la = np.asarray(level_aabbs(aabb, L))
+        res = np.zeros(p.shape[0], bool)
+        dec = np.zeros(p.shape[0], bool)
+        for l in range(L):
+            rel = (np.asarray(p) - la[l, 0]) / (la[l, 1] - la[l, 0])
+            ins = np.all((rel >= 0) & (rel < 1), axis=-1)
+            ijk = np.clip((rel * R).astype(np.int32), 0, R - 1)
+            v = np.asarray(b).reshape(L, -1)[
+                l, (ijk[:, 0] * R + ijk[:, 1]) * R + ijk[:, 2]
+            ]
+            res = np.where(~dec & ins, v, res)
+            dec |= ins
+        return res
+
+    got = np.asarray(query_binary(binary, AABB, pts))
+    np.testing.assert_array_equal(got, ref_binary(binary, AABB, pts))
+
+    def ref_values(o, aabb, p):
+        la = np.asarray(level_aabbs(aabb, L))
+        res = np.zeros(p.shape[0], np.float32)
+        dec = np.zeros(p.shape[0], bool)
+        for l in range(L):
+            rel = (np.asarray(p) - la[l, 0]) / (la[l, 1] - la[l, 0])
+            ins = np.all((rel >= 0) & (rel < 1), axis=-1)
+            ijk = np.clip((rel * R).astype(np.int32), 0, R - 1)
+            v = np.asarray(o).reshape(L, -1)[
+                l, (ijk[:, 0] * R + ijk[:, 1]) * R + ijk[:, 2]
+            ]
+            res = np.where(~dec & ins, v, res)
+            dec |= ins
+        return np.maximum(res, 0.0)
+
+    got_v = np.asarray(query_values(occs, AABB, pts))
+    np.testing.assert_array_equal(got_v, ref_values(occs, AABB, pts))
+
+
 def test_update_occ_grid_marks_dense_region():
     state = {
         "occs": jnp.zeros((OCC.levels, 16, 16, 16)),
