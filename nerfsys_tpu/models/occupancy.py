@@ -89,6 +89,34 @@ def expert_value_fn(occ_state: Dict, statics: ContainerStatics, k: int):
     return query
 
 
+def union_pair_fn(occ_state: Dict, statics: ContainerStatics):
+    """pts (M, 3) -> (any-expert occ (M,), max EMA value (M,)) with ONE
+    fused 2-wide row per point per expert (query_pair) — half the rows of
+    separate binary + value importance probing."""
+    from nerfsys_tpu.ops.occupancy import query_pair
+
+    def query(pts):
+        def per_expert(occs_k, binary_k, aabb_k):
+            return query_pair(occs_k, binary_k, aabb_k, pts)
+
+        occ_k, val_k = jax.vmap(per_expert)(
+            occ_state["occs"], occ_state["binary"], statics.expert_aabbs
+        )
+        return jnp.any(occ_k, axis=0), jnp.max(val_k, axis=0)
+
+    return query
+
+
+def expert_pair_fn(occ_state: Dict, statics: ContainerStatics, k: int):
+    from nerfsys_tpu.ops.occupancy import query_pair
+
+    def query(pts):
+        return query_pair(occ_state["occs"][k], occ_state["binary"][k],
+                          statics.expert_aabbs[k], pts)
+
+    return query
+
+
 # --------------------------- updates ------------------------------------------
 def premark_invisible_expert_cells(
     occ_state: Dict,
@@ -300,6 +328,20 @@ def _occ_query_fns(
     return bin_fn, val_fn
 
 
+def _occ_pair_fn(
+    occ_state: Dict,
+    statics: ContainerStatics,
+    active_expert: Optional[int],
+    importance: bool,
+):
+    """Fused (occ, value) probe for importance probing, else None."""
+    if not importance:
+        return None
+    if active_expert is not None:
+        return expert_pair_fn(occ_state, statics, active_expert)
+    return union_pair_fn(occ_state, statics)
+
+
 def probe_rays_occ(
     statics: ContainerStatics,
     occ_state: Dict,
@@ -324,12 +366,18 @@ def probe_rays_occ(
     alive ones — zero duplicated probe work, identical math."""
     o, d = rays[:, 0:3], rays[:, 3:6]
     valid, near_s, far_s = _ray_validity(rays)
-    bin_fn, val_fn = probe_fns if probe_fns is not None else _occ_query_fns(
-        occ_state, statics, active_expert, importance
-    )
+    if probe_fns is not None:
+        bin_fn, val_fn = probe_fns
+        pair_fn = None
+    else:
+        bin_fn, val_fn = _occ_query_fns(
+            occ_state, statics, active_expert, importance
+        )
+        pair_fn = _occ_pair_fn(occ_state, statics, active_expert, importance)
     state = occupancy_probe_cdf(
         bin_fn, o, d, near_s, far_s, n_probes,
         weight_fn=val_fn, uniform_frac=uniform_frac, ray_floor=ray_floor,
+        pair_fn=pair_fn,
     )
     # per-ray alive & valid, computed HERE so host-side dispatch (chunk
     # skipping / ray packing) shares the device's validity predicate
@@ -442,10 +490,12 @@ def render_rays_occ(
     if cdf_state is None:
         p_bin, p_val = (probe_fns if probe_fns is not None
                         else (bin_fn, val_fn))
+        p_pair = (None if probe_fns is not None else
+                  _occ_pair_fn(occ_state, statics, active_expert, importance))
         cdf_state = occupancy_probe_cdf(
             p_bin, o, d, near_s, far_s, n_probes,
             weight_fn=p_val, uniform_frac=uniform_frac,
-            ray_floor=ray_floor,
+            ray_floor=ray_floor, pair_fn=p_pair,
         )
     occ_bits = None
     if mask_from_probes and hard_mask:

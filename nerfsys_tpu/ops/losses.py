@@ -51,6 +51,7 @@ def compute_mse_loss(
     occ_hard_mask: bool = True,  # False: pure importance sampling
     occ_ray_floor: float = 0.25,  # whole-ray pdf floor in the soft mode
     n_probes: int = 128,
+    pair_fn=None,  # fused (occ, value) probe: one 2-wide row per point
 ) -> Tuple[Array, dict]:
     """Render support/query rays and compute color-space-aligned MSE.
 
@@ -86,6 +87,7 @@ def compute_mse_loss(
                 mask_from_probes=occ_probe_mask,
                 hard_mask=occ_hard_mask,
                 ray_floor=0.0 if occ_hard_mask else occ_ray_floor,
+                pair_fn=pair_fn,
             )
 
         if occ_on is None:

@@ -193,6 +193,31 @@ def query_values(
     return jnp.maximum(val, 0.0)  # -1 invisible tags -> 0
 
 
+def query_pair(
+    occs: Array,  # (L, R, R, R) EMA densities
+    binary: Array,  # (L, R, R, R) bool field
+    aabb: Array,  # (2, 3) roi
+    pts: Array,  # (..., 3)
+) -> Tuple[Array, Array]:
+    """(occ (...,) bool, value (...,) >= 0) in ONE 2-wide row gather.
+
+    Importance probing needs BOTH the binary bit and the EMA value at every
+    probe point; fetched separately that is two transaction-bound rows per
+    point. Transactions count rows, not bytes — fusing [binary, value] into
+    one (L*R^3, 2) table halves the probe traffic. Exact: component 0
+    reproduces query_binary, component 1 query_values (XLA hoists the fused
+    table build out of scans; it is one elementwise pass over the grid)."""
+    L, R = occs.shape[0], occs.shape[1]
+    decided, flat_idx = _finest_level_index(aabb, L, R, pts)
+    fused = jnp.stack(
+        [binary.reshape(-1).astype(occs.dtype), occs.reshape(-1)], axis=-1
+    )  # (L*R^3, 2)
+    row = row_gather(fused, flat_idx)  # (..., 2)
+    occ = (row[..., 0] > 0.5) & decided
+    val = jnp.where(decided, row[..., 1], 0.0)
+    return occ, jnp.maximum(val, 0.0)
+
+
 def dilate_binary(binary: Array, passes: int = 1) -> Array:
     """(L, R, R, R) bool -> box-dilated by `passes` cells (edge-clamped).
 
@@ -336,9 +361,15 @@ def occupancy_probe_cdf(
     weight_fn: Optional[Callable[[Array], Array]] = None,
     uniform_frac: float = 0.25,
     ray_floor: float = 0.0,
+    pair_fn: Optional[Callable[[Array], Tuple[Array, Array]]] = None,
 ) -> dict:
     """Pass 1 of occupancy sampling: probe the grid along each ray and build
     the per-ray inverse-CDF state {cdf (N, P+1), alive (N,)}.
+
+    `pair_fn` (pts -> (occ bool, value)) replaces the separate
+    binary_any/weight_fn probes with ONE fused 2-wide gather per point
+    (query_pair) — half the transaction rows of importance probing.
+    binary_any is ignored when it is given.
 
     `uniform_frac` mixes uniform-over-OCCUPIED-probes into the importance
     pdf (keeps every marked cell reachable). `ray_floor` additionally mixes
@@ -358,12 +389,19 @@ def occupancy_probe_cdf(
     mids = 0.5 * (edges[:-1] + edges[1:])  # (P,)
     t_probe = near[:, None] + (far - near)[:, None] * mids[None, :]  # (N, P)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * t_probe[..., None]
-    occ = binary_any(pts.reshape(-1, 3)).reshape(N, P)  # (N, P) bool
+    val = None
+    if pair_fn is not None:
+        occ, val = pair_fn(pts.reshape(-1, 3))
+        occ = occ.reshape(N, P)
+        val = val.reshape(N, P)
+    else:
+        occ = binary_any(pts.reshape(-1, 3)).reshape(N, P)  # (N, P) bool
 
     alive = jnp.any(occ, axis=1)
     occf = occ.astype(rays_o.dtype)
-    if weight_fn is not None:
+    if weight_fn is not None and val is None:
         val = weight_fn(pts.reshape(-1, 3)).reshape(N, P)
+    if val is not None:
         val = jnp.maximum(val, 0.0).astype(rays_o.dtype) * occf
         # normalize both components per ray, then mix: a uniform_frac floor
         # keeps every occupied probe reachable even where the EMA is tiny
@@ -493,6 +531,7 @@ def render_rays_occ_field(
     mask_from_probes: bool = False,  # interval-bit masking, no grid re-query
     hard_mask: bool = True,  # False: pure importance sampling, no zeroing
     ray_floor=None,  # whole-ray uniform pdf floor; default 0.25 when soft
+    pair_fn=None,  # fused (occ, value) probe: one 2-wide row per point
 ):
     """Occupancy-guided dense render of ONE field (no MoE routing).
 
@@ -527,7 +566,7 @@ def render_rays_occ_field(
         cdf_state = occupancy_probe_cdf(
             binary_fn, o, d, near_s, far_s, n_probes,
             weight_fn=value_fn, uniform_frac=uniform_frac,
-            ray_floor=ray_floor,
+            ray_floor=ray_floor, pair_fn=pair_fn,
         )
     if mask_from_probes and hard_mask:
         t_vals, alive, occ_mask = sample_tvals_from_cdf(

@@ -114,9 +114,13 @@ def _expert_loss_fn(
         def bg_fn(dirs):
             return background_color({"bg": bg_params}, cfg, dirs)
 
-    binary_fn = value_fn = None
+    binary_fn = value_fn = pair_fn = None
     if occ_binary is not None:
-        from nerfsys_tpu.ops.occupancy import query_binary, query_values
+        from nerfsys_tpu.ops.occupancy import (
+            query_binary,
+            query_pair,
+            query_values,
+        )
 
         def binary_fn(pts):
             return query_binary(occ_binary, aabb, pts)
@@ -124,6 +128,9 @@ def _expert_loss_fn(
         if meta.occ_importance and occ_values is not None:
             def value_fn(pts):
                 return query_values(occ_values, aabb, pts)
+
+            def pair_fn(pts):  # one fused 2-wide row per probe point
+                return query_pair(occ_values, occ_binary, aabb, pts)
 
     loss, aux = compute_mse_loss(
         field,
@@ -139,6 +146,7 @@ def _expert_loss_fn(
         binary_fn=binary_fn,
         occ_on=occ_on,
         value_fn=value_fn,
+        pair_fn=pair_fn,
         occ_cdf=occ_cdf,
         occ_probe_mask=meta.occ_probe_mask,
         occ_hard_mask=meta.occ_hard_mask,
@@ -186,7 +194,7 @@ def task_adapt(
         from nerfsys_tpu.ops.occupancy import (
             occupancy_probe_cdf,
             query_binary,
-            query_values,
+            query_pair,
         )
 
         o, d = support_rays[:, 0:3], support_rays[:, 3:6]
@@ -196,14 +204,16 @@ def task_adapt(
         )
         near_s = jnp.where(s_valid, near, 0.0)
         far_s = jnp.where(s_valid, far, 1.0)
-        wfn = None
+        # importance probing fetches (binary, value) as ONE fused 2-wide
+        # row per probe point (query_pair) — half the probe transactions
+        pfn = None
         if meta.occ_importance and occ_values is not None:
-            wfn = lambda pts: query_values(occ_values, aabb, pts)
+            pfn = lambda pts: query_pair(occ_values, occ_binary, aabb, pts)
 
         def build_cdf():
             return occupancy_probe_cdf(
                 lambda pts: query_binary(occ_binary, aabb, pts),
-                o, d, near_s, far_s, meta.occ_probes, weight_fn=wfn,
+                o, d, near_s, far_s, meta.occ_probes, pair_fn=pfn,
                 ray_floor=0.0 if meta.occ_hard_mask else meta.occ_ray_floor,
             )
 

@@ -57,10 +57,12 @@ def make_adapt_step(
 
     def step(params, opt_state, statics, rays, rgbs, key, occ_state=None):
         binary_fn = occ_on = value_fn = occ_cdf = None
+        pair_fn = None
         if occ_state is not None:
             from nerfsys_tpu.models.occupancy import (
                 occ_ready,
                 union_binary_fn,
+                union_pair_fn,
                 union_value_fn,
             )
             from nerfsys_tpu.ops.occupancy import occupancy_probe_cdf
@@ -69,6 +71,8 @@ def make_adapt_step(
             occ_on = occ_ready(occ_state)
             if occ_importance:
                 value_fn = union_value_fn(occ_state, statics)
+                # fused (occ, value) rows: half the probe transactions
+                pair_fn = union_pair_fn(occ_state, statics)
 
             # Hoist the probe CDF out of the differentiated loss, exactly as
             # task_adapt does (meta_core.py:161-201): the probe pass depends
@@ -88,6 +92,7 @@ def make_adapt_step(
                 return occupancy_probe_cdf(
                     binary_fn, o, d, near_s, far_s, weight_fn=value_fn,
                     ray_floor=0.0 if occ_hard_mask else occ_ray_floor,
+                    pair_fn=pair_fn,
                 )
 
             occ_cdf = jax.lax.cond(

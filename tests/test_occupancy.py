@@ -118,6 +118,47 @@ def test_query_single_gather_matches_per_level_reference():
     np.testing.assert_array_equal(got_v, ref_values(occs, AABB, pts))
 
 
+def test_query_pair_matches_separate_queries():
+    """query_pair's fused 2-wide row must reproduce query_binary and
+    query_values exactly, and the probe CDF built from pair_fn must equal
+    the separate binary+weight build bit-for-bit."""
+    from nerfsys_tpu.ops.occupancy import (
+        occupancy_probe_cdf,
+        query_pair,
+        query_values,
+    )
+
+    rng = np.random.default_rng(5)
+    R, L = 8, 2
+    binary = jnp.asarray(rng.random((L, R, R, R)) < 0.4)
+    occs = jnp.asarray(rng.normal(size=(L, R, R, R)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-5, 5, size=(2048, 3)).astype(np.float32))
+
+    occ, val = query_pair(occs, binary, AABB, pts)
+    np.testing.assert_array_equal(
+        np.asarray(occ), np.asarray(query_binary(binary, AABB, pts))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(val), np.asarray(query_values(occs, AABB, pts))
+    )
+
+    o = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    near = jnp.full((64,), 0.1)
+    far = jnp.full((64,), 4.0)
+    sep = occupancy_probe_cdf(
+        lambda p: query_binary(binary, AABB, p), o, d, near, far, 32,
+        weight_fn=lambda p: query_values(occs, AABB, p), ray_floor=0.25,
+    )
+    fused = occupancy_probe_cdf(
+        None, o, d, near, far, 32, ray_floor=0.25,
+        pair_fn=lambda p: query_pair(occs, binary, AABB, p),
+    )
+    for k in ("cdf", "alive", "occ"):
+        np.testing.assert_array_equal(np.asarray(sep[k]), np.asarray(fused[k]))
+
+
 def test_update_occ_grid_marks_dense_region():
     state = {
         "occs": jnp.zeros((OCC.levels, 16, 16, 16)),
