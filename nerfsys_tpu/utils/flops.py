@@ -138,14 +138,15 @@ def analytic_train_step_gather_rows(
     level arithmetically and issue ONE gather into the level-concatenated
     table (ops/occupancy._finest_level_index). `occ_levels` is kept for
     signature compatibility; it no longer multiplies rows. Importance
-    probing (value weights) doubles the probe rows (binary + values).
+    probing costs the same single row: (binary, value) ride one fused
+    2-wide row (query_pair).
     """
     rows_per_point = plane_levels * ((3 + 3) if packed_corners
                                      else (3 * 4 + 3 * 2))
     pts = inner_iter * support_rays * ray_samples + query_rays * ray_samples
     rows = pts * rows_per_point
     if occ_probes:
-        rows += support_rays * occ_probes * 2  # binary + importance values
+        rows += support_rays * occ_probes  # one fused row per probe point
     return float(num_experts * tasks_per_expert * rows)
 
 
