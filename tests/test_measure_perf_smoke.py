@@ -28,8 +28,9 @@ def test_gather_rows_model_matches_hand_count():
         num_experts=1, tasks_per_expert=1, support_rays=1, query_rays=0,
         inner_iter=1, ray_samples=1)
     assert rows == 18.0
-    # occ probe pass adds n_probes x occ_levels rows per support ray
+    # occ probe pass adds ONE fused row per probe point (finest-level
+    # select + (binary, value) pair gather — levels don't multiply rows)
     rows_occ = analytic_train_step_gather_rows(
         num_experts=1, tasks_per_expert=1, support_rays=1, query_rays=0,
         inner_iter=1, ray_samples=1, occ_probes=16, occ_levels=2)
-    assert rows_occ == 18.0 + 32.0
+    assert rows_occ == 18.0 + 16.0
