@@ -159,6 +159,67 @@ def test_query_pair_matches_separate_queries():
         np.testing.assert_array_equal(np.asarray(sep[k]), np.asarray(fused[k]))
 
 
+def test_probe_lowering_gather_counts():
+    """Structural lock on the transaction optimizations: the lowered HLO of
+    a probe pass must contain exactly ONE gather op — finest-level select
+    is arithmetic (no per-level gathers) and importance probing rides the
+    fused (binary, value) pair row. The union probe over K experts must
+    also lower to ONE op (row_gather's batching rule collapses the expert
+    axis into the row axis)."""
+    import re
+
+    from nerfsys_tpu.ops.occupancy import occupancy_probe_cdf, query_pair
+
+    def count_gathers(fn, *args):
+        txt = jax.jit(fn).lower(*args).as_text()
+        return len(re.findall(r'"stablehlo\.gather"\(', txt))
+
+    R, L, K = 8, 4, 3
+    binary = jnp.zeros((L, R, R, R), bool)
+    occs = jnp.zeros((L, R, R, R), jnp.float32)
+    o = jnp.zeros((64, 3))
+    d = jnp.ones((64, 3))
+    near = jnp.zeros(64)
+    far = jnp.ones(64)
+
+    def fused(o, d, near, far, occs, binary):
+        return occupancy_probe_cdf(
+            None, o, d, near, far, 32,
+            pair_fn=lambda p: query_pair(occs, binary, AABB, p),
+        )
+
+    assert count_gathers(fused, o, d, near, far, occs, binary) == 1
+
+    def binary_only(o, d, near, far, binary):
+        return occupancy_probe_cdf(
+            lambda p: query_binary(binary, AABB, p), o, d, near, far, 32
+        )
+
+    assert count_gathers(binary_only, o, d, near, far, binary) == 1
+
+    # union pair over K stacked experts: still one (collapsed) gather op
+    from nerfsys_tpu.models.container import ContainerStatics
+    from nerfsys_tpu.models.occupancy import union_pair_fn
+
+    occ_state = {
+        "occs": jnp.zeros((K, L, R, R, R), jnp.float32),
+        "binary": jnp.zeros((K, L, R, R, R), bool),
+    }
+    statics = ContainerStatics(
+        jnp.zeros((K, 3)),
+        jnp.broadcast_to(AABB, (K, 2, 3)),
+        AABB,
+    )
+
+    def union(o, d, near, far, occ_state):
+        return occupancy_probe_cdf(
+            None, o, d, near, far, 32,
+            pair_fn=union_pair_fn(occ_state, statics),
+        )
+
+    assert count_gathers(union, o, d, near, far, occ_state) == 1
+
+
 def test_update_occ_grid_marks_dense_region():
     state = {
         "occs": jnp.zeros((OCC.levels, 16, 16, 16)),
