@@ -247,43 +247,78 @@ def update_occ_grid(
     warmup: Array,  # bool scalar: update all cells (True) or a random subset
 ) -> dict:
     """One EMA occupancy update for one expert (nerfacc update_every_n_steps
-    inner body; meta_ngp.py:355-387 wiring)."""
+    inner body; meta_ngp.py:355-387 wiring).
+
+    During warmup every cell is re-evaluated (nerfacc). After warmup only
+    a sample_fraction subset is — and, unlike a post-hoc write mask, the
+    FIELD is only evaluated at that subset (nerfacc's
+    _sample_uniform_and_occupied_cells evaluates only sampled cells; a
+    full-grid eval masked afterwards pays 1/sample_fraction x the field
+    rows for the same update). Static shapes force a deliberate
+    divergence from nerfacc's iid cell draw: the subset is a random-phase
+    stride (ceil(1/fraction) interleaved lattices), which covers every
+    cell once per 1/fraction updates — same refresh rate, bounded
+    staleness, fixed shape."""
     R, L = cfg.resolution, cfg.levels
     occs = occ_state_k["occs"]  # (L, R, R, R)
     flat = occs.reshape(L, -1)
+    n_cells = flat.shape[1]
 
     k1, k2 = jax.random.split(key)
-    centers = cell_centers(aabb, cfg)  # (L, R^3, 3)
-    # jitter inside the cell (nerfacc samples uniformly within each cell)
     la = level_aabbs(aabb, L)
     cell_size = (la[:, 1] - la[:, 0]) / R  # (L, 3)
-    jitter = (jax.random.uniform(k1, centers.shape) - 0.5) * cell_size[:, None, :]
-    pts = centers + jitter
 
-    # Chunked density eval: L*R^3 cells (8.4M at defaults) in one vmapped
-    # call would materialize tens of GB of encode intermediates; lax.map
-    # keeps the live set to one chunk (HBM fits on v5e).
-    flat_pts = pts.reshape(-1, 3)
-    n_pts = flat_pts.shape[0]
-    chunk = min(131072, n_pts)
-    pad = (-n_pts) % chunk
-    if pad:
-        flat_pts = jnp.concatenate(
-            [flat_pts, jnp.zeros((pad, 3), flat_pts.dtype)], axis=0
-        )
-    sigma = jax.lax.map(density_fn, flat_pts.reshape(-1, chunk, 3))
-    sigma = sigma.reshape(-1)[:n_pts].reshape(L, -1)  # (L, R^3)
-    new_val = sigma * render_step_size
-
-    # nerfacc: during warmup update ALL cells; after, a random subset
-    n_cells = flat.shape[1]
-    subset = (
-        jax.random.uniform(k2, (L, n_cells)) < cfg.sample_fraction
-    ) | warmup
+    def eval_new_vals(idx):  # (L, M) cell indices -> (L, M) sigma * step
+        i = idx // (R * R)
+        j = (idx // R) % R
+        k = idx % R
+        frac = (jnp.stack([i, j, k], axis=-1).astype(jnp.float32) + 0.5) / R
+        centers = (la[:, 0][:, None, :]
+                   + frac * (la[:, 1] - la[:, 0])[:, None, :])  # (L, M, 3)
+        # jitter inside the cell (nerfacc samples uniformly within cells)
+        jitter = (jax.random.uniform(k1, centers.shape) - 0.5) \
+            * cell_size[:, None, :]
+        pts = centers + jitter
+        # Chunked density eval: L*R^3 cells (8.4M at defaults) in one
+        # vmapped call would materialize tens of GB of encode
+        # intermediates; lax.map keeps the live set to one chunk.
+        flat_pts = pts.reshape(-1, 3)
+        n_pts = flat_pts.shape[0]
+        chunk = min(131072, n_pts)
+        pad = (-n_pts) % chunk
+        if pad:
+            flat_pts = jnp.concatenate(
+                [flat_pts, jnp.zeros((pad, 3), flat_pts.dtype)], axis=0
+            )
+        sigma = jax.lax.map(density_fn, flat_pts.reshape(-1, chunk, 3))
+        return sigma.reshape(-1)[:n_pts].reshape(L, -1) * render_step_size
 
     invisible = flat < 0.0  # premarked cells stay -1 forever
-    ema = jnp.maximum(flat * cfg.ema_decay, new_val)
-    updated = jnp.where(subset & ~invisible, ema, flat)
+
+    def full_update():
+        idx = jnp.broadcast_to(jnp.arange(n_cells), (L, n_cells))
+        new_val = eval_new_vals(idx)
+        ema = jnp.maximum(flat * cfg.ema_decay, new_val)
+        return jnp.where(~invisible, ema, flat)
+
+    def subset_update():
+        m = max(1, round(1.0 / max(cfg.sample_fraction, 1e-6)))
+        n_sub = max(1, n_cells // m)
+        phase = jax.random.randint(k2, (), 0, m)
+        idx1 = (jnp.arange(n_sub) * m + phase) % n_cells  # sorted, unique
+        idx = jnp.broadcast_to(idx1, (L, n_sub))
+        new_val = eval_new_vals(idx)
+        cur = jnp.take_along_axis(flat, idx, axis=1)  # (L, n_sub)
+        upd = jnp.where(cur < 0.0, cur,
+                        jnp.maximum(cur * cfg.ema_decay, new_val))
+        # one flat 1-D scatter-set (sorted unique rows; vmapped scatters
+        # fall off the TPU fast path)
+        gidx = (jnp.arange(L) * n_cells)[:, None] + idx
+        return flat.reshape(-1).at[gidx.reshape(-1)].set(
+            upd.reshape(-1), unique_indices=True, indices_are_sorted=True
+        ).reshape(L, n_cells)
+
+    updated = jax.lax.cond(warmup, full_update, subset_update)
 
     # binary = occ > min(occ_thre, mean of non-negative occs)
     visible_vals = jnp.where(invisible, 0.0, updated)

@@ -118,6 +118,41 @@ def test_query_single_gather_matches_per_level_reference():
     np.testing.assert_array_equal(got_v, ref_values(occs, AABB, pts))
 
 
+def test_subset_update_strided_coverage_and_invisible():
+    """Post-warmup updates touch exactly the strided 1/m subset (the field
+    is only evaluated there), cover every cell across phases, and never
+    resurrect premarked invisible cells."""
+    from nerfsys_tpu.ops.occupancy import update_occ_grid
+
+    cfg = OccGridConfig(resolution=8, levels=2, sample_fraction=0.5,
+                        ema_decay=0.5, occ_thre=1e-2)
+    n = 8 ** 3
+    occs = jnp.full((2, 8, 8, 8), 0.5, jnp.float32)
+    occs = occs.at[0, 0, 0, 0].set(-1.0)  # invisible tag
+    state = {"occs": occs, "binary": jnp.zeros((2, 8, 8, 8), bool)}
+
+    def density(pts):
+        return jnp.full(pts.shape[:-1], 100.0)
+
+    touched = np.zeros(n, bool)
+    for trial in range(8):  # random phases; m=2 -> two lattices
+        out = update_occ_grid(state, AABB, density, 1.0, cfg,
+                              jax.random.PRNGKey(trial),
+                              warmup=jnp.array(False))
+        new = np.asarray(out["occs"]).reshape(2, -1)
+        old = np.asarray(occs).reshape(2, -1)
+        changed = new[1] != old[1]  # level 1 has no invisible cell
+        assert changed.sum() == n // 2  # exactly the strided half
+        # the changed set is one of the two parity lattices
+        par = np.flatnonzero(changed) % 2
+        assert (par == par[0]).all()
+        touched |= changed
+        # invisible cell never resurrects
+        assert np.asarray(out["occs"])[0, 0, 0, 0] == -1.0
+        assert not bool(np.asarray(out["binary"])[0, 0, 0, 0])
+    assert touched.all()  # both phases drawn across trials
+
+
 def test_query_pair_matches_separate_queries():
     """query_pair's fused 2-wide row must reproduce query_binary and
     query_values exactly, and the probe CDF built from pair_fn must equal
