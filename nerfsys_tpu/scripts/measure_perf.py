@@ -159,6 +159,51 @@ def measure_train(iters: int = 3):
     return out
 
 
+def measure_occ_update(iters: int = 3, resolution: int = 128,
+                       levels: int = 4, update_interval: int = 12):
+    """Occupancy EMA-update cost at demo scale: warmup (all cells) vs
+    post-warmup (strided subset — only those cells' field evals are paid,
+    ops/occupancy.update_occ_grid), plus the amortized s/step at the
+    given update interval."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.occupancy import make_occ_update_fn
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    _, params, _, statics, _, d = bench_setup()
+    occ_cfg = OccGridConfig(resolution=resolution, levels=levels,
+                            warmup_steps=256, update_interval=update_interval)
+    cfg = _bench_cfg()
+    upd = make_occ_update_fn(cfg, occ_cfg)
+    occ = init_occ_state(occ_cfg, cfg.num_experts)
+    key = jax.random.PRNGKey(0)
+
+    def time_at(step_val):
+        o = upd(occ, params, statics, jnp.asarray(step_val), key)  # compile
+        _sync(o["occs"].reshape(-1)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = upd(occ, params, statics, jnp.asarray(step_val), key)
+            _sync(o["occs"].reshape(-1)[0])
+        return (time.perf_counter() - t0) / iters
+
+    t_warm = time_at(0)  # step 0: due + warmup -> all cells
+    # past warmup AND due (step % interval == 0): strided subset only
+    past = update_interval * (256 // update_interval + 2)
+    t_sub = time_at(past)
+    out = {
+        "mode": "occ_update",
+        "cells": cfg.num_experts * levels * resolution ** 3,
+        "warmup_update_seconds": round(t_warm, 4),
+        "subset_update_seconds": round(t_sub, 4),
+        "subset_fraction": 0.5,
+        "amortized_s_per_step_at_interval": round(t_sub / update_interval, 4),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
                    iters: int = 3, top1: bool = False, sky: float = 0.0,
                    union_probe: int = 0):
@@ -409,7 +454,8 @@ def _bench_cfg():
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["train", "render", "moe"],
+    ap.add_argument("--mode",
+                    choices=["train", "render", "moe", "occ_update"],
                     required=True)
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--samples", type=int, default=96)
@@ -427,6 +473,8 @@ def main(argv=None):
     a = ap.parse_args(argv)
     if a.mode == "train":
         measure_train(a.iters)
+    elif a.mode == "occ_update":
+        measure_occ_update(a.iters)
     elif a.mode == "moe":
         measure_moe(a.K, iters=a.iters,
                     experts_per_point=a.experts_per_point,
