@@ -302,20 +302,25 @@ def update_occ_grid(
         return jnp.where(~invisible, ema, flat)
 
     def subset_update():
-        m = max(1, round(1.0 / max(cfg.sample_fraction, 1e-6)))
-        n_sub = max(1, n_cells // m)
+        import math
+
+        m = max(1, math.ceil(1.0 / max(cfg.sample_fraction, 1e-6) - 1e-9))
+        # ceil so the lattice REACHES the last cells when m does not divide
+        # n_cells; overshoot wraps to the front (distinct residue class ->
+        # still unique within a call, every cell covered across phases)
+        n_sub = max(1, -(-n_cells // m))
         phase = jax.random.randint(k2, (), 0, m)
-        idx1 = (jnp.arange(n_sub) * m + phase) % n_cells  # sorted, unique
+        idx1 = (jnp.arange(n_sub) * m + phase) % n_cells  # unique
         idx = jnp.broadcast_to(idx1, (L, n_sub))
         new_val = eval_new_vals(idx)
         cur = jnp.take_along_axis(flat, idx, axis=1)  # (L, n_sub)
         upd = jnp.where(cur < 0.0, cur,
                         jnp.maximum(cur * cfg.ema_decay, new_val))
-        # one flat 1-D scatter-set (sorted unique rows; vmapped scatters
-        # fall off the TPU fast path)
+        # one flat 1-D scatter-set (unique rows; vmapped scatters fall off
+        # the TPU fast path)
         gidx = (jnp.arange(L) * n_cells)[:, None] + idx
         return flat.reshape(-1).at[gidx.reshape(-1)].set(
-            upd.reshape(-1), unique_indices=True, indices_are_sorted=True
+            upd.reshape(-1), unique_indices=True
         ).reshape(L, n_cells)
 
     updated = jax.lax.cond(warmup, full_update, subset_update)

@@ -430,9 +430,11 @@ def make_chunk_renderer(
         # that in the dispatcher's mode decision (rows are the v5e cost)
         from nerfsys_tpu.utils.flops import analytic_render_gather_rows_per_ray
 
+        # one gather row per probe point per expert (finest-level select +
+        # fused pair, ops/occupancy) — keep in sync with the flops model
         occ_L = int(occ_state["binary"].shape[1])
-        probe_rows = 128.0 * (1 if union_probe
-                              else cfg.num_experts * occ_L)
+        probe_rows = 128.0 * (1 if union_probe or active_expert is not None
+                              else cfg.num_experts)
         total_rows = analytic_render_gather_rows_per_ray(
             ray_samples=ray_samples, num_experts=cfg.num_experts,
             experts_evaluated=(1 if active_expert is not None else None),

@@ -347,8 +347,14 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
     # 1) JSON config file overrides defaults (but not explicit CLI)
     json_cfg = {}
+    json_is_snapshot = False
     if args.configPath:
         json_cfg = json.loads(Path(args.configPath).read_text())
+        # a stored run-config snapshot ({tag}.config.json) is a full
+        # vars(args) dump — its values merge like a hand-written config,
+        # but they are NOT user-explicit choices (explicit_keys below
+        # gates TPU-aware defaults like chunk_points on explicitness)
+        json_is_snapshot = bool(json_cfg.pop("_config_snapshot", False))
         for k, v in json_cfg.items():
             if hasattr(args, k) and k not in cli_set:
                 setattr(args, k, v)
@@ -373,17 +379,26 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         and k not in cli_set and k not in json_cfg):
                     setattr(args, k, ckpt_cfg[k])
 
-    # keys the user set explicitly (CLI or JSON) — consumers that replace a
-    # reference knob with a TPU-aware default (e.g. chunk_points -> HBM-safe
-    # chunk sizing) honor the reference semantics only on explicit request
-    args.explicit_keys = sorted(cli_set | set(json_cfg))
+    # keys the user set explicitly (CLI, or a hand-written JSON config) —
+    # consumers that replace a reference knob with a TPU-aware default
+    # (e.g. chunk_points -> HBM-safe chunk sizing) honor the reference
+    # semantics only on explicit request. Run-config snapshots don't count.
+    args.explicit_keys = sorted(
+        cli_set | (set() if json_is_snapshot else set(json_cfg))
+    )
     return args
 
 
 def namespace_to_dict(args: argparse.Namespace) -> dict:
-    """JSON-serializable snapshot of the run config."""
-    out = {}
+    """JSON-serializable snapshot of the run config.
+
+    Tagged _config_snapshot so parse_args can tell a reused snapshot
+    (--configPath logs/<run>/best.config.json) from a hand-written config:
+    snapshot values merge normally but are not user-explicit choices."""
+    out = {"_config_snapshot": True}
     for k, v in vars(args).items():
+        if k == "explicit_keys":
+            continue  # per-invocation, not a run setting
         try:
             json.dumps(v)
             out[k] = v

@@ -180,7 +180,10 @@ def analytic_render_gather_rows_per_ray(
                                      else (3 * 4 + 3 * 2))
     rows = float(ray_samples * rows_per_point * e)
     if occ:
-        rows += n_probes * (1 if union_probe else num_experts)
+        # single-expert (active_expert) renders probe/mask one grid only
+        g = num_experts if experts_evaluated is None else min(
+            num_experts, experts_evaluated)
+        rows += n_probes * (1 if union_probe else g)
         if hard_mask:
-            rows += ray_samples * num_experts
+            rows += ray_samples * g
     return rows
