@@ -187,3 +187,29 @@ def test_shipped_train_config_is_soft_occ():
     P2 = parse_args(["--configPath", str(root / "configs" / "train_strat.json")])
     assert not P2.use_occ and P2.ray_samples == 96
     assert meta_config_from_args(P2).occ_hard_mask
+
+
+def test_snapshot_config_not_user_explicit(tmp_path):
+    """A stored run-config snapshot (namespace_to_dict -> {tag}.config.json)
+    merges like a JSON config but must NOT mark its keys user-explicit:
+    explicit_keys gates TPU-aware defaults (e.g. chunk_points -> HBM-safe
+    chunk sizing), and a snapshot re-run would otherwise freeze reference
+    semantics for every flag. Hand-written JSON stays explicit."""
+    from nerfsys_tpu.utils.config import namespace_to_dict
+
+    a = parse_args(["--data_path", "/x", "--ray_samples", "48"])
+    d = namespace_to_dict(a)
+    assert d.get("_config_snapshot") is True
+    assert "explicit_keys" not in d  # per-invocation, not a run setting
+
+    snap = tmp_path / "best.config.json"
+    snap.write_text(json.dumps(d))
+    b = parse_args(["--configPath", str(snap)])
+    assert b.ray_samples == 48  # value still merges
+    assert "ray_samples" not in b.explicit_keys
+    assert "data_path" not in b.explicit_keys
+
+    hand = tmp_path / "hand.json"
+    hand.write_text(json.dumps({"ray_samples": 64}))
+    c = parse_args(["--configPath", str(hand)])
+    assert c.ray_samples == 64 and "ray_samples" in c.explicit_keys

@@ -1,4 +1,5 @@
 import json
+import os
 import subprocess
 import sys
 import time
@@ -109,16 +110,20 @@ def test_mediator_end_to_end(tmp_path):
     cfg_file = tmp_path / "job.json"
     cfg_file.write_text(json.dumps({"op": "eval"}))
 
+    # cwd is a tmp dir so the mediator's logs/ tree (mediator.log, per-job
+    # dirs) lands there, not in the repo checkout
+    env = dict(os.environ, PYTHONPATH="/root/repo")
     subprocess.run(
         [sys.executable, "-m", "nerfsys_tpu.orchestration.send_config",
          str(cfg_file), "--broker", broker],
-        check=True, cwd="/root/repo",
+        check=True, cwd=str(tmp_path), env=env,
     )
     subprocess.run(
         [sys.executable, "-m", "nerfsys_tpu.orchestration.mediator",
          "--broker", broker, "--runner", str(runner), "--max_jobs", "1"],
-        check=True, cwd="/root/repo", timeout=60,
+        check=True, cwd=str(tmp_path), timeout=60, env=env,
     )
+    assert (tmp_path / "logs" / "mediator.log").exists()
     deadline = time.time() + 15
     while not marker.exists() and time.time() < deadline:
         time.sleep(0.2)
