@@ -97,6 +97,46 @@ def np_clamp_rays(
     return rays, valid
 
 
+def frame_rays(
+    H: int,
+    W: int,
+    intrinsics,  # (fx, fy, cx, cy)
+    c2w: np.ndarray,  # (3, 4)
+    *,
+    aabb: Optional[np.ndarray] = None,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    center_pixels: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All H*W rays of one pinhole frame -> (rays (H*W, 8) f32, valid (H*W,)).
+
+    Exactly np_ray_directions + np_get_rays + np_clamp_rays (invalid rays
+    inf-tagged), but routed through the native C++ kernel when available:
+    frame ray-gen is pure serial host time on every render/video/viewer
+    frame (~0.5 s per 800x800 frame in numpy on this 1-core host, ~20x
+    less native), so it comes straight out of the frame latency budget.
+    """
+    from nerfsys_tpu.data import native as _native
+
+    if _native.native_available():
+        out = _native.compute_rays_native(
+            H, W, intrinsics, c2w, aabb=aabb, near=near, far=far,
+            center_pixels=center_pixels,
+        )
+        if out is not None:
+            return out
+    fx, fy, cx, cy = [float(v) for v in intrinsics[:4]]
+    if aabb is None:
+        # mirror the native kernel's None defaults (callers always pass at
+        # least one bound in practice; far=_MISS rays fail the <1e10 check)
+        near = 0.0 if near is None else near
+        far = _MISS if far is None else far
+    dirs = np_ray_directions(H, W, fx, fy, cx, cy, center_pixels)
+    rays = np_get_rays(dirs, c2w, aabb=aabb, near=near, far=far)
+    rays = rays.reshape(-1, 8).astype(np.float32)
+    return np_clamp_rays(rays, near, far)
+
+
 # --------------------- Mega-NeRF val balancing ------------------------------
 def apply_meganerf_val_balancing(
     keep_mask: np.ndarray, rng: np.random.Generator

@@ -22,7 +22,7 @@ import optax
 
 from nerfsys_tpu.data.image_metadata import ImageMetadata
 from nerfsys_tpu.data.loaders import EpochBatchSampler, InfiniteBatchSampler
-from nerfsys_tpu.data.ram_rays import RamRaysDataset, np_ray_directions, np_get_rays, np_clamp_rays
+from nerfsys_tpu.data.ram_rays import RamRaysDataset, frame_rays
 from nerfsys_tpu.models.container import (
     ContainerConfig,
     ContainerStatics,
@@ -616,11 +616,8 @@ def render_image(
     Returns (rgb (H,W,3) linear, depth (H,W), acc (H,W)) as numpy.
     """
     H, W = md.H, md.W
-    fx, fy, cx, cy = md.intrinsics[:4]
-    dirs = np_ray_directions(H, W, fx, fy, cx, cy, center_pixels=True)
-    rays = np_get_rays(dirs, md.c2w, aabb=scene_aabb, near=near, far=far)
-    rays = rays.reshape(-1, 8).astype(np.float32)
-    rays, _ = np_clamp_rays(rays, near, far)
+    rays, _ = frame_rays(H, W, md.intrinsics, md.c2w, aabb=scene_aabb,
+                         near=near, far=far)
 
     out = render_rays_chunked(chunk_renderer, params, statics, rays,
                               chunk_rays)

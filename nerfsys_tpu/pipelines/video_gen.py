@@ -252,11 +252,7 @@ def render_video(ctx) -> Path:
     """
     import jax.numpy as jnp
 
-    from nerfsys_tpu.data.ram_rays import (
-        np_clamp_rays,
-        np_get_rays,
-        np_ray_directions,
-    )
+    from nerfsys_tpu.data.ram_rays import frame_rays, np_clamp_rays
     from nerfsys_tpu.ops.color_space import linear_to_srgb
     from nerfsys_tpu.pipelines.online.runtime_adapt import (
         default_chunk_rays,
@@ -320,14 +316,13 @@ def render_video(ctx) -> Path:
               if "chunk_points" in getattr(P, "explicit_keys", ())
               else 3_145_728)
     chunk_rays = default_chunk_rays(P.ray_samples, budget_pts=budget)
-    dirs = np_ray_directions(H, W, fx, fy, cx, cy, center_pixels=True)
 
     frames = []
     for i, c2w in enumerate(poses):
-        rays = np_get_rays(dirs, c2w[:3], aabb=aabb).reshape(-1, 8)
-        rays = rays.astype(np.float32)
+        rays, _ = frame_rays(H, W, (fx, fy, cx, cy), c2w[:3], aabb=aabb)
         # t_near = clamp(t_near, 0) + near_bias, capped below t_far
-        # (video_gen.py:479-481); invalid rays stay inf-tagged
+        # (video_gen.py:479-481); invalid rays stay inf-tagged (inf flows
+        # through the bias arithmetic and the re-clamp unchanged)
         t_near = np.maximum(rays[:, 6], 0.0) + np.float32(near_bias)
         rays[:, 6] = np.minimum(t_near, rays[:, 7] - 1e-4)
         rays, _ = np_clamp_rays(rays)

@@ -80,7 +80,6 @@ class RenderEngine:
             self.origin = np.asarray(coordinate_info["origin_drb"], np.float32)
             self.scale = float(coordinate_info["pose_scale_factor"])
         self._renderers: Dict[Tuple, object] = {}
-        self._dir_cache: Dict[Tuple, np.ndarray] = {}
         # probe caches for the two-wave occ path: the probe depends only on
         # (rays, grid), so a stationary camera watching live adaptation
         # pays wave 1 once (keyed by ray-buffer content + grid identity)
@@ -139,21 +138,6 @@ class RenderEngine:
             self._renderers[key] = r
         return r
 
-    def _ray_dirs(self, W: int, H: int, fov_y: float) -> np.ndarray:
-        key = (W, H, round(float(fov_y), 5))
-        dirs = self._dir_cache.get(key)
-        if dirs is None:
-            from nerfsys_tpu.data.ram_rays import np_ray_directions
-
-            fy = H / (2.0 * np.tan(0.5 * fov_y))
-            dirs = np_ray_directions(
-                H, W, fy, fy, W / 2.0, H / 2.0, center_pixels=True
-            )
-            if len(self._dir_cache) > 16:
-                self._dir_cache.clear()
-            self._dir_cache[key] = dirs
-        return dirs
-
     # ------------------------------- rendering --------------------------------
     def render(
         self,
@@ -177,7 +161,7 @@ class RenderEngine:
         """Returns (H, W, 3) uint8. Never raises on bad poses — non-finite
         inputs are scrubbed and OOM degrades to a blank frame (reference
         viewer.py:779-801)."""
-        from nerfsys_tpu.data.ram_rays import np_clamp_rays, np_get_rays
+        from nerfsys_tpu.data.ram_rays import frame_rays
 
         p = params if params is not None else self.base_params
         samples = int(ray_samples or self.default_samples)
@@ -200,10 +184,11 @@ class RenderEngine:
             near = 0.05 if near is None else near
             far = 100.0 if far is None else far
 
-        dirs = self._ray_dirs(W, H, fov_y)
-        rays = np_get_rays(dirs, c2w, aabb=self.global_aabb, near=near, far=far)
-        rays = rays.reshape(-1, 8).astype(np.float32)
-        rays, valid = np_clamp_rays(rays, near, far)
+        fy = H / (2.0 * np.tan(0.5 * float(fov_y)))
+        rays, valid = frame_rays(
+            H, W, (fy, fy, W / 2.0, H / 2.0), c2w,
+            aabb=self.global_aabb, near=near, far=far,
+        )
         rays = np.nan_to_num(rays, posinf=1e10, neginf=-1e10)
 
         n = rays.shape[0]

@@ -130,3 +130,38 @@ def test_route_rays_native_matches_numpy():
     np.testing.assert_array_equal(out_native, out_numpy)
     assert (out_native[::17] == -1).all()
     assert (out_native >= 0).mean() > 0.5
+
+
+@pytest.mark.parametrize("aabb_nf", [
+    (True, (0.2, 5.0)),   # render_image: aabb + metric near/far overrides
+    (True, (None, None)),  # video_gen: aabb only (bias applied by caller)
+    (False, (0.05, 100.0)),  # viewer without a global aabb
+])
+def test_frame_rays_native_matches_fallback(aabb_nf):
+    """frame_rays (the full-frame helper behind render_image / video_gen /
+    the viewer) is bit-compatible between its native and numpy paths."""
+    import nerfsys_tpu.data.native as nat
+    from nerfsys_tpu.data.ram_rays import frame_rays
+
+    with_aabb, (near, far) = aabb_nf
+    rng = np.random.default_rng(11)
+    H, W = 20, 28
+    intr, c2w = _random_cam(rng, H, W)
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32) \
+        if with_aabb else None
+
+    rays_n, valid_n = frame_rays(H, W, intr, c2w, aabb=aabb,
+                                 near=near, far=far)
+    old = nat._lib, nat._lib_failed
+    try:
+        nat._lib, nat._lib_failed = None, True
+        rays_p, valid_p = frame_rays(H, W, intr, c2w, aabb=aabb,
+                                     near=near, far=far)
+    finally:
+        nat._lib, nat._lib_failed = old
+
+    np.testing.assert_array_equal(valid_n, valid_p)
+    np.testing.assert_allclose(rays_n[:, :6], rays_p[:, :6], atol=1e-5)
+    np.testing.assert_allclose(rays_n[valid_n, 6:], rays_p[valid_p, 6:],
+                               atol=1e-4, rtol=1e-5)
+    assert np.isinf(rays_n[~valid_n, 6:]).all()
