@@ -30,8 +30,12 @@ def _sync(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
-def bench_setup():
-    """The exact bench.py model/step at demo scale (one source of truth)."""
+def bench_setup(use_occ: bool = False):
+    """The exact bench.py model/step at demo scale (one source of truth).
+
+    use_occ=True mirrors bench.py's default soft-occupancy config (32
+    importance samples steered by a half-occupied ready grid); False is the
+    stratified-96 reference-parity arm (NERFSYS_BENCH_OCC=0)."""
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +52,7 @@ def bench_setup():
     from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
 
     K, B, S, Q = 4, 3, 4000, 2000
-    INNER, SAMPLES = 8, 96
+    INNER, SAMPLES = 8, (32 if use_occ else 96)
     expert = NGPConfig(
         hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
         geo_feat_dim=15, xyz_encoding="planes",
@@ -67,11 +71,25 @@ def bench_setup():
     )
     params = init_container_params(jax.random.PRNGKey(0), cfg)
     meta = MetaConfig(algo="fomaml", inner_iter=INNER, inner_lr=0.015,
-                      ray_samples=SAMPLES)
+                      ray_samples=SAMPLES,
+                      occ_importance=use_occ, occ_hard_mask=not use_occ)
     tx = build_optimizer(OptimConfig(outer_steps=10000),
                          param_group_labels(params))
     opt_state = tx.init(params)
     step = make_train_step(meta, cfg, tx)
+
+    occ_state = None
+    if use_occ:
+        from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+        occ_state = init_occ_state(
+            OccGridConfig(resolution=128, levels=4, warmup_steps=0), K
+        )
+        rg = jax.random.uniform(jax.random.PRNGKey(2),
+                                occ_state["binary"].shape)
+        occ_state["binary"] = rg < 0.5
+        occ_state["occs"] = jnp.where(occ_state["binary"], 0.1, 0.0)
+        occ_state["num_updates"] = jnp.asarray(1000, jnp.int32)
 
     rng = np.random.default_rng(0)
 
@@ -89,11 +107,13 @@ def bench_setup():
         "query_rgbs": rng.uniform(size=(K, B, Q, 3)).astype(np.float32),
         "valid": np.ones((K, B), np.float32),
     })
-    dims = dict(K=K, B=B, S=S, Q=Q, INNER=INNER, SAMPLES=SAMPLES)
+    dims = dict(K=K, B=B, S=S, Q=Q, INNER=INNER, SAMPLES=SAMPLES,
+                OCC_PROBES=(meta.occ_probes if use_occ else 0),
+                occ_state=occ_state)
     return step, params, opt_state, statics, batch, dims
 
 
-def measure_train(iters: int = 3):
+def measure_train(iters: int = 3, use_occ: bool = False):
     import jax
 
     from nerfsys_tpu.utils.flops import (
@@ -106,19 +126,23 @@ def measure_train(iters: int = 3):
         mfu,
     )
 
-    step, params, opt_state, statics, batch, d = bench_setup()
+    step, params, opt_state, statics, batch, d = bench_setup(use_occ)
+    occ_state = d["occ_state"]
     key = jax.random.PRNGKey(1)
-    params, opt_state, aux = step(params, opt_state, statics, batch, key)
+    params, opt_state, aux = step(params, opt_state, statics, batch, key,
+                                  occ_state)
     _sync(aux["loss_out"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         key, k = jax.random.split(key)
-        params, opt_state, aux = step(params, opt_state, statics, batch, k)
+        params, opt_state, aux = step(params, opt_state, statics, batch, k,
+                                      occ_state)
         _sync(aux["loss_out"])
     dt = (time.perf_counter() - t0) / iters
 
-    xla_fl = compiled_flops(step, params, opt_state, statics, batch, key)
+    xla_fl = compiled_flops(step, params, opt_state, statics, batch, key,
+                            occ_state)
     ana_fl = analytic_train_step_flops(
         num_experts=d["K"], tasks_per_expert=d["B"],
         support_rays=d["S"], query_rays=d["Q"],
@@ -138,9 +162,11 @@ def measure_train(iters: int = 3):
         num_experts=d["K"], tasks_per_expert=d["B"],
         support_rays=d["S"], query_rays=d["Q"],
         inner_iter=d["INNER"], ray_samples=d["SAMPLES"],
+        occ_probes=d["OCC_PROBES"],
     )
     out = {
         "mode": "train",
+        "use_occ": use_occ,
         "step_seconds": round(dt, 4),
         "rays_per_sec": round(rays_per_step / dt, 1),
         "flops_per_step": flops,
@@ -472,7 +498,7 @@ def main(argv=None):
     ap.add_argument("--capacity_factor", type=float, default=1.5)
     a = ap.parse_args(argv)
     if a.mode == "train":
-        measure_train(a.iters)
+        measure_train(a.iters, use_occ=a.use_occ)
     elif a.mode == "occ_update":
         measure_occ_update(a.iters)
     elif a.mode == "moe":

@@ -146,7 +146,9 @@ def analytic_train_step_gather_rows(
     pts = inner_iter * support_rays * ray_samples + query_rays * ray_samples
     rows = pts * rows_per_point
     if occ_probes:
-        rows += support_rays * occ_probes  # one fused row per probe point
+        # one fused row per probe point; support probed once per task (CDF
+        # hoisted across inner iterations), query probed once for its pass
+        rows += (support_rays + query_rays) * occ_probes
     return float(num_experts * tasks_per_expert * rows)
 
 

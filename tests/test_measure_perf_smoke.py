@@ -34,3 +34,9 @@ def test_gather_rows_model_matches_hand_count():
         num_experts=1, tasks_per_expert=1, support_rays=1, query_rays=0,
         inner_iter=1, ray_samples=1, occ_probes=16, occ_levels=2)
     assert rows_occ == 18.0 + 16.0
+    # the query pass probes its rays once per task too (support CDF is
+    # hoisted across inner iterations; query pays its own single pass)
+    rows_q = analytic_train_step_gather_rows(
+        num_experts=1, tasks_per_expert=1, support_rays=1, query_rays=2,
+        inner_iter=1, ray_samples=1, occ_probes=16)
+    assert rows_q == (1 + 2) * 18.0 + (1 + 2) * 16.0
