@@ -353,10 +353,14 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         ray_samples=samples, num_experts=4,
         experts_evaluated=1 if top1 else None,
         occ=use_occ, occ_levels=2, union_probe=bool(union_probe),
+        # top-E routing narrows the FIELD, not the per-ray probe: the MoE
+        # probe unions all K grids (models/occupancy.union_pair_fn)
+        probe_grids=4,
     )
     # achieved rows: wave 1 probes EVERY ray; field+mask run on alive rays
-    # only; packed mode re-probes the alive rays inside the full program
-    probe_rows = (128.0 * (1 if union_probe else 4 * 2)) if use_occ else 0.0
+    # only; packed mode re-probes the alive rays inside the full program.
+    # One fused (binary,value) row per probe point per grid (query_pair).
+    probe_rows = (128.0 * (1 if union_probe else 4)) if use_occ else 0.0
     work_rows = rows_per_ray - probe_rows
     alive = stats.get("n_alive", n) if use_occ else n
     rows_frame = probe_rows * n + work_rows * alive

@@ -164,27 +164,38 @@ def analytic_render_gather_rows_per_ray(
     occ_levels: int = 2,
     union_probe: bool = False,
     hard_mask: bool = True,
+    probe_grids: Optional[int] = None,
 ) -> float:
     """Gather transactions per rendered ray through the MoE chunk renderer.
 
     Three components, all transaction-bound on v5e:
       field:  S samples x 18 rows/point (packed planes) x experts evaluated
-      probe:  P probes x (1 row with the union grid, else K expert rows —
-              one per expert, level-selected arithmetically before the
-              gather, ops/occupancy._finest_level_index)
-      mask:   S samples x K exact-union rows (hard mode point masking)
+      probe:  P probes x (1 row with the union grid, else one row per grid
+              probed — level-selected arithmetically before the gather,
+              ops/occupancy._finest_level_index)
+      mask:   S samples x one exact-union row per grid (hard mode masking)
     `occ_levels` is kept for signature compatibility; levels no longer
     multiply rows. This is the sizing model behind --occ_union_probe_res
     (the probe still rivals the field at large K) — measure_perf reports
-    it next to the measured frame time."""
+    it next to the measured frame time.
+
+    `probe_grids` is how many per-expert grids the probe/mask passes touch.
+    Default: all K for the full-MoE render, 1 when experts_evaluated says
+    single-expert (active_expert renders probe only their own grid). NOTE
+    the default is WRONG for bucketed top-E routing: routing narrows the
+    FIELD to E experts per point but the per-RAY probe still unions all K
+    grids (models/occupancy.union_pair_fn) — pass probe_grids=K there."""
     e = num_experts if experts_evaluated is None else experts_evaluated
     rows_per_point = plane_levels * ((3 + 3) if packed_corners
                                      else (3 * 4 + 3 * 2))
     rows = float(ray_samples * rows_per_point * e)
     if occ:
-        # single-expert (active_expert) renders probe/mask one grid only
-        g = num_experts if experts_evaluated is None else min(
-            num_experts, experts_evaluated)
+        g = probe_grids if probe_grids is not None else (
+            num_experts if experts_evaluated is None
+            else min(num_experts, experts_evaluated))
+        # the union probe grid replaces the K-grid probe with one row, but
+        # hard masking stays exact: it re-queries the K-grid union (the
+        # dilated union grid is probe-only, conservative by construction)
         rows += n_probes * (1 if union_probe else g)
         if hard_mask:
             rows += ray_samples * g

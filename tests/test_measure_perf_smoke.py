@@ -40,3 +40,28 @@ def test_gather_rows_model_matches_hand_count():
         num_experts=1, tasks_per_expert=1, support_rays=1, query_rays=2,
         inner_iter=1, ray_samples=1, occ_probes=16)
     assert rows_q == (1 + 2) * 18.0 + (1 + 2) * 16.0
+
+
+def test_render_rows_model_probe_grids():
+    from nerfsys_tpu.utils.flops import analytic_render_gather_rows_per_ray
+
+    # dense MoE occ render at K=4, S=32, P=128: field 32*18*4 + probe
+    # 128*4 (one fused row per grid) + hard mask 32*4
+    dense = analytic_render_gather_rows_per_ray(
+        ray_samples=32, num_experts=4, occ=True)
+    assert dense == 32 * 18 * 4 + 128 * 4 + 32 * 4
+    # top-1 bucketed routing narrows the FIELD to one expert per point but
+    # the per-ray probe/mask still union all K grids — probe_grids=K
+    top1 = analytic_render_gather_rows_per_ray(
+        ray_samples=32, num_experts=4, experts_evaluated=1, occ=True,
+        probe_grids=4)
+    assert top1 == 32 * 18 * 1 + 128 * 4 + 32 * 4
+    # active_expert single-expert render probes only its own grid (default)
+    single = analytic_render_gather_rows_per_ray(
+        ray_samples=32, num_experts=4, experts_evaluated=1, occ=True)
+    assert single == 32 * 18 * 1 + 128 * 1 + 32 * 1
+    # union probe grid: one probe row regardless of probe_grids
+    union = analytic_render_gather_rows_per_ray(
+        ray_samples=32, num_experts=4, occ=True, union_probe=True,
+        probe_grids=4)
+    assert union == 32 * 18 * 4 + 128 * 1 + 32 * 4
