@@ -78,6 +78,7 @@ def main():
     # (BASELINE.md A/B table). NERFSYS_BENCH_OCC=0 runs the stratified-96
     # reference-parity config.
     OCC = os.environ.get("NERFSYS_BENCH_OCC", "1") == "1"
+    LINES_MM = os.environ.get("NERFSYS_LINES_MM", "0") == "1"
     K, B, S, Q = 4, 3, 4000, 2000
     INNER, SAMPLES = 8, (32 if OCC else 96)
 
@@ -89,7 +90,10 @@ def main():
                                    features=8,
                                    # gather-free MXU backward: positions are
                                    # ray-derived, never differentiated
-                                   matmul_bwd=True, pos_grad=False),
+                                   matmul_bwd=True, pos_grad=False,
+                                   # NERFSYS_LINES_MM=1: line lookups as
+                                   # hat-stencil MXU dots (A/B arm)
+                                   lines_matmul=LINES_MM),
     )
     cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
                           bg_hidden=32)

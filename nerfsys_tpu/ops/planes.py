@@ -85,6 +85,24 @@ class PlaneEncodingConfig:
     # table t4[i] = [t[i], t[i+1], t[i+R], t[i+R+1]] built by rolls each call
     # (bandwidth-trivial). Same trick halves the line gathers. Math identical.
     packed_corners: bool = True
+    # Forward LINE lookups as hat-weight MATMULS instead of row gathers.
+    # Line tables are tiny (R <= ~512 rows), so the two-nonzero linear-
+    # interp stencil (N, R) contracted against the (R, F) table rides the
+    # MXU — zero gather transactions, removing 9 of the 18 gather
+    # rows/point of the packed L3 encoder. MEASURED on v5e (2026-08-18)
+    # this LOSES despite the row reduction: the dot's output is only F=8
+    # columns (15/16 of the 128-wide MXU idle) and the removed gathers
+    # were overlapping with non-gather work anyway (train utilization was
+    # 54-69% of the transaction peak, so gathers were not the sole
+    # critical path) — bench 127.0k -> 116.8k rays/s (f32-HIGHEST) /
+    # 116.9k (bf16); occ-32 800^2 render 11.4 -> 12.4 s; top1+union
+    # render neutral (5.57 vs 5.60 s). Stays DISABLED; kept as the
+    # measured record + for hosts where gather issue rate is the real
+    # wall. Exact in float32 (precision=HIGHEST); 'bfloat16' quantizes
+    # stencil and table operands in the dot (tcnn-fp16-like).
+    lines_matmul: bool = False
+    lines_mm_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    lines_mm_chunk: int = 32768  # points per stencil tile (bounds memory)
 
     def level_resolutions(self) -> List[int]:
         return [
@@ -186,6 +204,51 @@ def _linear_rows(
     return g0 * (1 - fw) + g1 * fw
 
 
+def _linear_rows_mm(
+    table: Array, w: Array, R: int, cfg: PlaneEncodingConfig
+) -> Array:
+    """Linear interpolation over a (R, F) line -> (N, F), gather-free.
+
+    The (N, R) two-nonzero interp stencil (`_weight_profile`) is contracted
+    against the table on the MXU. Chunked via lax.scan so at most one
+    (chunk, R) stencil tile is live; autodiff through the dot yields the
+    table gradient as the transposed matmul (no scatter), so this forward
+    is also safe on the plain-autodiff path (matmul_bwd=False).
+    """
+    n = w.shape[0]
+    cdtype = (jnp.bfloat16 if cfg.lines_mm_dtype == "bfloat16"
+              else jnp.float32)
+    if cdtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # CPU DotThunk can't execute bf16 x bf16 -> f32 (see bwd_dtype)
+        cdtype = jnp.float32
+    chunk = min(cfg.lines_mm_chunk, _round_up(max(n, 1), 128))
+    npad = _round_up(max(n, 1), chunk)
+    wp = jnp.pad(w, (0, npad - n))
+    w0f = jnp.floor(jnp.clip(wp, 0.0, R - 1 - 1e-6))
+    fw = wp - w0f
+    w0 = w0f.astype(jnp.int32)
+    tb = table.astype(cdtype)
+    # f32 stencils must multiply in f32 (TPU dots default to bf16 operands)
+    prec = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+
+    # remat: without it, autodiff through the scan (matmul_bwd=False path)
+    # saves every (chunk, R) stencil tile as a residual — gigabytes of
+    # recomputable data; checkpointing keeps only (w0, fw) per tile and
+    # rebuilds the stencil in the backward (grads flow to tb through the
+    # closure; the stencil itself is a constant function of w)
+    @jax.checkpoint
+    def body_fn(w0c, fwc):
+        aw = _weight_profile(w0c, fwc, R, cdtype)  # (C, R)
+        return jnp.dot(aw, tb, precision=prec,
+                       preferred_element_type=jnp.float32)
+
+    _, outs = jax.lax.scan(
+        lambda _, s: (None, body_fn(s[0], s[1])), None,
+        (w0.reshape(-1, chunk), fw.reshape(-1, chunk))
+    )
+    return outs.reshape(npad, -1)[:n].astype(table.dtype)
+
+
 def _plane_encode_parts(params: Dict, x: Array, cfg: PlaneEncodingConfig):
     """Encode pre-flattened (N,3) points -> (out, [bval...], [lval...]).
 
@@ -204,8 +267,11 @@ def _plane_encode_parts(params: Dict, x: Array, cfg: PlaneEncodingConfig):
                                 packed=cfg.packed_corners)
             bvals.append(bv)
             if lines_l is not None:
-                lv = _linear_rows(lines_l[l][o], coords[:, c], R,
-                                  packed=cfg.packed_corners)
+                if cfg.lines_matmul:
+                    lv = _linear_rows_mm(lines_l[l][o], coords[:, c], R, cfg)
+                else:
+                    lv = _linear_rows(lines_l[l][o], coords[:, c], R,
+                                      packed=cfg.packed_corners)
                 lvals.append(lv)
                 feats.append(bv * lv)
             else:

@@ -435,11 +435,14 @@ def make_chunk_renderer(
         occ_L = int(occ_state["binary"].shape[1])
         probe_rows = 128.0 * (1 if union_probe or active_expert is not None
                               else cfg.num_experts)
+        planes_cfg = getattr(cfg.expert, "planes", None)
         total_rows = analytic_render_gather_rows_per_ray(
             ray_samples=ray_samples, num_experts=cfg.num_experts,
             experts_evaluated=(1 if active_expert is not None else None),
             occ=True, occ_levels=occ_L, union_probe=union_probe,
             hard_mask=occ_hard_mask,
+            lines_gathered=not bool(getattr(planes_cfg, "lines_matmul",
+                                            False)),
         )
         pack_ratio = probe_rows / max(total_rows - probe_rows, 1.0)
         if skippable_bg:

@@ -84,6 +84,10 @@ def container_config_from_args(P) -> ContainerConfig:
                 # path, so the gather-free backward is always valid here
                 pos_grad=bool(getattr(P, "plane_pos_grad", False)),
                 matmul_bwd=not bool(getattr(P, "plane_scatter_bwd", False)),
+                # execution-strategy knob (no param-shape change, so not an
+                # ARCH key): line lookups as hat-stencil MXU dots
+                lines_matmul=bool(getattr(P, "plane_lines_mm", False)),
+                lines_mm_dtype=getattr(P, "plane_lines_mm_dtype", "float32"),
             ),
         )
     else:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -226,7 +227,9 @@ def main(argv=None):
                                        features=8,
                                        matmul_bwd=(jax.default_backend()
                                                    != "cpu"),
-                                       pos_grad=False),
+                                       pos_grad=False,
+                                       lines_matmul=(os.environ.get(
+                                           "NERFSYS_LINES_MM", "0") == "1")),
         ),
     )
     statics = ContainerStatics(

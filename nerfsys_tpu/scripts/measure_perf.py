@@ -30,6 +30,20 @@ def _sync(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
+def _lines_mm() -> bool:
+    """NERFSYS_LINES_MM=1 flips the line lookups to the hat-stencil MXU
+    path in every measured config (the flag-gated forward A/B arm)."""
+    import os
+
+    return os.environ.get("NERFSYS_LINES_MM", "0") == "1"
+
+
+def _lines_mm_dtype() -> str:
+    import os
+
+    return os.environ.get("NERFSYS_LINES_MM_DTYPE", "float32")
+
+
 def bench_setup(use_occ: bool = False):
     """The exact bench.py model/step at demo scale (one source of truth).
 
@@ -58,7 +72,9 @@ def bench_setup(use_occ: bool = False):
         geo_feat_dim=15, xyz_encoding="planes",
         planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
                                    features=8, matmul_bwd=True,
-                                   pos_grad=False),
+                                   pos_grad=False,
+                                   lines_matmul=_lines_mm(),
+                                   lines_mm_dtype=_lines_mm_dtype()),
     )
     cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
                           bg_hidden=32)
@@ -162,7 +178,7 @@ def measure_train(iters: int = 3, use_occ: bool = False):
         num_experts=d["K"], tasks_per_expert=d["B"],
         support_rays=d["S"], query_rays=d["Q"],
         inner_iter=d["INNER"], ray_samples=d["SAMPLES"],
-        occ_probes=d["OCC_PROBES"],
+        occ_probes=d["OCC_PROBES"], lines_gathered=not _lines_mm(),
     )
     out = {
         "mode": "train",
@@ -355,7 +371,7 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         occ=use_occ, occ_levels=2, union_probe=bool(union_probe),
         # top-E routing narrows the FIELD, not the per-ray probe: the MoE
         # probe unions all K grids (models/occupancy.union_pair_fn)
-        probe_grids=4,
+        probe_grids=4, lines_gathered=not _lines_mm(),
     )
     # achieved rows: wave 1 probes EVERY ray; field+mask run on alive rays
     # only; packed mode re-probes the alive rays inside the full program.
@@ -476,7 +492,9 @@ def _bench_cfg():
         geo_feat_dim=15, xyz_encoding="planes",
         planes=PlaneEncodingConfig(levels=3, base_res=128, growth=2.0,
                                    features=8, matmul_bwd=True,
-                                   pos_grad=False),
+                                   pos_grad=False,
+                                   lines_matmul=_lines_mm(),
+                                   lines_mm_dtype=_lines_mm_dtype()),
     )
     return ContainerConfig(num_experts=4, expert=expert,
                            boundary_margin=1.1, bg_hidden=32)

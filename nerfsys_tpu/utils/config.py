@@ -186,6 +186,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plane_growth", type=float, default=2.0)
     p.add_argument("--plane_features", type=int, default=8)
     p.add_argument("--plane_no_lines", action="store_true")
+    p.add_argument("--plane_lines_mm", action="store_true",
+                   help="line lookups as hat-stencil MXU matmuls instead of "
+                        "row gathers (execution strategy, not an arch key)")
+    p.add_argument("--plane_lines_mm_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--plane_pos_grad", action="store_true",
                    help="compute exact position gradients through the plane "
                         "encoder (slower backward; only needed if sample "

@@ -116,6 +116,7 @@ def analytic_train_step_gather_rows(
     packed_corners: bool = True,
     occ_probes: int = 0,  # >0: one cached probe pass per task (CDF hoist)
     occ_levels: int = 1,
+    lines_gathered: bool = True,  # False: hat-stencil MXU lines (0 rows)
 ) -> float:
     """Gather TRANSACTIONS (rows) issued per meta outer step, planes path.
 
@@ -141,8 +142,9 @@ def analytic_train_step_gather_rows(
     probing costs the same single row: (binary, value) ride one fused
     2-wide row (query_pair).
     """
-    rows_per_point = plane_levels * ((3 + 3) if packed_corners
-                                     else (3 * 4 + 3 * 2))
+    line_r = (3 if packed_corners else 3 * 2) if lines_gathered else 0
+    rows_per_point = plane_levels * ((3 if packed_corners else 3 * 4)
+                                     + line_r)
     pts = inner_iter * support_rays * ray_samples + query_rays * ray_samples
     rows = pts * rows_per_point
     if occ_probes:
@@ -165,6 +167,7 @@ def analytic_render_gather_rows_per_ray(
     union_probe: bool = False,
     hard_mask: bool = True,
     probe_grids: Optional[int] = None,
+    lines_gathered: bool = True,  # False: hat-stencil MXU lines (0 rows)
 ) -> float:
     """Gather transactions per rendered ray through the MoE chunk renderer.
 
@@ -186,8 +189,9 @@ def analytic_render_gather_rows_per_ray(
     FIELD to E experts per point but the per-RAY probe still unions all K
     grids (models/occupancy.union_pair_fn) — pass probe_grids=K there."""
     e = num_experts if experts_evaluated is None else experts_evaluated
-    rows_per_point = plane_levels * ((3 + 3) if packed_corners
-                                     else (3 * 4 + 3 * 2))
+    line_r = (3 if packed_corners else 3 * 2) if lines_gathered else 0
+    rows_per_point = plane_levels * ((3 if packed_corners else 3 * 4)
+                                     + line_r)
     rows = float(ray_samples * rows_per_point * e)
     if occ:
         g = probe_grids if probe_grids is not None else (

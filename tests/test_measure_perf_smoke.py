@@ -65,3 +65,16 @@ def test_render_rows_model_probe_grids():
         ray_samples=32, num_experts=4, occ=True, union_probe=True,
         probe_grids=4)
     assert union == 32 * 18 * 4 + 128 * 1 + 32 * 4
+    # hat-stencil MXU lines issue zero gather rows (9 of 18 rows/point)
+    no_lines = analytic_render_gather_rows_per_ray(
+        ray_samples=32, num_experts=4, occ=True, lines_gathered=False)
+    assert no_lines == 32 * 9 * 4 + 128 * 4 + 32 * 4
+
+
+def test_train_rows_model_lines_matmul():
+    from nerfsys_tpu.utils.flops import analytic_train_step_gather_rows
+
+    rows = analytic_train_step_gather_rows(
+        num_experts=1, tasks_per_expert=1, support_rays=1, query_rays=0,
+        inner_iter=1, ray_samples=1, lines_gathered=False)
+    assert rows == 9.0

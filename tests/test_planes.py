@@ -224,3 +224,52 @@ def test_scatter_bwd_matches_autodiff_and_matmul():
     np.testing.assert_allclose(np.asarray(gx_sc), np.asarray(gx_auto),
                                atol=1e-4, rtol=1e-4)
     assert float(jnp.abs(gx_light).sum()) == 0.0  # pos_grad=False contract
+
+
+def test_lines_matmul_matches_reference_and_gather_path():
+    """lines_matmul forward (hat-stencil MXU dot) == gather forward == numpy."""
+    import dataclasses as dc
+
+    cfg_mm = dc.replace(CFG, lines_matmul=True, lines_mm_chunk=16)
+    p = plane_encoding_init(jax.random.PRNGKey(0), cfg_mm)
+    # include boundary/clip cases
+    x = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(1), (61, 3)),
+        jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [-0.2, 0.5, 1.3]]),
+    ])
+    out_mm = plane_encode(p, x, cfg_mm)
+    out_g = plane_encode(p, x, CFG)
+    ref = plane_encode_ref(p, np.asarray(x), cfg_mm)
+    np.testing.assert_allclose(np.asarray(out_mm), np.asarray(out_g),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_mm), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_lines_matmul_grads_match_all_backward_paths():
+    """Forward-method change must not move gradients: autodiff through the
+    stencil dot == gather autodiff == custom matmul_bwd VJPs."""
+    import dataclasses as dc
+
+    p = plane_encoding_init(jax.random.PRNGKey(0), CFG)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (33, 3), minval=0.02,
+                           maxval=0.98)
+    ct = jax.random.normal(jax.random.PRNGKey(2), (33, CFG.out_dim))
+
+    def loss(pp, xx, cfg):
+        return jnp.sum(plane_encode(pp, xx, cfg) * ct)
+
+    variants = {
+        "gather_ad": dc.replace(CFG, matmul_bwd=False),
+        "mm_ad": dc.replace(CFG, matmul_bwd=False, lines_matmul=True,
+                            lines_mm_chunk=16),
+        "mm_custom": dc.replace(CFG, matmul_bwd=True, bwd_dtype="float32",
+                                bwd_chunk=16, lines_matmul=True,
+                                lines_mm_chunk=16),
+    }
+    grads = {k: jax.grad(loss, argnums=(0, 1))(p, x, cfg)
+             for k, cfg in variants.items()}
+    base = jax.tree_util.tree_leaves(grads["gather_ad"])
+    for k in ("mm_ad", "mm_custom"):
+        for a, b in zip(jax.tree_util.tree_leaves(grads[k]), base):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4)
