@@ -132,6 +132,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "at this resolution instead of every expert's every "
                         "level (K x L fewer probe gathers; placement-only "
                         "approximation). 0 = exact per-expert probing")
+    p.add_argument("--render_fast", action="store_true",
+                   help="preset for the measured fastest render config "
+                        "(eval/video/view): top-1 bucketed expert routing + "
+                        "union-probe grid (800² occ-32 frame 5.6 s vs 11.4 s "
+                        "full soft blend on v5e, BASELINE.md). Changes blend "
+                        "semantics at expert boundaries (top-1 instead of "
+                        "margin-soft); explicit flags still win")
     p.add_argument("--routing_policy", type=str, default="dda",
                    choices=["dda", "alpha", "sampled"],
                    help="TaskDataset micro-cell routing: exact DDA traversal "
@@ -383,6 +390,15 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                 if (k in ckpt_cfg and hasattr(args, k)
                         and k not in cli_set and k not in json_cfg):
                     setattr(args, k, ckpt_cfg[k])
+
+    # --render_fast preset: the measured fastest render configuration
+    # (top-1 bucketed routing + union-probe grid, BASELINE.md render
+    # ladder). Expanded AFTER all merges so explicit choices still win.
+    if getattr(args, "render_fast", False):
+        for k, v in (("bucketed_moe", True), ("experts_per_point", 1),
+                     ("occ_union_probe_res", 128)):
+            if k not in cli_set and k not in json_cfg:
+                setattr(args, k, v)
 
     # keys the user set explicitly (CLI, or a hand-written JSON config) —
     # consumers that replace a reference knob with a TPU-aware default

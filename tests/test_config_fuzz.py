@@ -213,3 +213,23 @@ def test_snapshot_config_not_user_explicit(tmp_path):
     hand.write_text(json.dumps({"ray_samples": 64}))
     c = parse_args(["--configPath", str(hand)])
     assert c.ray_samples == 64 and "ray_samples" in c.explicit_keys
+
+
+def test_render_fast_preset_expansion():
+    """--render_fast expands to the measured fastest render config; explicit
+    user choices (CLI or hand-written JSON) still win over the preset."""
+    from nerfsys_tpu.utils.config import parse_args
+
+    a = parse_args(["--render_fast"])
+    assert a.bucketed_moe is True
+    assert a.experts_per_point == 1
+    assert a.occ_union_probe_res == 128
+
+    b = parse_args(["--render_fast", "--experts_per_point", "2",
+                    "--occ_union_probe_res", "0"])
+    assert b.bucketed_moe is True
+    assert b.experts_per_point == 2
+    assert b.occ_union_probe_res == 0
+
+    c = parse_args([])
+    assert c.bucketed_moe is False and c.occ_union_probe_res == 0
