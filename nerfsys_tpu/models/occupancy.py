@@ -550,6 +550,216 @@ def render_rays_occ(
     return volume_render(rgb_sigma, t_vals, bg_rgb=bg, sigma_scale=sigma_scale)
 
 
+# --------------------------- early ray termination ----------------------------
+# The reference's occupancy renderer terminates rays whose transmittance has
+# decayed below early_stop_eps (nerfacc OccGridEstimator.sampling,
+# meta_ngp.py:430-443) — opaque rays stop paying for samples behind the first
+# surface. A fixed-shape TPU program cannot skip work per ray, so the split
+# is: a PARTIAL program composites the first seg_samples for every ray of the
+# chunk and reports per-ray transmittance; the host compacts still-alive rays
+# and a RESUME program finishes only those (pipelines/online/runtime_adapt
+# early-stop dispatch). All sample positions come from ONE
+# sample_tvals_from_cdf call whose full-sample step sizes (ops.volrend
+# full_dists) are sliced per segment, so eps=0 reproduces render_rays_occ up
+# to cumprod reassociation (tests/test_early_stop.py).
+
+
+def _occ_keep_mask(bin_fn, pts_flat, occ_bits_seg, alive, valid, hard_mask,
+                   n_rays, s):
+    """The sigma keep-mask of render_rays_occ, for one sample segment."""
+    if hard_mask:
+        if occ_bits_seg is not None:
+            occ_mask = occ_bits_seg
+        else:
+            occ_mask = bin_fn(pts_flat).reshape(n_rays, s)
+        return occ_mask & alive[:, None] & valid[:, None]
+    return jnp.broadcast_to(valid[:, None], (n_rays, s))
+
+
+def render_rays_occ_et_partial(
+    params,
+    cfg: ContainerConfig,
+    statics: ContainerStatics,
+    occ_state: Dict,
+    rays: Array,  # (N, 8)
+    n_samples: int,
+    *,
+    seg_samples: int,
+    n_probes: int = 128,
+    bg_policy: str = "white",
+    use_bg_fn: bool = True,
+    active_expert: Optional[int] = None,
+    sigma_scale: float = 1.0,
+    importance: bool = False,
+    uniform_frac: float = 0.25,
+    cdf_state: Optional[Dict] = None,
+    probe_fns=None,
+    hard_mask: bool = True,
+    ray_floor: Optional[float] = None,
+    mask_from_probes: bool = False,
+    early_stop_eps: float = 1e-4,
+    fog: bool = False,
+) -> Tuple[Tuple[Array, ...], Array, Dict]:
+    """Wave A of early-stop occupancy rendering: first seg_samples samples.
+
+    Returns (outputs, et_alive, resume_state):
+      outputs — (rgb, depth, acc[, wmax, entropy]) finalized AS IF every ray
+        terminated here (exact for rays whose remaining transmittance is
+        below early_stop_eps, up to that eps);
+      et_alive — (N,) bool: ray still needs the remaining samples;
+      resume_state — device pytree render_rays_occ_et_resume consumes
+        (per-ray carry, remaining t_vals/dists, masks, background).
+
+    Background policies that read field colors ('last_sample') or need a key
+    ('random') are not supported — the caller gates on that, same as the
+    two-wave dead program."""
+    if bg_policy in ("last_sample", "random"):
+        raise ValueError(
+            f"early-stop rendering does not support bg_policy={bg_policy!r}"
+        )
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    n_rays = o.shape[0]
+    valid, near_s, far_s = _ray_validity(rays)
+    bin_fn, val_fn = _occ_query_fns(occ_state, statics, active_expert,
+                                    importance)
+    if ray_floor is None:
+        ray_floor = 0.0 if hard_mask else 0.25
+    if cdf_state is None:
+        p_bin, p_val = (probe_fns if probe_fns is not None
+                        else (bin_fn, val_fn))
+        p_pair = (None if probe_fns is not None else
+                  _occ_pair_fn(occ_state, statics, active_expert, importance))
+        cdf_state = occupancy_probe_cdf(
+            p_bin, o, d, near_s, far_s, n_probes,
+            weight_fn=p_val, uniform_frac=uniform_frac,
+            ray_floor=ray_floor, pair_fn=p_pair,
+        )
+    occ_bits = None
+    if mask_from_probes and hard_mask:
+        t_vals, alive, occ_bits = sample_tvals_from_cdf(
+            cdf_state, near_s, far_s, n_samples, with_mask=True
+        )
+    else:
+        t_vals, alive = sample_tvals_from_cdf(
+            cdf_state, near_s, far_s, n_samples
+        )
+    from nerfsys_tpu.ops.volrend import (
+        composite_finalize,
+        composite_init,
+        composite_segment,
+        full_dists,
+    )
+
+    dists = full_dists(t_vals)
+    s1 = int(seg_samples)
+    t_seg, d_seg = t_vals[:, :s1], dists[:, :s1]
+    pts = t_to_points(o, d, t_seg)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    rgb, sigma = container_apply(
+        params, cfg, statics, pts.reshape(-1, 3), dirs.reshape(-1, 3),
+        active_expert,
+    )
+    rgb = rgb.reshape(n_rays, s1, 3)
+    sigma = sigma.reshape(n_rays, s1)
+    keep = _occ_keep_mask(
+        bin_fn, pts.reshape(-1, 3),
+        None if occ_bits is None else occ_bits[:, :s1],
+        alive, valid, hard_mask, n_rays, s1,
+    )
+    sigma = jnp.maximum(jnp.where(keep, sigma, 0.0), 0.0)
+    if sigma_scale != 1.0:
+        sigma = sigma * float(sigma_scale)
+
+    carry = composite_segment(
+        composite_init(n_rays, t_vals.dtype, fog=fog),
+        jnp.clip(rgb, 0.0, 1.0), sigma, t_seg, d_seg,
+    )
+
+    if use_bg_fn and cfg.use_bg_nerf and "bg" in params:
+        bg = container_bg_fn(params, cfg)(d)
+    else:
+        bg = background_rgb(bg_policy, n_rays, dtype=rgb.dtype)
+
+    outputs = composite_finalize(carry, bg)
+    # a ray already fully masked by occupancy (hard mode) keeps trans == 1
+    # but all its remaining sigma is zeroed too — its partial IS final
+    needs_more = carry["trans"] > early_stop_eps
+    if hard_mask:
+        needs_more = needs_more & alive
+    et_alive = needs_more & valid
+    state = {
+        "o": o,
+        "d": d,
+        "t_rest": t_vals[:, s1:],
+        "d_rest": dists[:, s1:],
+        "alive": alive,
+        "valid": valid,
+        "carry": carry,
+        # absence encoded by a zero-length array: shapes are static under
+        # tracing, unlike a bool leaf
+        "bg": bg if bg is not None else jnp.zeros((0, 3)),
+    }
+    if occ_bits is not None:
+        state["occ_rest"] = occ_bits[:, s1:]
+    return outputs, et_alive, state
+
+
+def render_rays_occ_et_resume(
+    params,
+    cfg: ContainerConfig,
+    statics: ContainerStatics,
+    occ_state: Dict,
+    state: Dict,  # resume_state from render_rays_occ_et_partial (device)
+    ids: Array,  # (cap,) int32 row indices into the partial chunk
+    *,
+    active_expert: Optional[int] = None,
+    sigma_scale: float = 1.0,
+    importance: bool = False,
+    hard_mask: bool = True,
+) -> Tuple[Array, ...]:
+    """Wave B: finish the remaining samples for the gathered rays.
+
+    Row `i` of every output corresponds to ids[i]; padded (duplicate) ids
+    compute rows the dispatcher discards."""
+    from nerfsys_tpu.ops.gather import row_gather
+    from nerfsys_tpu.ops.volrend import composite_finalize, composite_segment
+
+    def take(a):
+        if a.ndim == 1:
+            return row_gather(a[:, None], ids)[:, 0]
+        if a.ndim == 2:
+            return row_gather(a, ids)
+        flat = row_gather(a.reshape(a.shape[0], -1), ids)
+        return flat.reshape((ids.shape[0],) + a.shape[1:])
+
+    o, d = take(state["o"]), take(state["d"])
+    t_rest, d_rest = take(state["t_rest"]), take(state["d_rest"])
+    alive, valid = take(state["alive"]), take(state["valid"])
+    carry = jax.tree_util.tree_map(take, state["carry"])
+    n_rays, s2 = t_rest.shape
+
+    bin_fn, _ = _occ_query_fns(occ_state, statics, active_expert, importance)
+    pts = t_to_points(o, d, t_rest)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    rgb, sigma = container_apply(
+        params, cfg, statics, pts.reshape(-1, 3), dirs.reshape(-1, 3),
+        active_expert,
+    )
+    rgb = rgb.reshape(n_rays, s2, 3)
+    sigma = sigma.reshape(n_rays, s2)
+    occ_rest = take(state["occ_rest"]) if "occ_rest" in state else None
+    keep = _occ_keep_mask(bin_fn, pts.reshape(-1, 3), occ_rest, alive, valid,
+                          hard_mask, n_rays, s2)
+    sigma = jnp.maximum(jnp.where(keep, sigma, 0.0), 0.0)
+    if sigma_scale != 1.0:
+        sigma = sigma * float(sigma_scale)
+
+    carry = composite_segment(carry, jnp.clip(rgb, 0.0, 1.0), sigma, t_rest,
+                              d_rest)
+    bg = take(state["bg"]) if state["bg"].shape[0] else None
+    return composite_finalize(carry, bg)
+
+
 def make_render_rays(
     cfg: ContainerConfig,
     *,

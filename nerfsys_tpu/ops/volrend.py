@@ -113,6 +113,105 @@ def volume_render(
     return rgb_map, depth_map, weights, acc_map
 
 
+# --------------------------- segmented compositing --------------------------
+# Early-ray-termination support: volume_render factored so samples can be
+# composited in ray-direction segments with a carried transmittance. The
+# reference's occupancy renderer inherits this from nerfacc (early_stop_eps
+# in OccGridEstimator.sampling, meta_ngp.py:430-443): rays stop paying for
+# samples once transmittance is negligible. On TPU the analogous win needs
+# host-side compaction (a fixed-shape program still issues gathers for dead
+# rays), so the split lives at the chunk-renderer level (see
+# pipelines/online/runtime_adapt.make_chunk_renderer early_stop_eps); this
+# module only provides the exact segment math.
+#
+# Factorization: with T_carry = prod over all earlier segments of
+# (1 - alpha + 1e-10), the weights of segment samples are
+# alpha * T_carry * exclusive_cumprod_within_segment — identical products in
+# the same left-to-right order as the one-shot cumprod up to XLA's scan
+# reassociation (tests pin allclose, not bit equality).
+
+
+def composite_init(n_rays: int, dtype=jnp.float32, fog: bool = False) -> dict:
+    """Fresh per-ray compositing carry.
+
+    fog=True additionally carries sufficient statistics for the video
+    path's haze signals (wmax and weight entropy): entropy over the full
+    sample set decomposes as -(sum w*log w)/W + log W with W = sum w, both
+    plain sums over segments."""
+    carry = {
+        "rgb": jnp.zeros((n_rays, 3), dtype),
+        "depth": jnp.zeros((n_rays,), dtype),
+        "acc": jnp.zeros((n_rays,), dtype),
+        "trans": jnp.ones((n_rays,), dtype),
+    }
+    if fog:
+        carry["wmax"] = jnp.zeros((n_rays,), dtype)
+        carry["wlogw"] = jnp.zeros((n_rays,), dtype)
+    return carry
+
+
+def composite_segment(
+    carry: dict,
+    rgb: Array,  # (N, s, 3) in [0, 1]
+    sigma: Array,  # (N, s) >= 0 (already masked/scaled by the caller)
+    t_seg: Array,  # (N, s) this segment's sample positions
+    dists_seg: Array,  # (N, s) this segment's step sizes (from the FULL
+    # t_vals' consecutive diffs — NOT recomputed per segment, or the
+    # segment-boundary interval would repeat instead of spanning)
+) -> dict:
+    """Composite one sample segment into the carry (volume_render math)."""
+    alpha = jnp.clip(1.0 - jnp.exp(-sigma * dists_seg), 0.0, 1.0 - 1e-7)
+    one_m = 1.0 - alpha + 1e-10
+    trans_local = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[:, :1]), one_m], axis=1), axis=1
+    )[:, :-1]
+    w = alpha * trans_local * carry["trans"][:, None]
+    out = {
+        "rgb": carry["rgb"] + jnp.sum(w[..., None] * rgb, axis=1),
+        "depth": carry["depth"] + jnp.sum(w * t_seg, axis=1),
+        "acc": carry["acc"] + jnp.sum(w, axis=1),
+        "trans": carry["trans"] * jnp.prod(one_m, axis=1),
+    }
+    if "wmax" in carry:
+        out["wmax"] = jnp.maximum(carry["wmax"], jnp.max(w, axis=1))
+        out["wlogw"] = carry["wlogw"] + jnp.sum(
+            w * jnp.log(jnp.maximum(w, 1e-12)), axis=1
+        )
+    return out
+
+
+def composite_finalize(
+    carry: dict, bg_rgb: Optional[Array]
+) -> Tuple[Array, ...]:
+    """(rgb_map, depth_map, acc_map[, wmax, entropy]) from a carry.
+
+    Matches volume_render's background blend; for a ray terminated early the
+    dropped tail radiance and the bg-weight difference are both bounded by
+    the carried transmittance (the early-stop eps)."""
+    rgb_map = carry["rgb"]
+    if bg_rgb is not None:
+        rgb_map = rgb_map + (1.0 - carry["acc"][..., None]) * bg_rgb.astype(
+            rgb_map.dtype
+        )
+    if "wmax" not in carry:
+        return rgb_map, carry["depth"], carry["acc"]
+    # entropy of p = w / W: -(sum w log w)/W + log W (W = acc); a ray with
+    # (near-)zero accumulated weight has no weight distribution — report 0
+    # like _fog_stats does (its p = w / max(W, 1e-12) collapses to zeros)
+    wsum = jnp.maximum(carry["acc"], 1e-12)
+    entropy = -carry["wlogw"] / wsum + jnp.log(wsum)
+    entropy = jnp.where(carry["acc"] > 1e-9, entropy, 0.0)
+    return rgb_map, carry["depth"], carry["acc"], carry["wmax"], entropy
+
+
+def full_dists(t_vals: Array) -> Array:
+    """The (N, S) per-sample step sizes volume_render derives from t_vals
+    (consecutive diffs clamped >= 1e-4, last repeated) — computed ONCE over
+    the full sample set so segment slices see the true boundary intervals."""
+    d = jnp.maximum(t_vals[:, 1:] - t_vals[:, :-1], 1e-4)
+    return jnp.concatenate([d, d[:, -1:]], axis=1)
+
+
 # --------------------------- background policies ----------------------------
 def background_rgb(
     policy: str,

@@ -339,6 +339,186 @@ class TwoWaveOccRenderer:
         )
 
 
+class EarlyStopOccRenderer:
+    """Chunk renderer with early ray termination (occupancy path).
+
+    Reference analogue: nerfacc's early_stop_eps in OccGridEstimator.sampling
+    (meta_ngp.py:430-443) — a ray stops paying for samples once its
+    transmittance is negligible. Fixed TPU shapes cannot skip per-ray work
+    inside one program, so the renderer splits into two programs and the
+    dispatcher compacts between them on host:
+
+      partial         — first seg samples for every ray; returns a PACKED
+                        (C, ncols+1) output (finalized-as-terminated rows +
+                        a needs-more flag column) and a device resume state;
+      partial_from_cdf — same, consuming a wave-1 probe CDF (two-wave);
+      resume          — finish the remaining samples for `cap` gathered row
+                        ids of a partial chunk, packed (cap, ncols);
+      render_dead     — packed background program for occupancy-dead chunks
+                        (hard-mask mode only, else None);
+      full            — the one-shot UNPACKED program (exactness tests /
+                        direct callers; never used by the ET dispatch).
+
+    Outputs are approximate by at most `eps` per channel (the dropped tail
+    radiance and the background-weight shift are both bounded by the carried
+    transmittance). Not built for bucketed MoE (capacity assignment depends
+    on chunk composition — same reason two-wave packing is disabled there)
+    or for sharded meshes (host compaction vs chunk-divisibility contract).
+    """
+
+    def __init__(self, full, partial, partial_from_cdf, resume, render_dead,
+                 probe, ncols, eps, pack_cost_ratio=0.0):
+        self.full = full
+        self.et_partial = partial
+        self.et_partial_from_cdf = partial_from_cdf
+        self.et_resume = resume
+        self.render_dead = render_dead
+        self.probe = probe
+        self.ncols = ncols
+        self.et_eps = eps
+        self.packable = probe is not None  # ET repacks per ray anyway; this
+        # gates only the occupancy-dead exclusion before the partial wave
+        self.pack_cost_ratio = pack_cost_ratio
+        self.prepare = None
+        self.check_rays = None
+
+    def __call__(self, params, statics, rays):
+        return self.full(params, statics, rays)
+
+
+def _pad_ids(ids: np.ndarray, cap: int) -> np.ndarray:
+    out = np.zeros(cap, np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
+def _early_stop_dispatch(
+    r: EarlyStopOccRenderer,
+    params,
+    statics,
+    rays: np.ndarray,
+    chunk_rays: int,
+    stats: dict,
+):
+    """two_wave_dispatch's early-termination mode (see EarlyStopOccRenderer).
+
+    Wave 1 (hard-mask renderers only): probe chunks, pack occupancy-alive
+    rays into dense chunks, dead chunks to the background program — the
+    existing two-wave economics. Wave A: the partial program over every
+    live chunk, all dispatched before the first fetch. Wave B: fetch each
+    chunk's packed partial output, keep terminated rays' rows as final, and
+    resume still-alive rays in cap-sized slices (cap = chunk/4 — the
+    compaction granularity; savings round down to it).
+    """
+    n = rays.shape[0]
+    spans = [(s, min(chunk_rays, n - s)) for s in range(0, n, chunk_rays)]
+    stats.update(chunks_total=len(spans), mode="early_stop",
+                 chunks_skipped=0, n_resumed=0, n_terminated=0,
+                 resume_calls=0)
+    cap = max(chunk_rays // 4, 1024)
+
+    # --- big frames: segment so at most SEG resume states are live ---
+    SEG = 16
+    if len(spans) > SEG:
+        pending = []
+        totals = {"chunks_total": 0, "chunks_skipped": 0, "n_resumed": 0,
+                  "n_terminated": 0, "resume_calls": 0}
+        for s0 in range(0, n, SEG * chunk_rays):
+            seg_stats: dict = {}
+            for ids, out in _early_stop_dispatch(
+                r, params, statics, rays[s0 : s0 + SEG * chunk_rays],
+                chunk_rays, seg_stats,
+            ):
+                pending.append((ids + s0, out))
+            for k in totals:
+                totals[k] += int(seg_stats.get(k, 0))
+        stats.update(segments=-(-len(spans) // SEG), **totals)
+        return pending
+
+    pending = []
+    partials = []  # (global ids (m,), packed partial output, resume state)
+
+    if r.probe is not None:
+        # wave 1: occupancy probe -> pack alive rays / skip dead chunks
+        probed = []
+        for s, m in spans:
+            dev = jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays))
+            probed.append((s, m, dev, r.probe(statics, dev)))
+        alive = np.zeros(n, bool)
+        for s, m, _, (cdf_state, _) in probed:
+            alive[s : s + m] = np.asarray(cdf_state["alive_valid"])[:m]
+        n_alive = int(alive.sum())
+        alive_chunks = sum(1 for s, m in spans if alive[s : s + m].any())
+        packed_chunks = -(-n_alive // chunk_rays) if n_alive else 0
+        idx_dead_chunks = []
+        if packed_chunks * (1.0 + r.pack_cost_ratio) < alive_chunks:
+            stats.update(mode="early_stop+packed", n_alive=n_alive,
+                         alive_chunks=alive_chunks,
+                         packed_chunks=packed_chunks)
+            probed = None  # release CDFs; packed partials re-probe
+            idx_alive = np.flatnonzero(alive)
+            for s in range(0, len(idx_alive), chunk_rays):
+                gids = idx_alive[s : s + chunk_rays]
+                dev = jnp.asarray(_pad_chunk(rays[gids], chunk_rays))
+                packed, state = r.et_partial(params, statics, dev)
+                partials.append((gids, packed, state))
+            idx_dead = np.flatnonzero(~alive)
+            for s in range(0, len(idx_dead), chunk_rays):
+                gids = idx_dead[s : s + chunk_rays]
+                dev = jnp.asarray(_pad_chunk(rays[gids], chunk_rays))
+                pending.append((gids, r.render_dead(params, statics, dev)))
+        else:
+            skipped = 0
+            for i in range(len(probed)):
+                s, m, dev, (cdf_state, _) = probed[i]
+                probed[i] = None
+                gids = np.arange(s, s + m)
+                if alive[s : s + m].any():
+                    packed, state = r.et_partial_from_cdf(
+                        params, statics, dev, cdf_state
+                    )
+                    partials.append((gids, packed, state))
+                else:
+                    skipped += 1
+                    pending.append(
+                        (gids, r.render_dead(params, statics, dev))
+                    )
+                del cdf_state
+            stats.update(mode="early_stop+two_wave", chunks_skipped=skipped,
+                         n_alive=n_alive, alive_chunks=alive_chunks)
+    else:
+        # soft mode: no occupancy dead-ray concept — every chunk partials
+        for s, m in spans:
+            dev = jnp.asarray(_pad_chunk(rays[s : s + m], chunk_rays))
+            packed, state = r.et_partial(params, statics, dev)
+            partials.append((np.arange(s, s + m), packed, state))
+
+    # wave B: fetch partial outputs (device compute overlapped — every
+    # partial is already dispatched), split terminated/alive, resume
+    nc = r.ncols
+    for i in range(len(partials)):
+        gids, packed, state = partials[i]
+        partials[i] = None
+        h = np.asarray(packed)
+        m = len(gids)
+        flags = h[:m, nc] > 0.5
+        idx_term = np.flatnonzero(~flags)
+        idx_alive = np.flatnonzero(flags)
+        if len(idx_term):
+            pending.append((gids[idx_term], h[idx_term, :nc]))
+        for s in range(0, len(idx_alive), cap):
+            sl = idx_alive[s : s + cap]
+            ids_dev = jnp.asarray(_pad_ids(sl, cap))
+            pending.append(
+                (gids[sl], r.et_resume(params, statics, state, ids_dev))
+            )
+            stats["resume_calls"] += 1
+        stats["n_resumed"] += int(len(idx_alive))
+        stats["n_terminated"] += int(len(idx_term))
+        del state
+    return pending
+
+
 def _fog_stats(weights):
     """Per-ray (wmax, entropy) of the compositing weights — the reference's
     haze signals (video_gen.py:349-352), computed on device so the video
@@ -363,6 +543,10 @@ def make_chunk_renderer(
     occ_probe_mask: bool = False,  # interval-bit masking, no grid re-query
     use_bg_fn: bool = True,  # False: ignore the learned bg MLP (video op)
     fog_stats: bool = False,  # append per-ray (wmax, entropy) haze signals
+    early_stop_eps: float = 0.0,  # > 0: early ray termination (nerfacc
+    # early_stop_eps parity) — outputs approximate within eps per channel
+    early_stop_seg: int = 0,  # first-segment samples (0 = ray_samples // 4)
+    sigma_scale: float = 1.0,  # density multiplier (perf harness knob)
 ):
     """Jitted fixed-size ray-chunk renderer: (params, statics, rays(C,8)) ->
     (rgb (C,3), depth (C,), acc (C,)). With occ_state, samples concentrate
@@ -407,7 +591,7 @@ def make_chunk_renderer(
                 randomized=False, bg_policy=bg_policy,
                 active_expert=active_expert, importance=occ_importance,
                 hard_mask=occ_hard_mask, mask_from_probes=occ_probe_mask,
-                use_bg_fn=use_bg_fn,
+                use_bg_fn=use_bg_fn, sigma_scale=sigma_scale,
             )
             return _with_stats(rgb, depth, w, acc)
 
@@ -445,6 +629,76 @@ def make_chunk_renderer(
                                             False)),
         )
         pack_ratio = probe_rows / max(total_rows - probe_rows, 1.0)
+
+        # ---- early ray termination (EarlyStopOccRenderer docstring) ----
+        et_on = (
+            float(early_stop_eps) > 0.0 and mesh is None
+            and not cfg.bucketed and int(ray_samples) > 8
+            and bg_policy not in ("last_sample", "random")
+        )
+        if float(early_stop_eps) > 0.0 and not et_on:
+            print("[render] early_stop_eps ignored: needs an unsharded, "
+                  "non-bucketed renderer with > 8 samples and a background "
+                  "that reads no field colors")
+        et_builder = None
+        if et_on:
+            from nerfsys_tpu.models.occupancy import (
+                render_rays_occ_et_partial,
+                render_rays_occ_et_resume,
+            )
+
+            seg = int(early_stop_seg) or max(int(ray_samples) // 4, 8)
+            nc = 7 if fog_stats else 5
+
+            def _pack_et(outs):
+                rgb, depth, acc = outs[:3]
+                cols = [rgb, depth[:, None], acc[:, None]]
+                if fog_stats:
+                    cols += [outs[3][:, None], outs[4][:, None]]
+                return jnp.concatenate(cols, axis=1)
+
+            def et_partial_fn(params, statics, rays, cdf_state=None):
+                outs, et_alive, state = render_rays_occ_et_partial(
+                    params, cfg, statics, occ_state, rays, ray_samples,
+                    seg_samples=seg, bg_policy=bg_policy,
+                    use_bg_fn=use_bg_fn, active_expert=active_expert,
+                    importance=occ_importance, cdf_state=cdf_state,
+                    hard_mask=occ_hard_mask,
+                    mask_from_probes=occ_probe_mask,
+                    early_stop_eps=float(early_stop_eps), fog=fog_stats,
+                    sigma_scale=sigma_scale,
+                )
+                flag = et_alive.astype(outs[0].dtype)[:, None]
+                return jnp.concatenate([_pack_et(outs), flag], axis=1), state
+
+            def et_resume_fn(params, statics, state, ids):
+                return _pack_et(render_rays_occ_et_resume(
+                    params, cfg, statics, occ_state, state, ids,
+                    active_expert=active_expert, importance=occ_importance,
+                    hard_mask=occ_hard_mask, sigma_scale=sigma_scale,
+                ))
+
+            def et_builder(probe_w, dead_fn):  # noqa: F811
+                dead_packed = None
+                if dead_fn is not None:
+                    dead_packed = jax.jit(
+                        lambda p, s, rr: _pack_et(dead_fn(p, s, rr))
+                    )
+                return EarlyStopOccRenderer(
+                    full=jax.jit(render_fn),
+                    partial=jax.jit(
+                        lambda p, s, rr: et_partial_fn(p, s, rr)
+                    ),
+                    partial_from_cdf=(jax.jit(et_partial_fn)
+                                      if probe_w is not None else None),
+                    resume=jax.jit(et_resume_fn),
+                    render_dead=dead_packed,
+                    probe=probe_w,
+                    ncols=nc,
+                    eps=float(early_stop_eps),
+                    pack_cost_ratio=pack_ratio,
+                )
+
         if skippable_bg:
             from nerfsys_tpu.models.occupancy import (
                 probe_rays_occ,
@@ -463,7 +717,7 @@ def make_chunk_renderer(
                     randomized=False, bg_policy=bg_policy,
                     active_expert=active_expert, importance=occ_importance,
                     cdf_state=cdf_state, mask_from_probes=occ_probe_mask,
-                    use_bg_fn=use_bg_fn,
+                    use_bg_fn=use_bg_fn, sigma_scale=sigma_scale,
                 )
                 return _with_stats(rgb, depth, w, acc)
 
@@ -471,6 +725,7 @@ def make_chunk_renderer(
                 rgb, depth, w, acc = render_rays_occ_dead(
                     params, cfg, statics, rays, ray_samples,
                     bg_policy=bg_policy, use_bg_fn=use_bg_fn,
+                    sigma_scale=sigma_scale,
                 )
                 return _with_stats(rgb, depth, w, acc)
 
@@ -480,6 +735,8 @@ def make_chunk_renderer(
                                       int(occ_probe_grid_res))
                     if union_probe else jax.jit(probe_fn)
                 )
+                if et_builder is not None:
+                    return et_builder(probe_w, render_dead_fn)
                 return TwoWaveOccRenderer(
                     full=jax.jit(render_fn),
                     probe=probe_w,
@@ -490,6 +747,11 @@ def make_chunk_renderer(
                 )
         else:
             probe_fn = None
+            if et_builder is not None:
+                # soft mode: no occupancy dead-ray concept, so no probe/dead
+                # programs — every chunk partials, termination is purely by
+                # accumulated transmittance
+                return et_builder(None, None)
     else:
         probe_fn = None
         def render_fn(params, statics, rays):
@@ -498,6 +760,7 @@ def make_chunk_renderer(
                 field, rays, ray_samples, randomized=False,
                 bg_policy=bg_policy,
                 bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
+                sigma_scale=sigma_scale,
             )
             return _with_stats(rgb, depth, w, acc)
 
@@ -688,6 +951,18 @@ def two_wave_dispatch(
     n = rays.shape[0]
     if stats is None:
         stats = {}
+    if getattr(chunk_renderer, "et_resume", None) is not None:
+        # early-termination renderer: its own dispatch (partial -> host
+        # compaction -> resume); probe_cache does not apply (resume states
+        # depend on params, unlike probe CDFs)
+        if extra:
+            raise ValueError(
+                "early-stop renderers pack their outputs on device and do "
+                "not thread extra per-call args"
+            )
+        return _early_stop_dispatch(
+            chunk_renderer, params, statics, rays, chunk_rays, stats
+        )
     spans = [(s, min(chunk_rays, n - s)) for s in range(0, n, chunk_rays)]
     stats.update(chunks_total=len(spans), mode="plain", chunks_skipped=0)
 
@@ -823,7 +1098,15 @@ def render_rays_chunked(
     the per-ray haze signals ride along: (n, 7) [..., wmax, entropy]."""
     pack, ncols, attr = ((_pack7, 7, "_pack7_cache") if fog_stats
                          else (_pack5, 5, "_pack5_cache"))
-    if getattr(chunk_renderer, "probe", None) is not None:
+    if getattr(chunk_renderer, "et_resume", None) is not None:
+        if chunk_renderer.ncols != ncols:
+            raise ValueError(
+                f"early-stop renderer packs {chunk_renderer.ncols} output "
+                f"columns but the caller expects {ncols} — build it with "
+                f"the matching fog_stats flag"
+            )
+        packed = chunk_renderer  # ET programs pack on device already
+    elif getattr(chunk_renderer, "probe", None) is not None:
         packed = getattr(chunk_renderer, attr, None)
         if packed is None:
             packed = chunk_renderer.map_outputs(pack)
@@ -865,6 +1148,7 @@ def runtime_evaluate(
     occ_probe_mask: bool = False,
     occ_hard_mask: bool = True,
     occ_probe_grid_res: int = 0,  # Phase-B union-grid probing (0 = exact)
+    render_early_stop: float = 0.0,  # Phase-B early ray termination eps
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
     mesh=None,  # jax.sharding.Mesh -> Phase-B frames shard over 'data'
 ) -> Dict[str, float]:
@@ -929,6 +1213,7 @@ def runtime_evaluate(
         occ_probe_grid_res=occ_probe_grid_res,
         occ_hard_mask=occ_hard_mask,  # render how the checkpoint trained
         occ_probe_mask=occ_probe_mask,
+        early_stop_eps=render_early_stop,
     )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []

@@ -311,6 +311,7 @@ def render_video(ctx) -> Path:
         mesh=maybe_render_mesh(P),
         use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
         fog_stats=suppress,
+        early_stop_eps=float(getattr(P, "render_early_stop", 0.0)),
     )
     budget = (int(P.chunk_points)
               if "chunk_points" in getattr(P, "explicit_keys", ())

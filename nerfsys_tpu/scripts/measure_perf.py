@@ -248,7 +248,8 @@ def measure_occ_update(iters: int = 3, resolution: int = 128,
 
 def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
                    iters: int = 3, top1: bool = False, sky: float = 0.0,
-                   union_probe: int = 0):
+                   union_probe: int = 0, early_stop: float = 0.0,
+                   opaque: float = 1.0):
     import jax
     import jax.numpy as jnp
 
@@ -303,6 +304,10 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         cfg, ray_samples=samples, bg_policy="white",
         occ_state=occ_state, occ_importance=use_occ,
         occ_probe_grid_res=union_probe,
+        # early ray termination A/B: `opaque` scales density so the random-
+        # init synthetic field reaches trained-scene opacity (real surfaces
+        # have sigma in the hundreds; random init is ~O(1))
+        early_stop_eps=early_stop, sigma_scale=opaque,
     )
 
     n = side * side
@@ -340,7 +345,7 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     dt = (time.perf_counter() - t0) / iters
 
     dt_full = None
-    if two_wave and sky > 0.0:
+    if (two_wave and sky > 0.0) or early_stop > 0.0:
         # same frame through the one-shot program: the skip's denominator
         plain = renderer.full
 
@@ -392,6 +397,8 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         "top1_routing": top1,
         "sky_fraction": sky,
         "union_probe_res": union_probe,
+        "early_stop_eps": early_stop,
+        "sigma_scale": opaque,
         "two_wave": two_wave,
         "render_stats": stats,
         "frame_seconds": round(dt, 4),
@@ -514,6 +521,11 @@ def main(argv=None):
     ap.add_argument("--sky", type=float, default=0.0,
                     help="fraction of rays aimed at empty sky "
                          "(sizes the two-wave chunk skip)")
+    ap.add_argument("--early_stop", type=float, default=0.0,
+                    help="render mode: early ray termination eps")
+    ap.add_argument("--opaque", type=float, default=1.0,
+                    help="render mode: density scale (trained scenes are "
+                         "opaque; random init is not)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--K", type=int, default=16)
     ap.add_argument("--experts_per_point", type=int, default=2)
@@ -529,7 +541,8 @@ def main(argv=None):
                     capacity_factor=a.capacity_factor)
     else:
         measure_render(a.side, a.samples, a.use_occ, a.iters, a.top1,
-                       sky=a.sky, union_probe=a.union_probe)
+                       sky=a.sky, union_probe=a.union_probe,
+                       early_stop=a.early_stop, opaque=a.opaque)
 
 
 if __name__ == "__main__":

@@ -132,6 +132,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "at this resolution instead of every expert's every "
                         "level (K x L fewer probe gathers; placement-only "
                         "approximation). 0 = exact per-expert probing")
+    p.add_argument("--render_early_stop", type=float, default=0.0,
+                   help="early ray termination for renders: stop paying for "
+                        "samples once transmittance < eps (reference parity: "
+                        "nerfacc sampling defaults early_stop_eps=1e-4, "
+                        "meta_ngp.py:430-443). Outputs approximate within "
+                        "eps/channel. 0 = off. Occ renders only; ignored "
+                        "for bucketed routing and sharded meshes")
     p.add_argument("--render_fast", action="store_true",
                    help="preset for the measured fastest render config "
                         "(eval/video/view): top-1 bucketed expert routing + "

@@ -323,3 +323,10 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     assert np.isfinite(r_single[0]["psnr"])
     np.testing.assert_allclose(r_mesh[0]["psnr"], r_single[0]["psnr"],
                                atol=1e-3)
+
+    # ---- early ray termination through the CLI (--render_early_stop):
+    # Phase B rides the partial/resume dispatcher; output error is bounded
+    # by eps per channel, so eval PSNR must match to well under 0.05 dB ----
+    r_et = eval_occ(["--render_early_stop", "1e-4"], "it_occ_eval_et")
+    np.testing.assert_allclose(r_et[0]["psnr"], r_single[0]["psnr"],
+                               atol=0.05)
