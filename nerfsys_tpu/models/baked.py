@@ -1,0 +1,262 @@
+"""Baked snapshot renderer: the trained MoE field resampled into ONE dense
+spherical-harmonics radiance grid, for serving-rate novel-view rendering.
+
+No reference analogue (psklavos1/NeRF-Sys always evaluates the full field);
+this exceeds it on the render-latency axis. The design is the TPU reading of
+the PlenOctree/SNeRG baking recipe: precompute per-cell (sigma, SH radiance
+coefficients) once, then a frame costs only trilinear grid lookups + the
+standard compositor — no hash/plane gathers, no MLPs, no expert routing.
+
+Why it is fast on a v5e: random gathers are TRANSACTION-rate bound
+(~1.1-1.4e8 rows/s, independent of row width up to the 128-lane tile —
+BASELINE.md encoding economics). The live field costs K x 18 gather rows per
+sample point plus probe rows; the baked grid packs a cell's ENTIRE payload
+(sigma + 3 x B SH coefficients, and its +z neighbor's too) into one table
+row, so a trilinear sample is exactly FOUR row gathers (the 2x2 (x, y)
+corner block; each row carries both z corners — the same overlap-packing
+trick as ops/planes.packed_corners). At 32 samples/ray that is 128 rows/ray
+vs 2944 for the occ-32 live MoE render (BASELINE.md render ladder).
+
+View dependence is kept through the SH basis (degree levels-1, exact for
+radiance that is low-degree in direction; aerial scenes are near-diffuse).
+Geometry is resolution-limited by the bake grid — an approximation stated
+honestly; A/B the PSNR before trusting a resolution.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    container_apply,
+    container_bg_fn,
+)
+from nerfsys_tpu.ops.encodings import sh_encode
+from nerfsys_tpu.ops.gather import row_gather
+from nerfsys_tpu.ops.volrend import (
+    background_rgb,
+    stratified_t_vals,
+    t_to_points,
+    volume_render,
+)
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class BakedConfig:
+    resolution: int = 256  # cells per axis over the global aabb
+    sh_levels: int = 3  # SH degree + 1 (3 -> 9 bases; 2 -> 4; 1 -> diffuse)
+    n_dirs: int = 32  # directions sampled per cell for the SH projection
+    chunk_cells: int = 131072  # field-eval chunk during baking
+    dtype: str = "bfloat16"  # table dtype (payload bandwidth, not accuracy-
+    # critical: compositing runs in f32 after the gather)
+
+    @property
+    def n_bases(self) -> int:
+        return int(self.sh_levels) ** 2
+
+    @property
+    def channels(self) -> int:
+        return 1 + 3 * self.n_bases  # sigma + SH coefs per color channel
+
+
+def _fibonacci_sphere(n: int) -> np.ndarray:
+    """(n, 3) roughly uniform unit directions (deterministic)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5.0**0.5) * i
+    return np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta),
+         np.cos(phi)], axis=-1,
+    ).astype(np.float32)
+
+
+def sh_projection_matrix(levels: int, dirs: np.ndarray) -> np.ndarray:
+    """(B, M) least-squares projector: coefs = P @ rgb_at_dirs.
+
+    Solves min_C || Y C - RGB ||² over the M sampled directions
+    (P = (YᵀY)⁻¹ Yᵀ with Y the (M, B) SH design matrix) — exact recovery
+    whenever the radiance truly is degree < levels in the view direction
+    (tests/test_baked.py pins this)."""
+    Y = np.asarray(sh_encode(jnp.asarray(dirs), levels=levels))  # (M, B)
+    return np.linalg.solve(Y.T @ Y, Y.T).astype(np.float32)  # (B, M)
+
+
+def bake_field(
+    params,
+    cfg: ContainerConfig,
+    statics: ContainerStatics,
+    bcfg: BakedConfig = BakedConfig(),
+    *,
+    aabb: Optional[Array] = None,
+) -> Dict:
+    """Resample the routed container field into a baked grid.
+
+    Returns {"table": (R*R*R, 2*C) dtype, "aabb": (2,3) f32, plus static
+    metadata} — row ((x*R)+y)*R+z packs cell (x,y,z) AND (x,y,z+1) (z+1
+    clamped at the boundary), so a trilinear query needs one row per (x,y)
+    corner. One-time cost: R³ x n_dirs field evaluations, chunked.
+    """
+    R = int(bcfg.resolution)
+    C = bcfg.channels
+    box = statics.global_aabb if aabb is None else jnp.asarray(aabb)
+    lo, hi = box[0], box[1]
+    h = (hi - lo) / R
+
+    dirs = _fibonacci_sphere(bcfg.n_dirs)
+    proj = jnp.asarray(sh_projection_matrix(bcfg.sh_levels, dirs))  # (B, M)
+    dirs_j = jnp.asarray(dirs)
+
+    # cell-center lattice, flattened x-major to match the row indexing
+    idx = jnp.arange(R, dtype=jnp.float32) + 0.5
+    gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    centers = (lo[None, :]
+               + jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * h[None, :])
+
+    def eval_chunk(pts):  # (c, 3) -> (c, C) f32
+        n = pts.shape[0]
+
+        def per_dir(d):
+            dd = jnp.broadcast_to(d[None, :], (n, 3))
+            rgb, sigma = container_apply(params, cfg, statics, pts, dd)
+            return jnp.clip(rgb, 0.0, 1.0), sigma
+
+        rgb_m, sigma_m = jax.lax.map(per_dir, dirs_j)  # (M,c,3), (M,c)
+        sigma = jnp.maximum(sigma_m[0], 0.0)  # direction-independent
+        coefs = jnp.einsum("bm,mcr->cbr", proj, rgb_m)  # (c, B, 3)
+        return jnp.concatenate([sigma[:, None], coefs.reshape(n, -1)], 1)
+
+    n_cells = R * R * R
+    chunk = min(int(bcfg.chunk_cells), n_cells)
+    pad = (-n_cells) % chunk
+    pts_all = centers
+    if pad:
+        pts_all = jnp.concatenate([pts_all, jnp.zeros((pad, 3))], 0)
+    vals = jax.lax.map(eval_chunk, pts_all.reshape(-1, chunk, 3))
+    vals = vals.reshape(-1, C)[:n_cells]  # (R³, C) f32
+
+    # overlapping z-pairs: row z carries [cell z, cell z+1 (clamped)]
+    g = vals.reshape(R, R, R, C)
+    g_next = jnp.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
+    table = jnp.concatenate([g, g_next], axis=-1).reshape(n_cells, 2 * C)
+    return {
+        "table": table.astype(jnp.dtype(bcfg.dtype)),
+        "aabb": jnp.stack([lo, hi]).astype(jnp.float32),
+    }
+
+
+def baked_query(
+    baked: Dict, bcfg: BakedConfig, pts: Array, dirs: Array
+) -> Tuple[Array, Array]:
+    """Trilinear (sigma, rgb) at pts (N,3) viewed along dirs (N,3).
+
+    Exactly 4 row gathers per point (2x2 (x,y) corners; rows carry both z
+    corners)."""
+    R = int(bcfg.resolution)
+    C = bcfg.channels
+    B = bcfg.n_bases
+    lo, hi = baked["aabb"][0], baked["aabb"][1]
+    h = (hi - lo) / R
+
+    # cell-center coordinates; clamp so z+1 stays inside the packed row
+    g = (pts - lo) / h - 0.5
+    g = jnp.clip(g, 0.0, R - 1.000001)
+    f = jnp.floor(g)
+    w = (g - f).astype(jnp.float32)
+    ix = f[:, 0].astype(jnp.int32)
+    iy = f[:, 1].astype(jnp.int32)
+    iz = f[:, 2].astype(jnp.int32)
+    ix1 = jnp.minimum(ix + 1, R - 1)
+    iy1 = jnp.minimum(iy + 1, R - 1)
+
+    def row(jx, jy):  # one gather: both z corners of the (jx, jy) column
+        r = row_gather(baked["table"], (jx * R + jy) * R + iz)
+        r = r.astype(jnp.float32)
+        return r[:, :C] * (1.0 - w[:, 2:3]) + r[:, C:] * w[:, 2:3]
+
+    wx, wy = w[:, 0:1], w[:, 1:2]
+    val = (
+        row(ix, iy) * (1 - wx) * (1 - wy)
+        + row(ix1, iy) * wx * (1 - wy)
+        + row(ix, iy1) * (1 - wx) * wy
+        + row(ix1, iy1) * wx * wy
+    )
+    sigma = jnp.maximum(val[:, 0], 0.0)
+    sh = sh_encode(dirs, levels=int(bcfg.sh_levels))  # (N, B)
+    rgb = jnp.einsum("nb,nbc->nc", sh, val[:, 1:].reshape(-1, B, 3))
+    return jnp.clip(rgb, 0.0, 1.0), sigma
+
+
+def render_rays_baked(
+    baked: Dict,
+    bcfg: BakedConfig,
+    rays: Array,  # (N, 8)
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+    *,
+    randomized: bool = False,
+    bg_policy: str = "white",
+    bg_fn=None,  # dirs (N,3) -> (N,3): the checkpoint's bg MLP, optional
+) -> Tuple[Array, Array, Array, Array]:
+    """Stratified render over the baked grid (rgb, depth, weights, acc).
+
+    Same validity/background semantics as render_rays_stratified; the field
+    is the baked snapshot instead of the live container."""
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    n_rays = o.shape[0]
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (far < 1e9)
+    near_s = jnp.where(valid, near, 0.0)
+    far_s = jnp.where(valid, far, 1.0)
+
+    skey = bkey = None
+    if key is not None:
+        skey, bkey = jax.random.split(key)
+    t_vals = stratified_t_vals(skey, near_s, far_s, n_samples, randomized)
+    pts = t_to_points(o, d, t_vals)
+    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+    rgb, sigma = baked_query(
+        baked, bcfg, pts.reshape(-1, 3), dirs.reshape(-1, 3)
+    )
+    rgb = rgb.reshape(n_rays, n_samples, 3)
+    sigma = jnp.where(valid[:, None], sigma.reshape(n_rays, n_samples), 0.0)
+
+    if bg_fn is not None:
+        bg = bg_fn(d)
+    else:
+        bg = background_rgb(bg_policy, n_rays, key=bkey,
+                            last_sample_rgb=rgb[:, -1, :], dtype=rgb.dtype)
+    rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+    return volume_render(rgb_sigma, t_vals, bg_rgb=bg)
+
+
+def make_baked_chunk_renderer(
+    baked: Dict,
+    bcfg: BakedConfig,
+    cfg: ContainerConfig,
+    *,
+    ray_samples: int,
+    bg_policy: str = "white",
+    use_bg_fn: bool = True,
+):
+    """Chunk renderer over the snapshot, drop-in for render_image /
+    render_rays_chunked: (params, statics, rays (C,8)) -> (rgb, depth, acc).
+
+    params is consulted only for the learned background MLP (the baked grid
+    replaces the field itself)."""
+
+    def render_fn(params, statics, rays):
+        bg_fn = container_bg_fn(params, cfg) if use_bg_fn else None
+        rgb, depth, _, acc = render_rays_baked(
+            baked, bcfg, rays, ray_samples, bg_policy=bg_policy, bg_fn=bg_fn,
+        )
+        return rgb, depth, acc
+
+    return jax.jit(render_fn)

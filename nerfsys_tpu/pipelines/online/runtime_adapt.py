@@ -1149,6 +1149,8 @@ def runtime_evaluate(
     occ_hard_mask: bool = True,
     occ_probe_grid_res: int = 0,  # Phase-B union-grid probing (0 = exact)
     render_early_stop: float = 0.0,  # Phase-B early ray termination eps
+    render_baked_res: int = 0,  # > 0: Phase-B renders a baked SH snapshot
+    render_baked_sh: int = 3,  # SH levels (degree + 1) for the bake
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
     mesh=None,  # jax.sharding.Mesh -> Phase-B frames shard over 'data'
 ) -> Dict[str, float]:
@@ -1207,14 +1209,36 @@ def runtime_evaluate(
 
     # ---- Phase B: render + metrics ----
     log("[Phase 2] rendering test images")
-    renderer = make_chunk_renderer(
-        cfg, ray_samples=ray_samples, bg_policy="white", occ_state=occ_state,
-        occ_importance=occ_importance, mesh=mesh,
-        occ_probe_grid_res=occ_probe_grid_res,
-        occ_hard_mask=occ_hard_mask,  # render how the checkpoint trained
-        occ_probe_mask=occ_probe_mask,
-        early_stop_eps=render_early_stop,
-    )
+    if render_baked_res > 0:
+        # serving mode: resample the (adapted) field into a baked SH grid
+        # once, then frames cost only trilinear grid lookups (models/baked).
+        # Re-baked per TTO setting because adaptation changes the field.
+        from nerfsys_tpu.models.baked import (
+            BakedConfig,
+            bake_field,
+            make_baked_chunk_renderer,
+        )
+
+        bcfg = BakedConfig(resolution=int(render_baked_res),
+                           sh_levels=int(render_baked_sh))
+        tb = time.time()
+        baked = bake_field(params, cfg, statics, bcfg)
+        jax.block_until_ready(baked["table"])
+        log(f"  baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
+            f"in {time.time() - tb:.1f}s")
+        renderer = make_baked_chunk_renderer(
+            baked, bcfg, cfg, ray_samples=ray_samples, bg_policy="white",
+        )
+    else:
+        renderer = make_chunk_renderer(
+            cfg, ray_samples=ray_samples, bg_policy="white",
+            occ_state=occ_state,
+            occ_importance=occ_importance, mesh=mesh,
+            occ_probe_grid_res=occ_probe_grid_res,
+            occ_hard_mask=occ_hard_mask,  # render how the checkpoint trained
+            occ_probe_mask=occ_probe_mask,
+            early_stop_eps=render_early_stop,
+        )
     lpips_w = load_lpips_weights(lpips_weights_path)
     psnrs, ssims, lpipss = [], [], []
     if out_dir is not None:

@@ -482,6 +482,8 @@ def evaluate(ctx):
             occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
             occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
             render_early_stop=float(getattr(P, "render_early_stop", 0.0)),
+            render_baked_res=int(getattr(P, "render_baked", 0)),
+            render_baked_sh=int(getattr(P, "render_baked_sh", 3)),
             fim_cfg=fim_cfg,
             optimizer=tx,
             test_metadata=ctx["test_metadata"],

@@ -507,10 +507,88 @@ def _bench_cfg():
                            boundary_margin=1.1, bg_hidden=32)
 
 
+
+def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
+                  sh_levels: int = 3, iters: int = 3):
+    """Baked SH snapshot render latency (models/baked.py): one-time bake of
+    the demo-scale container, then full frames at side² — the serving-rate
+    rung of the render ladder (4 gather rows/sample vs 18/point x K live,
+    zero probe rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.baked import (
+        BakedConfig,
+        bake_field,
+        make_baked_chunk_renderer,
+    )
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        render_rays_chunked,
+    )
+    from nerfsys_tpu.utils.flops import (
+        V5E_GATHER_ROWS_PER_S_HIGH,
+        V5E_GATHER_ROWS_PER_S_LOW,
+    )
+
+    _, params, _, statics, _, _ = bench_setup()
+    cfg = _bench_cfg()
+    bcfg = BakedConfig(resolution=res, sh_levels=sh_levels)
+
+    t0 = time.perf_counter()
+    baked = bake_field(params, cfg, statics, bcfg)
+    jax.block_until_ready(baked["table"])
+    # axon gotcha: block_until_ready may not block — force a host fetch
+    float(jnp.sum(baked["table"][:1].astype(jnp.float32)))
+    bake_s = time.perf_counter() - t0
+
+    renderer = make_baked_chunk_renderer(baked, bcfg, cfg,
+                                         ray_samples=samples)
+    n = side * side
+    rng = np.random.default_rng(0)
+    o = np.tile(np.array([0.0, 0.0, 2.0], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile(np.array([0.1, 4.5], np.float32), (n, 1))
+    rays = np.concatenate([o, d, nf], 1)
+
+    chunk = 65536  # 4 rows/sample: far below the live field's HBM budget
+
+    def frame():
+        return render_rays_chunked(renderer, params, statics, rays, chunk)
+
+    frame()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        frame()
+    dt = (time.perf_counter() - t0) / iters
+
+    rows_frame = 4.0 * samples * n
+    out = {
+        "mode": "baked",
+        "resolution": f"{side}x{side}",
+        "grid_res": res,
+        "sh_levels": sh_levels,
+        "samples": samples,
+        "bake_seconds": round(bake_s, 2),
+        "table_mb": round(np.prod(baked["table"].shape) * 2 / 1e6, 1),
+        "frame_seconds": round(dt, 4),
+        "rays_per_sec": round(n / dt, 1),
+        "gather_rows_per_ray": 4.0 * samples,
+        "transaction_util_vs_measured_peak": [
+            round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_HIGH, 3),
+            round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_LOW, 3),
+        ],
+    }
+    print(json.dumps(out))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=["train", "render", "moe", "occ_update"],
+                    choices=["train", "render", "moe", "occ_update",
+                             "baked"],
                     required=True)
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--samples", type=int, default=96)
@@ -521,6 +599,10 @@ def main(argv=None):
     ap.add_argument("--sky", type=float, default=0.0,
                     help="fraction of rays aimed at empty sky "
                          "(sizes the two-wave chunk skip)")
+    ap.add_argument("--grid_res", type=int, default=256,
+                    help="baked mode: bake grid resolution")
+    ap.add_argument("--sh_levels", type=int, default=3,
+                    help="baked mode: SH levels (degree + 1)")
     ap.add_argument("--early_stop", type=float, default=0.0,
                     help="render mode: early ray termination eps")
     ap.add_argument("--opaque", type=float, default=1.0,
@@ -535,6 +617,9 @@ def main(argv=None):
         measure_train(a.iters, use_occ=a.use_occ)
     elif a.mode == "occ_update":
         measure_occ_update(a.iters)
+    elif a.mode == "baked":
+        measure_baked(a.side, a.samples, res=a.grid_res,
+                      sh_levels=a.sh_levels, iters=a.iters)
     elif a.mode == "moe":
         measure_moe(a.K, iters=a.iters,
                     experts_per_point=a.experts_per_point,

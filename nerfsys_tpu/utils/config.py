@@ -132,6 +132,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "at this resolution instead of every expert's every "
                         "level (K x L fewer probe gathers; placement-only "
                         "approximation). 0 = exact per-expert probing")
+    p.add_argument("--render_baked", type=int, default=0,
+                   help="eval: render a baked SH-radiance snapshot of the "
+                        "(adapted) field at this grid resolution instead of "
+                        "the live field — 4 gather rows per sample vs "
+                        "K x 18 per point (models/baked.py; serving-rate "
+                        "mode, geometry resolution-limited). 0 = live field")
+    p.add_argument("--render_baked_sh", type=int, default=3,
+                   help="SH levels (degree + 1) for --render_baked")
     p.add_argument("--render_early_stop", type=float, default=0.0,
                    help="early ray termination for renders: stop paying for "
                         "samples once transmittance < eps (reference parity: "

@@ -1,0 +1,164 @@
+"""Baked SH snapshot renderer (models/baked.py).
+
+No reference analogue (the reference always evaluates the live field); the
+contracts pinned here are the bake's own:
+  - the SH least-squares projector recovers band-limited radiance exactly;
+  - baked_query reproduces a linear-in-position, direction-constant field
+    exactly (trilinear interpolation is exact on linear fields);
+  - a real container baked at sufficient resolution renders close to the
+    live stratified render (resolution-limited approximation, loose bound);
+  - the baked chunk renderer is a drop-in for render_rays_chunked and the
+    --render_baked eval flag runs end-to-end (test_dataprep_e2e).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfsys_tpu.models.baked import (
+    BakedConfig,
+    _fibonacci_sphere,
+    bake_field,
+    baked_query,
+    make_baked_chunk_renderer,
+    render_rays_baked,
+    sh_projection_matrix,
+)
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    container_bg_fn,
+    container_field_fn,
+    init_container_params,
+)
+from nerfsys_tpu.models.ngp import NGPConfig
+from nerfsys_tpu.ops.encodings import HashGridConfig, sh_encode
+from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+
+def test_sh_projection_recovers_bandlimited_radiance():
+    levels = 3
+    B = levels**2
+    rng = np.random.default_rng(0)
+    coefs = rng.normal(scale=0.1, size=(B, 3)).astype(np.float32)
+    dirs = _fibonacci_sphere(32)
+    Y = np.asarray(sh_encode(jnp.asarray(dirs), levels=levels))  # (M, B)
+    rgb = Y @ coefs  # (M, 3) — exactly degree-(levels-1) radiance
+    P = sh_projection_matrix(levels, dirs)
+    np.testing.assert_allclose(P @ rgb, coefs, rtol=1e-4, atol=1e-5)
+
+
+def test_baked_query_exact_on_linear_field():
+    R = 8
+    bcfg = BakedConfig(resolution=R, sh_levels=1, dtype="float32")
+    C = bcfg.channels  # 1 + 3
+    lo = np.array([-1.0, -1.0, -1.0], np.float32)
+    hi = np.array([1.0, 1.0, 1.0], np.float32)
+    h = (hi - lo) / R
+
+    # linear sigma field + constant-color cells (DC-only SH)
+    idx = np.arange(R, dtype=np.float32) + 0.5
+    gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
+    centers = lo + np.stack([gx, gy, gz], -1) * h
+    sigma = (0.3 * centers[..., 0] + 0.5 * centers[..., 1]
+             - 0.2 * centers[..., 2] + 1.0)
+    rgb_cell = np.stack([
+        0.2 + 0.1 * centers[..., 0], np.full_like(sigma, 0.5),
+        0.7 - 0.1 * centers[..., 2],
+    ], -1)
+    dc = rgb_cell / 0.28209479177387814  # Y_0 coefficient giving rgb back
+    g = np.concatenate([sigma[..., None], dc], -1).astype(np.float32)
+    g_next = np.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
+    table = np.concatenate([g, g_next], -1).reshape(R**3, 2 * C)
+    baked = {"table": jnp.asarray(table),
+             "aabb": jnp.asarray(np.stack([lo, hi]))}
+
+    rng = np.random.default_rng(1)
+    # interior points (>= half a cell from the border: clamp-free region)
+    pts = rng.uniform(lo + h, hi - h, size=(256, 3)).astype(np.float32)
+    dirs = rng.normal(size=(256, 3)).astype(np.float32)
+    rgb_q, sigma_q = baked_query(baked, bcfg, jnp.asarray(pts),
+                                 jnp.asarray(dirs))
+    sigma_true = 0.3 * pts[:, 0] + 0.5 * pts[:, 1] - 0.2 * pts[:, 2] + 1.0
+    rgb_true = np.stack([
+        0.2 + 0.1 * pts[:, 0], np.full(256, 0.5, np.float32),
+        0.7 - 0.1 * pts[:, 2],
+    ], -1)
+    np.testing.assert_allclose(sigma_q, sigma_true, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(rgb_q, np.clip(rgb_true, 0, 1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def _tiny_scene(seed=0):
+    cents = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.2, c + 1.2]) for c in cents])
+    st = ContainerStatics(cents, boxes,
+                          jnp.asarray([[-2.5, -2.5, -2.5], [2.5, 2.5, 2.5]]))
+    expert = NGPConfig(hidden=8, sigma_depth=1, color_hidden=8, color_depth=1,
+                       geo_feat_dim=3,
+                       hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                           log2_hashmap_size=8))
+    cfg = ContainerConfig(num_experts=2, expert=expert, boundary_margin=1.1,
+                          bg_hidden=8)
+    params = init_container_params(jax.random.PRNGKey(seed), cfg)
+    return cfg, st, params
+
+
+def _rays(rng, n):
+    o = np.tile([0.0, 0.0, 3.0], (n, 1)).astype(np.float32)
+    o[:, :2] += rng.normal(scale=0.2, size=(n, 2))
+    d = np.zeros((n, 3), np.float32)
+    d[:, 2] = -1.0
+    d[:, :2] = rng.normal(scale=0.3, size=(n, 2))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile([0.5, 6.0], (n, 1)).astype(np.float32)
+    return jnp.asarray(np.concatenate([o, d, nf], 1))
+
+
+def test_bake_then_render_tracks_live_field():
+    cfg, st, params = _tiny_scene()
+    bcfg = BakedConfig(resolution=40, sh_levels=3, n_dirs=16,
+                       chunk_cells=16384, dtype="float32")
+    baked = bake_field(params, cfg, st, bcfg)
+    assert baked["table"].shape == (40**3, 2 * bcfg.channels)
+
+    rng = np.random.default_rng(2)
+    rays = _rays(rng, 128)
+    rgb_b, depth_b, _, acc_b = render_rays_baked(
+        baked, bcfg, rays, 24, bg_policy="white",
+        bg_fn=container_bg_fn(params, cfg),
+    )
+    field = container_field_fn(params, cfg, st)
+    rgb_l, depth_l, _, acc_l = render_rays_stratified(
+        field, rays, 24, bg_policy="white",
+        bg_fn=container_bg_fn(params, cfg),
+    )
+    err = np.abs(np.asarray(rgb_b) - np.asarray(rgb_l))
+    # resolution-limited approximation: the hash field varies at min_res
+    # 4-8 over a 5-unit box, the bake at 40³ — close, not exact
+    assert err.mean() < 0.05, err.mean()
+    assert np.isfinite(np.asarray(depth_b)).all()
+    assert (np.abs(np.asarray(acc_b) - np.asarray(acc_l)) < 0.25).mean() > 0.9
+
+
+def test_baked_chunk_renderer_is_dispatch_compatible():
+    from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
+
+    cfg, st, params = _tiny_scene()
+    bcfg = BakedConfig(resolution=16, sh_levels=2, n_dirs=8,
+                       chunk_cells=4096, dtype="float32")
+    baked = bake_field(params, cfg, st, bcfg)
+    r = make_baked_chunk_renderer(baked, bcfg, cfg, ray_samples=16)
+
+    rng = np.random.default_rng(3)
+    rays = np.array(_rays(rng, 100), np.float32)  # writable copy
+    rays[::7] = 0.0  # invalid padding rays must stay finite
+    out = render_rays_chunked(r, params, st, rays, 64)
+    assert out.shape == (100, 5)
+    assert np.isfinite(out).all()
+
+    rgb_d, depth_d, _, acc_d = render_rays_baked(
+        baked, bcfg, jnp.asarray(rays), 16, bg_policy="white",
+        bg_fn=container_bg_fn(params, cfg),
+    )
+    np.testing.assert_allclose(out[:, 0:3], np.asarray(rgb_d), rtol=1e-5,
+                               atol=1e-5)

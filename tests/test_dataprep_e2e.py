@@ -330,3 +330,12 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     r_et = eval_occ(["--render_early_stop", "1e-4"], "it_occ_eval_et")
     np.testing.assert_allclose(r_et[0]["psnr"], r_single[0]["psnr"],
                                atol=0.05)
+
+    # ---- baked snapshot rendering through the CLI (--render_baked):
+    # Phase B resamples the field into an SH grid; approximate by design
+    # (resolution-limited), so assert it runs and lands in the live
+    # render's neighborhood rather than matching it ----
+    r_baked = eval_occ(["--render_baked", "24", "--render_baked_sh", "2"],
+                       "it_occ_eval_baked")
+    assert np.isfinite(r_baked[0]["psnr"])
+    assert abs(r_baked[0]["psnr"] - r_single[0]["psnr"]) < 6.0
