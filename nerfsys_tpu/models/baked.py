@@ -58,6 +58,15 @@ class BakedConfig:
     dtype: str = "bfloat16"  # table dtype (payload bandwidth, not accuracy-
     # critical: compositing runs in f32 after the gather)
 
+    def __post_init__(self):
+        if int(self.n_dirs) < self.n_bases:
+            raise ValueError(
+                f"BakedConfig: n_dirs={self.n_dirs} < n_bases="
+                f"{self.n_bases} (sh_levels={self.sh_levels}) makes the SH "
+                "least-squares projection YᵀY singular — raise n_dirs to at "
+                "least sh_levels², or lower sh_levels."
+            )
+
     @property
     def n_bases(self) -> int:
         return int(self.sh_levels) ** 2

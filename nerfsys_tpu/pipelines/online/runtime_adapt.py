@@ -359,9 +359,9 @@ class EarlyStopOccRenderer:
       full            — the one-shot UNPACKED program (exactness tests /
                         direct callers; never used by the ET dispatch).
 
-    Outputs are approximate by at most `eps` per channel (the dropped tail
-    radiance and the background-weight shift are both bounded by the carried
-    transmittance). Not built for bucketed MoE (capacity assignment depends
+    Outputs are approximate by at most `2*eps` per channel: the dropped tail
+    radiance and the background-weight shift are EACH bounded by the carried
+    transmittance (<= eps), and a terminated ray pays both. Not built for bucketed MoE (capacity assignment depends
     on chunk composition — same reason two-wave packing is disabled there)
     or for sharded meshes (host compaction vs chunk-divisibility contract).
     """
@@ -544,7 +544,8 @@ def make_chunk_renderer(
     use_bg_fn: bool = True,  # False: ignore the learned bg MLP (video op)
     fog_stats: bool = False,  # append per-ray (wmax, entropy) haze signals
     early_stop_eps: float = 0.0,  # > 0: early ray termination (nerfacc
-    # early_stop_eps parity) — outputs approximate within eps per channel
+    # early_stop_eps parity) — outputs approximate within 2*eps per channel
+    # (tail radiance <= eps dropped AND background weight shifted <= eps)
     early_stop_seg: int = 0,  # first-segment samples (0 = ray_samples // 4)
     sigma_scale: float = 1.0,  # density multiplier (perf harness knob)
 ):
@@ -753,6 +754,10 @@ def make_chunk_renderer(
                 # accumulated transmittance
                 return et_builder(None, None)
     else:
+        if float(early_stop_eps) > 0.0:
+            print("[render] early_stop_eps ignored: early ray termination "
+                  "exists on the occupancy path only (checkpoint has no "
+                  "occ state / --use_occ off)")
         probe_fn = None
         def render_fn(params, statics, rays):
             field = container_field_fn(params, cfg, statics, active_expert)
@@ -1213,14 +1218,23 @@ def runtime_evaluate(
         # serving mode: resample the (adapted) field into a baked SH grid
         # once, then frames cost only trilinear grid lookups (models/baked).
         # Re-baked per TTO setting because adaptation changes the field.
+        if mesh is not None:
+            log("  [baked] NOTE: --render_baked renders single-device; "
+                "--mesh_shape is ignored for Phase-B rendering")
+        if float(render_early_stop) > 0.0:
+            log("  [baked] NOTE: --render_early_stop is ignored with "
+                "--render_baked (the baked render has no occ/ET path)")
         from nerfsys_tpu.models.baked import (
             BakedConfig,
             bake_field,
             make_baked_chunk_renderer,
         )
 
+        # n_dirs scales with the basis count so the SH least-squares
+        # projection stays overdetermined at any --render_baked_sh
         bcfg = BakedConfig(resolution=int(render_baked_res),
-                           sh_levels=int(render_baked_sh))
+                           sh_levels=int(render_baked_sh),
+                           n_dirs=max(32, 2 * int(render_baked_sh) ** 2))
         tb = time.time()
         baked = bake_field(params, cfg, statics, bcfg)
         jax.block_until_ready(baked["table"])

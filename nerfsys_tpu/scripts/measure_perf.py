@@ -345,8 +345,12 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     dt = (time.perf_counter() - t0) / iters
 
     dt_full = None
-    if (two_wave and sky > 0.0) or early_stop > 0.0:
-        # same frame through the one-shot program: the skip's denominator
+    if ((two_wave and sky > 0.0) or early_stop > 0.0) and hasattr(
+        renderer, "full"
+    ):
+        # same frame through the one-shot program: the skip's denominator.
+        # (--early_stop without --use_occ leaves a bare jitted renderer with
+        # no .full/.probe split — nothing to compare against, skip it.)
         plain = renderer.full
 
         def frame_full():

@@ -145,8 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "samples once transmittance < eps (reference parity: "
                         "nerfacc sampling defaults early_stop_eps=1e-4, "
                         "meta_ngp.py:430-443). Outputs approximate within "
-                        "eps/channel. 0 = off. Occ renders only; ignored "
-                        "for bucketed routing and sharded meshes")
+                        "2*eps/channel (dropped tail radiance <= eps plus "
+                        "shifted background weight <= eps). 0 = off. Occ "
+                        "renders only; ignored for bucketed routing and "
+                        "sharded meshes")
     p.add_argument("--render_fast", action="store_true",
                    help="preset for the measured fastest render config "
                         "(eval/video/view): top-1 bucketed expert routing + "
