@@ -129,6 +129,7 @@ def bake_field(
     centers = (lo[None, :]
                + jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * h[None, :])
 
+    @jax.jit
     def eval_chunk(pts):  # (c, 3) -> (c, C) f32
         n = pts.shape[0]
 
@@ -148,15 +149,24 @@ def bake_field(
     pts_all = centers
     if pad:
         pts_all = jnp.concatenate([pts_all, jnp.zeros((pad, 3))], 0)
-    vals = jax.lax.map(eval_chunk, pts_all.reshape(-1, chunk, 3))
-    vals = vals.reshape(-1, C)[:n_cells]  # (R³, C) f32
+    pts_all = pts_all.reshape(-1, chunk, 3)
+
+    # HOST loop over chunks, one bounded jitted program per chunk, forced
+    # to completion via the host transfer (np.asarray): a single fused
+    # R³ x n_dirs program runs minutes on-device, and long/dangling
+    # executions crash the axon TPU worker (CLAUDE.md). The transfer also
+    # IS the sync — block_until_ready does not block under axon.
+    vals_np = np.empty((pts_all.shape[0] * chunk, C), np.float32)
+    for i in range(pts_all.shape[0]):
+        vals_np[i * chunk:(i + 1) * chunk] = np.asarray(eval_chunk(pts_all[i]))
+    vals = vals_np[:n_cells]  # (R³, C) f32
 
     # overlapping z-pairs: row z carries [cell z, cell z+1 (clamped)]
     g = vals.reshape(R, R, R, C)
-    g_next = jnp.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
-    table = jnp.concatenate([g, g_next], axis=-1).reshape(n_cells, 2 * C)
+    g_next = np.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
+    table = np.concatenate([g, g_next], axis=-1).reshape(n_cells, 2 * C)
     return {
-        "table": table.astype(jnp.dtype(bcfg.dtype)),
+        "table": jnp.asarray(table, dtype=jnp.dtype(bcfg.dtype)),
         "aabb": jnp.stack([lo, hi]).astype(jnp.float32),
     }
 
@@ -259,13 +269,20 @@ def make_baked_chunk_renderer(
     render_rays_chunked: (params, statics, rays (C,8)) -> (rgb, depth, acc).
 
     params is consulted only for the learned background MLP (the baked grid
-    replaces the field itself)."""
+    replaces the field itself).
 
-    def render_fn(params, statics, rays):
+    The table is threaded as a jit ARGUMENT, never a closure constant: a
+    closed-over device array is inlined into the HLO module as a literal,
+    and a 256³ SH-3 table is ~2 GB — the axon remote-compile request then
+    exceeds the body limit (HTTP 413, measured)."""
+
+    def render_fn(baked_arg, params, statics, rays):
         bg_fn = container_bg_fn(params, cfg) if use_bg_fn else None
         rgb, depth, _, acc = render_rays_baked(
-            baked, bcfg, rays, ray_samples, bg_policy=bg_policy, bg_fn=bg_fn,
+            baked_arg, bcfg, rays, ray_samples, bg_policy=bg_policy,
+            bg_fn=bg_fn,
         )
         return rgb, depth, acc
 
-    return jax.jit(render_fn)
+    jitted = jax.jit(render_fn)
+    return lambda params, statics, rays: jitted(baked, params, statics, rays)

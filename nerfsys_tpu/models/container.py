@@ -68,6 +68,14 @@ class ContainerConfig:
     bucketed: bool = False
     experts_per_point: int = 2
     capacity_factor: float = 1.5
+    # When a bucket overflows (spatially COHERENT point sets — e.g. a render
+    # chunk whose rays all cross one expert's region — concentrate up to N
+    # points on one expert while C is only ~N*E/K*cf), fall back to the
+    # dense all-experts blend for that call via lax.cond instead of silently
+    # dropping overflow pairs to the trash slot (sigma 0 — measured -3.5 dB
+    # on real-scene renders, BASELINE.md). Both branches compile; only the
+    # taken one executes, so balanced workloads keep the bucketed speed.
+    bucket_overflow_dense: bool = True
     # Evaluate the stacked expert axis with lax.map (serial single-expert
     # programs) instead of vmap. Same trade as MetaConfig.expert_map:
     # batched table gathers under vmap fall off the TPU fast path, so on
@@ -288,44 +296,68 @@ def _bucketed_eval(
     trash = K * C
     dest = jnp.where(keep, k_flat * C + slot, trash)
 
-    buf_idx = jnp.zeros(K * C + 1, jnp.int32).at[dest].set(n_flat)
-    bucket_rows = buf_idx[:trash].reshape(K, C)
+    def bucketed_branch(_):
+        buf_idx = jnp.zeros(K * C + 1, jnp.int32).at[dest].set(n_flat)
+        bucket_rows = buf_idx[:trash].reshape(K, C)
 
-    over = over_experts(cfg)
-    if dirs is None:
-        pts_b = pts[bucket_rows]  # (K, C, 3)
-        sigma_b = over(
-            lambda pbx: density_fn(pbx[0], cfg.expert, pbx[1], pbx[2]),
-            (params["experts"], statics.expert_aabbs, pts_b),
-        )  # (K, C)
-        rgb_flat = None
-    else:
-        # one 6-wide row gather instead of separate pts/dirs gathers —
-        # gathers are transaction-rate bound, row width is free
-        pd_b = jnp.concatenate([pts, dirs], axis=1)[bucket_rows]  # (K,C,6)
-        rgb_b, sigma_b = over(
-            lambda pbx: apply_fn(pbx[0], cfg.expert, pbx[1],
-                                 pbx[2][:, 0:3], pbx[2][:, 3:6]),
-            (params["experts"], statics.expert_aabbs, pd_b),
+        over = over_experts(cfg)
+        if dirs is None:
+            pts_b = pts[bucket_rows]  # (K, C, 3)
+            sigma_b = over(
+                lambda pbx: density_fn(pbx[0], cfg.expert, pbx[1], pbx[2]),
+                (params["experts"], statics.expert_aabbs, pts_b),
+            )  # (K, C)
+            rgb_flat = None
+        else:
+            # one 6-wide row gather instead of separate pts/dirs gathers —
+            # gathers are transaction-rate bound, row width is free
+            pd_b = jnp.concatenate([pts, dirs], axis=1)[bucket_rows]  # (K,C,6)
+            rgb_b, sigma_b = over(
+                lambda pbx: apply_fn(pbx[0], cfg.expert, pbx[1],
+                                     pbx[2][:, 0:3], pbx[2][:, 3:6]),
+                (params["experts"], statics.expert_aabbs, pd_b),
+            )
+            rgb_flat = jnp.concatenate(
+                [rgb_b.reshape(-1, 3), jnp.zeros((1, 3), rgb_b.dtype)], axis=0
+            )
+        sigma_flat = jnp.concatenate(
+            [sigma_b.reshape(-1), jnp.zeros((1,), sigma_b.dtype)], axis=0
         )
-        rgb_flat = jnp.concatenate(
-            [rgb_b.reshape(-1, 3), jnp.zeros((1, 3), rgb_b.dtype)], axis=0
-        )
-    sigma_flat = jnp.concatenate(
-        [sigma_b.reshape(-1), jnp.zeros((1,), sigma_b.dtype)], axis=0
-    )
 
-    # n_flat is repeat(arange(N), E): each point's E pair slots are
-    # contiguous, so the blend is a reshape-sum — never a scatter-add
-    # (duplicate-row scatter-adds serialize on TPU; CLAUDE.md)
-    wk = jnp.where(keep, w_flat, 0.0)
-    sigma = jnp.sum((wk * sigma_flat[dest]).reshape(N, E), axis=1)
-    if rgb_flat is None:
-        return None, sigma.astype(pts.dtype)
-    rgb = jnp.sum(
-        (wk[:, None] * rgb_flat[dest]).reshape(N, E, 3), axis=1
-    )
-    return rgb.astype(pts.dtype), sigma.astype(pts.dtype)
+        # n_flat is repeat(arange(N), E): each point's E pair slots are
+        # contiguous, so the blend is a reshape-sum — never a scatter-add
+        # (duplicate-row scatter-adds serialize on TPU; CLAUDE.md)
+        wk = jnp.where(keep, w_flat, 0.0)
+        sigma = jnp.sum((wk * sigma_flat[dest]).reshape(N, E), axis=1)
+        if rgb_flat is None:
+            return sigma.astype(pts.dtype)
+        rgb = jnp.sum(
+            (wk[:, None] * rgb_flat[dest]).reshape(N, E, 3), axis=1
+        )
+        return rgb.astype(pts.dtype), sigma.astype(pts.dtype)
+
+    if not cfg.bucket_overflow_dense:
+        out = bucketed_branch(None)
+        return (None, out) if dirs is None else out
+
+    def dense_branch(_):
+        rgb_k, sigma_k = _eval_all_experts(params, cfg, statics, pts, dirs)
+        wd = routing_weights(statics, cfg, pts)  # (N, K)
+        sigma = jnp.sum(wd.T * sigma_k, axis=0).astype(pts.dtype)
+        if dirs is None:
+            return sigma
+        rgb = jnp.einsum("nk,knc->nc", wd, rgb_k).astype(pts.dtype)
+        return rgb, sigma
+
+    # overflow detection: per-expert demand vs capacity. Coherent point
+    # sets route (almost) everything to one expert; dropping the overflow
+    # is silently wrong, so take the exact dense blend instead. The dense
+    # branch also restores the full margin support set (top-E truncation),
+    # so an overflowing call is exact, not just less wrong.
+    counts = jnp.sum(onehot, axis=0)  # (K,)
+    overflow = jnp.any(counts > C)
+    out = jax.lax.cond(overflow, dense_branch, bucketed_branch, None)
+    return (None, out) if dirs is None else out
 
 
 # ------------------------------- public API ----------------------------------

@@ -124,6 +124,7 @@ def optim_config_from_args(P) -> OptimConfig:
         use_scheduler=not P.no_scheduler,
         decay_factor=P.decay_factor,
         outer_steps=P.outer_steps,
+        weight_decay=getattr(P, "weight_decay", 0.0),
     )
 
 

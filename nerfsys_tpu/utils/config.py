@@ -261,6 +261,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--no_scheduler", action="store_true")
     p.add_argument("--decay_factor", type=float, default=10)
+    # reference get_optimizer reads getattr(P, "weight_decay", 0.0)
+    # (common/utils.py:20,54-70); surfaced as a real flag here
+    p.add_argument("--weight_decay", type=float, default=0.0)
 
     # --- meta training
     p.add_argument("--algo", type=str, default="fomaml",

@@ -54,12 +54,19 @@ def _lr_schedule(cfg: OptimConfig, init_lr: float):
 
 def _group_optimizer(cfg: OptimConfig, lr) -> optax.GradientTransformation:
     name = cfg.optimizer.lower()
+    # torch Adam/SGD treat weight_decay as L2 added to the gradient BEFORE
+    # the moment updates (the reference passes it to both,
+    # common/utils.py:54-70) — optax.add_decayed_weights before the
+    # optimizer reproduces that; adamw keeps its decoupled form.
+    l2 = (optax.add_decayed_weights(cfg.weight_decay)
+          if cfg.weight_decay else optax.identity())
     if name == "adam":
-        return optax.adam(learning_rate=lr)
+        return optax.chain(l2, optax.adam(learning_rate=lr))
     if name == "adamw":
         return optax.adamw(learning_rate=lr, weight_decay=cfg.weight_decay)
     if name == "sgd":
-        return optax.sgd(learning_rate=lr, momentum=cfg.momentum)
+        return optax.chain(l2, optax.sgd(learning_rate=lr,
+                                         momentum=cfg.momentum))
     raise ValueError(f"Unknown optimizer: {cfg.optimizer}")
 
 

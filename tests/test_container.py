@@ -262,16 +262,55 @@ def test_bucketed_jits_and_grads():
     assert np.isfinite(total) and total > 0
 
 
-def test_bucketed_overflow_drops_lowest_rank_only():
-    """With capacity 1 point per expert, output stays finite and the kept
-    pairs still blend correctly (trash slot swallows overflow)."""
+def test_bucketed_overflow_takes_dense_branch():
+    """Overflowing buckets trigger the exact dense fallback (default):
+    output matches the dense blend bit-for-bit even at capacity ~1."""
+    import dataclasses as _dc
+
     st, dense, bucketed, params = _bucket_setup(2, 1.0, capacity_factor=0.01)
     pts = jnp.asarray(np.random.default_rng(3).uniform(-2, 2, (300, 3)),
                       jnp.float32)
     dirs = jnp.ones((300, 3), jnp.float32)
-    rgb, sig = container_apply(params, bucketed, st, pts, dirs)
-    assert np.isfinite(np.asarray(rgb)).all()
-    assert np.isfinite(np.asarray(sig)).all()
+    rgb_b, sig_b = container_apply(params, bucketed, st, pts, dirs)
+    rgb_d, sig_d = container_apply(params, dense, st, pts, dirs)
+    np.testing.assert_allclose(np.asarray(rgb_b), np.asarray(rgb_d),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sig_b), np.asarray(sig_d),
+                               atol=1e-6)
+    # legacy trash-slot behavior stays available (and finite) when the
+    # fallback is disabled explicitly
+    legacy = _dc.replace(bucketed, bucket_overflow_dense=False)
+    rgb_l, sig_l = container_apply(params, legacy, st, pts, dirs)
+    assert np.isfinite(np.asarray(rgb_l)).all()
+    assert np.isfinite(np.asarray(sig_l)).all()
+
+
+def test_bucketed_coherent_chunk_matches_dense():
+    """The --render_fast regression (BASELINE.md, -3.5 dB): a spatially
+    COHERENT point set (every point in ONE expert's region — exactly what a
+    render chunk looks like) overflows the top-1 bucket (C ~ N*E/K*cf << N)
+    and used to drop ~60% of points to the sigma=0 trash slot. The dense
+    fallback must make this exact."""
+    import dataclasses as _dc
+
+    st, dense, bucketed, params = _bucket_setup(4, 1.0, capacity_factor=1.5)
+    top1 = _dc.replace(bucketed, experts_per_point=1)
+    rng = np.random.default_rng(7)
+    # all points in expert 0's neighborhood
+    c0 = np.asarray(st.centroids)[0]
+    pts = jnp.asarray(c0[None, :] + rng.uniform(-0.4, 0.4, (512, 3)),
+                      jnp.float32)
+    dirs = jnp.asarray(rng.normal(size=(512, 3)), jnp.float32)
+    rgb_b, sig_b = container_apply(params, top1, st, pts, dirs)
+    rgb_d, sig_d = container_apply(params, dense, st, pts, dirs)
+    np.testing.assert_allclose(np.asarray(sig_b), np.asarray(sig_d),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_b), np.asarray(rgb_d),
+                               atol=1e-5, rtol=1e-5)
+    sb = container_density(params, top1, st, pts)
+    sd = container_density(params, dense, st, pts)
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sd),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_bucketed_flags_reach_container_config():

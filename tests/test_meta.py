@@ -431,3 +431,33 @@ def test_trainer_metric_lag_equivalent(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # all three steps' losses reported under both modes, same values
     assert logs0 == logs1 and len(logs0) == 1  # step 0 prints (step%50==0)
+
+
+def test_weight_decay_l2_coupled():
+    """--weight_decay is L2 added to the gradient BEFORE the moment updates
+    for adam/sgd (the reference passes weight_decay straight to torch
+    Adam/SGD, common/utils.py:54-70): under ZERO gradients, wd>0 must
+    shrink weights, wd=0 must leave them untouched."""
+    import dataclasses
+    import optax
+
+    params = init_container_params(jax.random.PRNGKey(0), CFG)
+    labels = param_group_labels(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    for name in ("adam", "sgd"):
+        cfg = OptimConfig(optimizer=name, weight_decay=1e-2,
+                          use_scheduler=False, grad_clip=None)
+        tx = build_optimizer(cfg, labels)
+        upd, _ = tx.update(zeros, tx.init(params), params)
+        new = optax.apply_updates(params, upd)
+        w0 = np.abs(np.asarray(params["experts"]["sigma_head"]["w"]))
+        w1 = np.abs(np.asarray(new["experts"]["sigma_head"]["w"]))
+        assert (w1 <= w0 + 1e-12).all() and (w1 < w0 - 1e-9).any(), name
+
+        cfg0 = dataclasses.replace(cfg, weight_decay=0.0)
+        tx0 = build_optimizer(cfg0, labels)
+        upd0, _ = tx0.update(zeros, tx0.init(params), params)
+        new0 = optax.apply_updates(params, upd0)
+        np.testing.assert_array_equal(
+            np.asarray(new0["experts"]["sigma_head"]["w"]),
+            np.asarray(params["experts"]["sigma_head"]["w"]))
