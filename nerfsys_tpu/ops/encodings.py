@@ -145,6 +145,14 @@ class HashGridConfig:
     # TPU fast path: one uint32 gather per corner carrying both bf16 features
     # (tcnn-fp16-equivalent precision; ~2x fewer gathers). F must be 2.
     packed: bool = False
+    # tiny-cuda-nn GridEncoding layout compatibility (for checkpoints the
+    # reference trained with implementation="tcnn", encodings.py:229-251):
+    # per-level scale = min_res * growth^l - 1 with the 0.5 sample offset,
+    # resolution = ceil(scale) + 1, and COARSE levels (res^3 <= 2^S) indexed
+    # DENSELY (x + y*res + z*res^2) instead of hashed — exactly tcnn
+    # grid.h::grid_index. Off (default) = the reference's torch-fallback
+    # layout: floor(min_res * growth^l) scaling, every level hashed.
+    tcnn_layout: bool = False
 
     @property
     def table_size(self) -> int:
@@ -162,10 +170,36 @@ class HashGridConfig:
             (math.log(self.max_res) - math.log(self.min_res)) / (self.levels - 1)
         )
 
+    def level_scales(self) -> np.ndarray:
+        """Float per-level sampling scales (what x in [0,1] multiplies).
+
+        floor layout: the integer resolution itself (reference fallback,
+        encodings.py:331-381). tcnn layout: min_res * growth^l - 1 in f32,
+        mirroring tcnn grid.h::grid_scale (exp2f of the level-scaled log)."""
+        ls = np.arange(self.levels, dtype=np.float32)
+        if self.tcnn_layout:
+            g = np.float32(math.log2(self.growth_factor))
+            return (np.exp2(ls * g, dtype=np.float32)
+                    * np.float32(self.min_res) - np.float32(1.0))
+        return np.floor(
+            self.min_res * (self.growth_factor**ls)
+        ).astype(np.float32)
+
     def level_resolutions(self) -> np.ndarray:
-        """Integer per-level resolutions, floor(min_res * growth^l)."""
+        """Integer per-level vertex-lattice resolutions."""
+        if self.tcnn_layout:
+            # tcnn grid.h::grid_resolution: ceil(scale) + 1
+            return (np.ceil(self.level_scales()) + 1).astype(np.int32)
         ls = np.arange(self.levels, dtype=np.float32)
         return np.floor(self.min_res * (self.growth_factor**ls)).astype(np.int32)
+
+    def level_dense_mask(self) -> np.ndarray:
+        """(L,) bool: levels stored densely (tcnn layout only) — a level is
+        dense iff its full lattice fits the hash table (res^3 <= 2^S)."""
+        if not self.tcnn_layout:
+            return np.zeros(self.levels, bool)
+        res = self.level_resolutions().astype(np.int64)
+        return (res**3) <= np.int64(self.table_size)
 
 
 def hash_grid_init(key: jax.Array, cfg: HashGridConfig, dtype=jnp.float32) -> Array:
@@ -191,6 +225,34 @@ def _hash3(ix: Array, iy: Array, iz: Array, log2_size: int) -> Array:
     return (h & jnp.uint32(2**log2_size - 1)).astype(jnp.int32)
 
 
+def _grid_index3(ix: Array, iy: Array, iz: Array, cfg: HashGridConfig) -> Array:
+    """Slab-relative row index for integer lattice coords with a trailing
+    level axis broadcastable against (L,). floor layout hashes every level;
+    tcnn layout indexes dense coarse levels linearly (x fastest — the
+    dim-major stride accumulation of tcnn grid.h::grid_index) and hashes the
+    rest with the same primes mod 2^S."""
+    h = _hash3(ix, iy, iz, cfg.log2_hashmap_size)
+    if not cfg.tcnn_layout:
+        return h
+    res = jnp.asarray(cfg.level_resolutions(), jnp.int32)  # (L,)
+    dense = jnp.asarray(cfg.level_dense_mask())  # (L,)
+    lin = ix + iy * res + iz * res * res
+    return jnp.where(dense, lin, h)
+
+
+def tcnn_param_layout(cfg: HashGridConfig):
+    """Per-level (rows_used, padded_size, offset) of a tcnn GridEncoding
+    param blob (offsets in ENTRIES, not floats): params_in_level =
+    next_multiple(min(res^3, 2^S), 8), accumulated level-major. Used by the
+    checkpoint importer; requires cfg.tcnn_layout."""
+    assert cfg.tcnn_layout, "tcnn_param_layout needs tcnn_layout resolutions"
+    res = cfg.level_resolutions().astype(np.int64)
+    rows = np.minimum(res**3, np.int64(cfg.table_size))
+    padded = -(-rows // 8) * 8
+    offsets = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    return rows, padded, offsets
+
+
 def hash_grid_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
     """Encode points in [0,1]^3 -> (..., levels * features_per_level).
 
@@ -200,13 +262,19 @@ def hash_grid_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
     """
     assert x01.shape[-1] == 3
     L, F = cfg.levels, cfg.features_per_level
-    res = jnp.asarray(cfg.level_resolutions(), dtype=x01.dtype)  # (L,)
+    scale = jnp.asarray(cfg.level_scales(), dtype=x01.dtype)  # (L,)
     level_offsets = (jnp.arange(L, dtype=jnp.int32) * cfg.table_size)  # (L,)
 
-    scaled = x01[..., None, :] * res[:, None]  # (..., L, 3)
+    scaled = x01[..., None, :] * scale[:, None]  # (..., L, 3)
+    if cfg.tcnn_layout:
+        scaled = scaled + 0.5  # tcnn grid.h: pos = fma(scale, x, 0.5)
 
     mode = cfg.interpolation or "Linear"
     if mode == "Nearest":
+        if cfg.tcnn_layout:
+            raise NotImplementedError(
+                "Nearest interpolation is not supported with tcnn_layout"
+            )
         idx = jnp.round(scaled).astype(jnp.int32)
         h = _hash3(idx[..., 0], idx[..., 1], idx[..., 2], cfg.log2_hashmap_size)
         feats = jnp.take(table, h + level_offsets, axis=0)  # (..., L, F)
@@ -216,9 +284,15 @@ def hash_grid_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
     frac = scaled - floor
     fl = floor.astype(jnp.int32)
     ce = fl + 1
+    if cfg.tcnn_layout:
+        # keep corners on the lattice so dense linear indices stay in-level
+        # (tcnn assumes x in [0,1); identical for such inputs)
+        res_i = jnp.asarray(cfg.level_resolutions(), jnp.int32)  # (L,)
+        fl = jnp.clip(fl, 0, res_i[:, None] - 1)
+        ce = jnp.clip(ce, 0, res_i[:, None] - 1)
 
     def corner(cx, cy, cz):
-        h = _hash3(cx, cy, cz, cfg.log2_hashmap_size)
+        h = _grid_index3(cx, cy, cz, cfg)
         return jnp.take(table, h + level_offsets, axis=0)  # (..., L, F)
 
     f000 = corner(fl[..., 0], fl[..., 1], fl[..., 2])
@@ -333,28 +407,44 @@ def _encode_indices_weights(x01: Array, cfg: HashGridConfig):
     """Shared index/weight computation, (N, L*8) lane-aligned layouts."""
     L = cfg.levels
     x = x01.reshape(-1, 3).astype(jnp.float32)
-    res = jnp.asarray(cfg.level_resolutions(), dtype=jnp.float32)
+    scale = jnp.asarray(cfg.level_scales(), dtype=jnp.float32)
     level_offsets = (jnp.arange(L, dtype=jnp.uint32)
                      * jnp.uint32(cfg.table_size))
     mask = jnp.uint32(2**cfg.log2_hashmap_size - 1)
     mode = cfg.interpolation or "Linear"
+    tc = cfg.tcnn_layout
+    if tc:
+        res_i = jnp.asarray(cfg.level_resolutions(), jnp.int32)  # (L,)
+        dense = jnp.asarray(cfg.level_dense_mask())  # (L,)
 
-    hashed, fracs = [], []
+    coords, hashed, fracs = [], [], []
     for a in range(3):
-        s = x[:, a : a + 1] * res[None, :]
+        s = x[:, a : a + 1] * scale[None, :]
+        if tc:
+            s = s + 0.5  # tcnn grid.h: pos = fma(scale, x, 0.5)
         fl = jnp.floor(s)
         fr = s - fl
         if mode == "Smoothstep":
             fr = fr * fr * (3.0 - 2.0 * fr)
         fracs.append(fr)
-        i0 = fl.astype(jnp.int32).astype(jnp.uint32) * _HASH_PRIMES[a]
-        i1 = (fl.astype(jnp.int32) + 1).astype(jnp.uint32) * _HASH_PRIMES[a]
-        hashed.append((i0, i1))
+        c0 = fl.astype(jnp.int32)
+        c1 = c0 + 1
+        if tc:
+            c0 = jnp.clip(c0, 0, res_i[None, :] - 1)
+            c1 = jnp.clip(c1, 0, res_i[None, :] - 1)
+        coords.append((c0, c1))
+        hashed.append((c0.astype(jnp.uint32) * _HASH_PRIMES[a],
+                       c1.astype(jnp.uint32) * _HASH_PRIMES[a]))
 
     idx_cols, w_cols = [], []
     for bx, by, bz in _CORNERS:
         h = hashed[0][bx] ^ hashed[1][by] ^ hashed[2][bz]
-        idx_cols.append(((h & mask) + level_offsets).astype(jnp.int32))
+        rel = (h & mask).astype(jnp.int32)
+        if tc:
+            lin = (coords[0][bx] + coords[1][by] * res_i[None, :]
+                   + coords[2][bz] * res_i[None, :] * res_i[None, :])
+            rel = jnp.where(dense[None, :], lin, rel)
+        idx_cols.append(rel + level_offsets.astype(jnp.int32))
         wx = fracs[0] if bx else (1.0 - fracs[0])
         wy = fracs[1] if by else (1.0 - fracs[1])
         wz = fracs[2] if bz else (1.0 - fracs[2])

@@ -73,6 +73,7 @@ def container_config_from_args(P) -> ContainerConfig:
                 min_res=getattr(P, "high_min_res", 16),
                 interpolation=getattr(P, "interpolation", "Linear"),
                 packed=bool(getattr(P, "packed_gather", False)),
+                tcnn_layout=bool(getattr(P, "hash_tcnn_layout", False)),
             ),
             planes=PlaneEncodingConfig(
                 levels=P.plane_levels,

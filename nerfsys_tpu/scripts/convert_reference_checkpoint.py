@@ -35,10 +35,15 @@ Key mapping (names read from the reference sources, cited per block):
   separate `{tag}.occ` aux file here.
 
   tcnn-format checkpoints (`...xyz_encoder._tcnn_enc.params`, one flat
-  fp16 blob) are rejected with an explanation: tcnn stores coarse levels
-  DENSELY (per-level offset table) while this framework — like the
-  reference's own torch fallback — hashes every level, so a faithful
-  per-slot mapping does not exist for the dense levels.
+  fp16 blob, the reference's fast path — encodings.py:229-251) import
+  via the offset-table layout (tcnn_table_from_blob): hashed levels copy
+  1:1 (same prime-XOR hash mod 2^S); DENSE coarse levels land in the
+  first res³ rows of their slab and the converted checkpoint pins
+  hash_tcnn_layout=True (an ARCH key) so the encoder reproduces tcnn's
+  resolutions, 0.5-offset sampling, and dense linear indexing exactly.
+  Lossless up to the checkpoint's own fp16 quantization
+  (tests/test_tcnn_import.py pins feature parity against an independent
+  numpy simulator of the tcnn spec).
 
 Usage:
   python -m nerfsys_tpu.scripts.convert_reference_checkpoint \
@@ -68,34 +73,71 @@ def _linear(state: dict, prefix: str, used: set) -> dict:
     return {"w": _t(state[prefix + ".weight"]), "b": _v(state[prefix + ".bias"])}
 
 
+def tcnn_table_from_blob(blob: np.ndarray, hcfg) -> np.ndarray:
+    """tiny-cuda-nn GridEncoding param blob -> this framework's uniform
+    (levels * 2^S, F) table, for a HashGridConfig with tcnn_layout=True.
+
+    tcnn stores levels back to back with entry-major, feature-fastest rows
+    and per-level entry counts next_multiple(min(res^3, 2^S), 8)
+    (tcnn grid.h; the reference consumes this blob at encodings.py:229-251).
+    Hashed levels (res^3 > 2^S) copy 1:1 — the hash function and mod-2^S
+    are identical. Dense levels land in the first res^3 rows of their slab,
+    addressed linearly by the encoder's tcnn_layout mode; padding rows and
+    any trailing alignment are dropped. Lossless up to the checkpoint's own
+    fp16 quantization."""
+    from nerfsys_tpu.ops.encodings import tcnn_param_layout
+
+    L, F, T = hcfg.levels, hcfg.features_per_level, hcfg.table_size
+    rows, padded, offsets = tcnn_param_layout(hcfg)
+    total = int((padded).sum()) * F
+    blob = np.asarray(blob, np.float32).reshape(-1)
+    if blob.size != total:
+        raise ValueError(
+            f"tcnn param blob has {blob.size} floats; the checkpoint config "
+            f"(levels={L}, F={F}, 2^{hcfg.log2_hashmap_size}, "
+            f"min_res={hcfg.min_res}, max_res={hcfg.max_res}) implies "
+            f"{total} — ARCH keys out of sync"
+        )
+    table = np.zeros((L * T, F), np.float32)
+    for lv in range(L):
+        n = int(rows[lv])
+        chunk = blob[int(offsets[lv]) * F : (int(offsets[lv]) + n) * F]
+        table[lv * T : lv * T + n] = chunk.reshape(n, F)
+    return table
+
+
 def _expert_from_state(state: dict, k: int, cfg, used: set) -> dict:
     pfx = f"submodules.{k}."
-    if pfx + "xyz_encoder._tcnn_enc.params" in state:
-        raise NotImplementedError(
-            "this checkpoint's hash tables are in tiny-cuda-nn's packed "
-            "format, which stores coarse levels densely (offset table) — "
-            "there is no faithful per-slot mapping onto the hashed-all-"
-            "levels layout this framework (and the reference's own torch "
-            "fallback) uses. Re-save the reference checkpoint with "
-            "implementation='torch' encoders, then convert."
-        )
     from nerfsys_tpu.models.container import ContainerConfig
 
     assert isinstance(cfg, ContainerConfig)
     ecfg = cfg.expert
     p: dict = {}
     if cfg.nerf_variant == "instant":
-        key = pfx + "xyz_encoder.hash_table"
-        tab = _v(state[key])
-        used.add(key)
-        want = (ecfg.hash.table_size * ecfg.hash.levels,
-                ecfg.hash.features_per_level)
-        if tab.shape != want:
-            raise ValueError(
-                f"hash table shape {tab.shape} != {want} expected from the "
-                f"checkpoint config — ARCH keys out of sync"
-            )
-        p["hash_table"] = tab
+        tcnn_key = pfx + "xyz_encoder._tcnn_enc.params"
+        if tcnn_key in state:
+            if not ecfg.hash.tcnn_layout:
+                raise ValueError(
+                    "checkpoint stores tcnn-format hash tables but the "
+                    "config was built without hash_tcnn_layout — convert() "
+                    "sets it automatically; set it when calling "
+                    "reference_state_to_params directly"
+                )
+            p["hash_table"] = tcnn_table_from_blob(_v(state[tcnn_key]),
+                                                   ecfg.hash)
+            used.add(tcnn_key)
+        else:
+            key = pfx + "xyz_encoder.hash_table"
+            tab = _v(state[key])
+            used.add(key)
+            want = (ecfg.hash.table_size * ecfg.hash.levels,
+                    ecfg.hash.features_per_level)
+            if tab.shape != want:
+                raise ValueError(
+                    f"hash table shape {tab.shape} != {want} expected from "
+                    f"the checkpoint config — ARCH keys out of sync"
+                )
+            p["hash_table"] = tab
         p["sigma_trunk"] = [
             _linear(state, pfx + f"sigma_trunk.{i}.linear", used)
             for i in range(ecfg.sigma_depth)
@@ -178,7 +220,24 @@ def params_to_reference_state(params: dict, cfg, statics=None) -> dict:
         ek = tree_util.tree_map(lambda x: np.asarray(x[k]), experts)
         p = f"submodules.{k}."
         if cfg.nerf_variant == "instant":
-            state[p + "xyz_encoder.hash_table"] = v(ek["hash_table"])
+            if cfg.expert.hash.tcnn_layout:
+                # inverse of tcnn_table_from_blob: slab rows -> fp16 blob
+                # with tcnn's 8-entry level alignment (padding zeros)
+                from nerfsys_tpu.ops.encodings import tcnn_param_layout
+
+                hcfg = cfg.expert.hash
+                rows, padded, offsets = tcnn_param_layout(hcfg)
+                F, T = hcfg.features_per_level, hcfg.table_size
+                blob = np.zeros((int(padded.sum()), F), np.float32)
+                tab = np.asarray(ek["hash_table"], np.float32)
+                for lv in range(hcfg.levels):
+                    o, n = int(offsets[lv]), int(rows[lv])
+                    blob[o : o + n] = tab[lv * T : lv * T + n]
+                state[p + "xyz_encoder._tcnn_enc.params"] = torch.tensor(
+                    blob.reshape(-1)
+                ).to(torch.float16)
+            else:
+                state[p + "xyz_encoder.hash_table"] = v(ek["hash_table"])
             for i, lin in enumerate(ek["sigma_trunk"]):
                 state[p + f"sigma_trunk.{i}.linear.weight"] = w(lin["w"])
                 state[p + f"sigma_trunk.{i}.linear.bias"] = v(lin["b"])
@@ -232,6 +291,12 @@ def convert(reference_dir: Path, prefix: str, out_dir: Path) -> Path:
             "the architecture keys are required to shape the conversion"
         )
     stored = load_checkpoint_cfg(cfg_path)
+    state = torch.load(model_path, map_location="cpu", weights_only=True)
+    if any(k.endswith("xyz_encoder._tcnn_enc.params") for k in state):
+        # tcnn-trained checkpoint: flip the encoder into tcnn layout so the
+        # import is a pure layout transfer; persists via ARCH_KEYS pinning
+        stored = dict(stored)
+        stored["hash_tcnn_layout"] = True
     # defaults < checkpoint config (the reference's own merge order,
     # common/args.py:220-277); CLI/json layers don't apply here. setattr is
     # unconditional: hash-conf keys like high_levels are plain namespace
@@ -240,8 +305,6 @@ def convert(reference_dir: Path, prefix: str, out_dir: Path) -> Path:
     # only, never the params tree.
     P = _config_to_P(stored)
     cfg = container_config_from_args(P)
-
-    state = torch.load(model_path, map_location="cpu", weights_only=True)
     params, ignored = reference_state_to_params(state, cfg)
 
     out_dir = Path(out_dir)

@@ -31,6 +31,7 @@ ARCH_KEYS = {
     # encodings / background
     "max_res",
     "log2_hashmap_size",
+    "hash_tcnn_layout",
     "xyz_encoding",
     "dir_encoding",
     "no_bg_nerf",
@@ -173,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
     # --- hash encoding
     p.add_argument("--max_res", type=int, default=4096)
     p.add_argument("--log2_hashmap_size", type=int, default=20)
+    p.add_argument("--hash_tcnn_layout", action="store_true",
+                   help="tiny-cuda-nn grid layout (tcnn resolutions + dense "
+                        "coarse levels) — set automatically by "
+                        "convert_reference_checkpoint for tcnn-trained "
+                        "checkpoints; ARCH key, pinned from the checkpoint")
     p.add_argument("--use_occ", action="store_true")
     # occupancy grid (reference occ conf, nerf_runner.py:125-149)
     p.add_argument("--occ_resolution", type=int, default=128)

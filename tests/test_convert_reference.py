@@ -185,10 +185,13 @@ def test_vanilla_state_maps_onto_params():
         state["submodules.0.trunk.2.linear.weight"].numpy().T)
 
 
-def test_tcnn_checkpoint_rejected():
-    cfg, _ = _cfg()
+def test_tcnn_state_needs_tcnn_layout_cfg():
+    """Calling the low-level mapper on a tcnn state dict WITHOUT flipping
+    the config into tcnn layout must fail loudly (convert() flips it
+    automatically; tests/test_tcnn_import.py covers the working path)."""
+    cfg, _ = _cfg()  # hash_tcnn_layout defaults off
     state = {"submodules.0.xyz_encoder._tcnn_enc.params": torch.zeros(128)}
-    with pytest.raises(NotImplementedError, match="tiny-cuda-nn"):
+    with pytest.raises(ValueError, match="hash_tcnn_layout"):
         reference_state_to_params(state, cfg)
 
 
