@@ -17,6 +17,7 @@ identically over either transport.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 import uuid
@@ -25,11 +26,17 @@ from typing import Optional
 
 try:
     import confluent_kafka as _ck  # type: ignore
+    # admin is a real SUBMODULE: `import confluent_kafka` alone does not
+    # bind .admin (the reference imports it explicitly, topic_manager.py:6)
+    import confluent_kafka.admin as _ck_admin  # type: ignore
 
     _HAVE_KAFKA = True
 except ImportError:
     _ck = None
+    _ck_admin = None
     _HAVE_KAFKA = False
+
+_log = logging.getLogger(__name__)
 
 
 def _file_root(conf: dict) -> Optional[Path]:
@@ -124,13 +131,21 @@ class FileQueueTopicManager:
 
 
 # ------------------------------ kafka backend --------------------------------
+# Same message-handling contract as the reference kafka_utils
+# (consumer.py:32-56, producer.py:23-40, topic_manager.py:17-44); covered
+# against a stubbed confluent_kafka module by tests/test_kafka_stub.py.
 class _KafkaProducer:
     def __init__(self, conf: dict):
         self._p = _ck.Producer({"bootstrap.servers": conf["bootstrap.servers"]})
 
     def send(self, topic: str, value: dict):
-        self._p.produce(topic, json.dumps(value).encode("utf-8"))
-        self._p.flush()
+        # log-and-reraise on broker failure (producer.py:30-36)
+        try:
+            self._p.produce(topic, json.dumps(value).encode("utf-8"))
+            self._p.flush()
+        except _ck.KafkaException as e:
+            _log.error("failed to send message to %s: %s", topic, e)
+            raise
 
     def flush(self, timeout: Optional[float] = None):
         self._p.flush(timeout or -1)
@@ -143,16 +158,33 @@ class _KafkaConsumer:
                 "bootstrap.servers": conf["bootstrap.servers"],
                 "group.id": conf.get("group.id", "nerfsys"),
                 "auto.offset.reset": conf.get("auto.offset.reset", "earliest"),
+                "enable.auto.commit": conf.get("enable.auto.commit", True),
             }
         )
         self._c.subscribe([topic])
 
     def receive(self, timeout: Optional[float] = None):
+        """Reference poll loop (consumer.py:32-56): skip empty polls, log+skip
+        broker errors and empty payloads, return None on a JSON decode
+        failure. `timeout` here is an OVERALL deadline (the mediator needs
+        bounded waits); the reference's arg is just the poll interval."""
         deadline = None if timeout is None else time.time() + timeout
         while True:
-            msg = self._c.poll(1.0)
-            if msg is not None and not msg.error():
-                return json.loads(msg.value().decode("utf-8"))
+            msg = self._c.poll(1.0 if timeout is None else min(1.0, timeout))
+            if msg is not None:
+                if msg.error():
+                    _log.error("Kafka error: %s", msg.error())
+                elif msg.value() is None:
+                    _log.warning("received empty message, skipping")
+                else:
+                    raw = msg.value()
+                    try:
+                        text = (raw.decode("utf-8")
+                                if isinstance(raw, (bytes, bytearray)) else raw)
+                        return json.loads(text)
+                    except Exception as e:  # decode error -> None, not raise
+                        _log.error("failed to decode JSON message: %s", e)
+                        return None
             if deadline is not None and time.time() >= deadline:
                 return None
 
@@ -162,7 +194,7 @@ class _KafkaConsumer:
 
 class _KafkaTopicManager:
     def __init__(self, conf: dict):
-        self._admin = _ck.admin.AdminClient(
+        self._admin = _ck_admin.AdminClient(
             {"bootstrap.servers": conf["bootstrap.servers"]}
         )
 
@@ -172,10 +204,16 @@ class _KafkaTopicManager:
         if topic in meta.topics:
             return True
         fut = self._admin.create_topics(
-            [_ck.admin.NewTopic(topic, num_partitions, replication_factor)]
+            [_ck_admin.NewTopic(topic, num_partitions, replication_factor)]
         )
-        fut[topic].result()
-        return True
+        # create-failure is logged, not raised (topic_manager.py:38-44) —
+        # a concurrent create (TopicAlreadyExists) must not kill the mediator
+        try:
+            fut[topic].result()
+            return True
+        except Exception as e:
+            _log.error("failed to create topic %r: %s", topic, e)
+            return False
 
 
 # ------------------------------ public factories -----------------------------
