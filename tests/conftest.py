@@ -30,3 +30,11 @@ _xb._backend_factories.pop("axon", None)
 # which outlives the env var set above — pin it back
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
+
+
+def pytest_configure(config):
+    # two-tier runs: inner loop `pytest -m "not slow"`, full suite as the
+    # round gate (see CLAUDE.md). Marks carry no behavior by default.
+    config.addinivalue_line(
+        "markers", "slow: long-running e2e/compile-heavy test; excluded "
+        "from the inner-loop run with -m 'not slow'")

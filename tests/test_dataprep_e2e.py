@@ -270,7 +270,15 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     assert (run_dir / "last.model").exists()
     assert (run_dir / "last.config.json").exists()
 
-    # ---- eval op against the saved checkpoint ----
+    # ---- eval op against the saved checkpoint, with the LPIPS column
+    # active: deterministic fixed-seed weights at the real AlexNet shapes
+    # (scripts/convert_lpips_weights.random_weights — the converter's own
+    # npz layout), injected the way a user supplies real weights ----
+    from nerfsys_tpu.scripts.convert_lpips_weights import random_weights
+
+    lpips_npz = tmp_path / "lpips_fixture.npz"
+    np.savez(lpips_npz, **random_weights(7))
+    monkeypatch.setenv("NERFSYS_LPIPS_WEIGHTS", str(lpips_npz))
     P2 = parse_args(argv + [
         "--op", "eval", "--checkpoint_path", str(run_dir),
         "--prefix", "last", "--tto", "0,1", "--cap_images", "1",
@@ -278,8 +286,12 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     ])
     ctx2 = build_context(P2, "eval")
     rows = evaluate(ctx2)
+    monkeypatch.delenv("NERFSYS_LPIPS_WEIGHTS")
     assert [r["tto"] for r in rows] == [0, 1]
     assert all(np.isfinite(r["psnr"]) for r in rows)
+    # lpips reported (finite, > 0: render != gt) through the same path the
+    # reference's eval table uses (runtime_adapt.py:111,163-167)
+    assert all(np.isfinite(r["lpips"]) and r["lpips"] > 0 for r in rows)
     assert (Path(ctx2["run_dir"]) / "eval_results.json").exists()
 
     # ---- eval once more with sharded rendering (--mesh_shape over the 8
