@@ -264,25 +264,41 @@ def make_baked_chunk_renderer(
     ray_samples: int,
     bg_policy: str = "white",
     use_bg_fn: bool = True,
+    fog_stats: bool = False,
+    map_outputs=None,
 ):
     """Chunk renderer over the snapshot, drop-in for render_image /
-    render_rays_chunked: (params, statics, rays (C,8)) -> (rgb, depth, acc).
+    render_rays_chunked: (params, statics, rays (C,8)) -> (rgb, depth, acc)
+    (+ per-ray (wmax, entropy) haze signals with fog_stats, so --op video's
+    fog suppression works over baked frames too).
 
     params is consulted only for the learned background MLP (the baked grid
     replaces the field itself).
+
+    `map_outputs(rgb, depth, acc, *extra)` transforms the outputs INSIDE
+    the jitted program — the viewer uses it for the fused uint8 tonemap
+    (extra per-call traced args, e.g. exposure/gamma scalars, thread
+    through the returned callable).
 
     The table is threaded as a jit ARGUMENT, never a closure constant: a
     closed-over device array is inlined into the HLO module as a literal,
     and a 256³ SH-3 table is ~2 GB — the axon remote-compile request then
     exceeds the body limit (HTTP 413, measured)."""
 
-    def render_fn(baked_arg, params, statics, rays):
+    def render_fn(baked_arg, params, statics, rays, *extra):
         bg_fn = container_bg_fn(params, cfg) if use_bg_fn else None
-        rgb, depth, _, acc = render_rays_baked(
+        rgb, depth, weights, acc = render_rays_baked(
             baked_arg, bcfg, rays, ray_samples, bg_policy=bg_policy,
             bg_fn=bg_fn,
         )
+        if fog_stats:
+            from nerfsys_tpu.pipelines.online.runtime_adapt import _fog_stats
+
+            return (rgb, depth, acc) + _fog_stats(weights)
+        if map_outputs is not None:
+            return map_outputs(rgb, depth, acc, *extra)
         return rgb, depth, acc
 
     jitted = jax.jit(render_fn)
-    return lambda params, statics, rays: jitted(baked, params, statics, rays)
+    return lambda params, statics, rays, *extra: jitted(
+        baked, params, statics, rays, *extra)

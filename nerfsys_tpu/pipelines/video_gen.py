@@ -301,18 +301,48 @@ def render_video(ctx) -> Path:
     # (same dispatch as the eval op; reference render_rays, :564-574)
     from nerfsys_tpu.parallel.mesh import maybe_render_mesh
 
-    renderer = make_chunk_renderer(
-        cfg, ray_samples=P.ray_samples, bg_policy="white",
-        occ_state=ctx.get("occ_state"),
-        occ_importance=bool(getattr(P, "occ_importance", False)),
-        occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
-        occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
-        occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
-        mesh=maybe_render_mesh(P),
-        use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
-        fog_stats=suppress,
-        early_stop_eps=float(getattr(P, "render_early_stop", 0.0)),
-    )
+    baked_res = int(getattr(P, "render_baked", 0))
+    if baked_res > 0:
+        # serving mode: one bake, then every frame costs only 4 trilinear
+        # row gathers/sample (models/baked.py) — the video loop is where
+        # the per-frame saving multiplies by n_poses
+        import time as _time
+
+        from nerfsys_tpu.models.baked import (
+            BakedConfig,
+            bake_field,
+            make_baked_chunk_renderer,
+        )
+
+        if maybe_render_mesh(P) is not None:
+            print("[video] NOTE: --render_baked renders single-device; "
+                  "--mesh_shape ignored for the baked path")
+        bcfg = BakedConfig(resolution=baked_res,
+                           sh_levels=int(getattr(P, "render_baked_sh", 3)),
+                           n_dirs=max(32, 2 * int(getattr(
+                               P, "render_baked_sh", 3)) ** 2))
+        t0 = _time.perf_counter()
+        baked = bake_field(params, cfg, statics, bcfg)
+        print(f"[video] baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
+              f"in {_time.perf_counter() - t0:.1f}s")
+        renderer = make_baked_chunk_renderer(
+            baked, bcfg, cfg, ray_samples=P.ray_samples, bg_policy="white",
+            use_bg_fn=False,  # reference video disables the bg MLP
+            fog_stats=suppress,
+        )
+    else:
+        renderer = make_chunk_renderer(
+            cfg, ray_samples=P.ray_samples, bg_policy="white",
+            occ_state=ctx.get("occ_state"),
+            occ_importance=bool(getattr(P, "occ_importance", False)),
+            occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
+            occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
+            occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
+            mesh=maybe_render_mesh(P),
+            use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
+            fog_stats=suppress,
+            early_stop_eps=float(getattr(P, "render_early_stop", 0.0)),
+        )
     budget = (int(P.chunk_points)
               if "chunk_points" in getattr(P, "explicit_keys", ())
               else 3_145_728)

@@ -84,6 +84,60 @@ class RenderEngine:
         # (rays, grid), so a stationary camera watching live adaptation
         # pays wave 1 once (keyed by ray-buffer content + grid identity)
         self._probe_caches: Dict[Tuple, dict] = {}
+        # baked serving mode (models/baked.py): one snapshot + its source
+        # params' identity; a new params snapshot (= an adapt step landed)
+        # auto-invalidates and frames fall back to the live field
+        self._baked = None  # (baked dict, BakedConfig, id(source params))
+        self._baked_renderers: Dict[Tuple, object] = {}
+
+    # ------------------------------ baked serving -----------------------------
+    def bake(self, params=None, resolution: int = 256, sh_levels: int = 3):
+        """Resample the (possibly adapted) field into a baked SH grid and
+        serve subsequent rgb frames from it — 4 gather rows/sample instead
+        of the live MoE chain. Call on pause (the GUI's Bake control /
+        bake-on-pause); rendering any NEWER params snapshot invalidates
+        automatically, so a resumed adaptation never serves stale geometry.
+        """
+        from nerfsys_tpu.models.baked import BakedConfig, bake_field
+
+        p = self.base_params if params is None else params
+        bcfg = BakedConfig(resolution=int(resolution),
+                           sh_levels=int(sh_levels),
+                           n_dirs=max(32, 2 * int(sh_levels) ** 2))
+        baked = bake_field(p, self.cfg, self.statics, bcfg)
+        self._baked = (baked, bcfg, id(p))
+        self._baked_renderers = {}
+        return bcfg
+
+    def invalidate_baked(self):
+        self._baked = None
+        self._baked_renderers = {}
+
+    @property
+    def baked_active(self) -> bool:
+        return self._baked is not None
+
+    def _baked_u8_renderer(self, samples: int, bg_policy: str):
+        """Fused uint8 tonemap over the snapshot (same 3 B/ray fetch as the
+        live u8 path); exposure/gamma are traced scalars."""
+        import jax.numpy as jnp
+
+        baked, bcfg, _src = self._baked
+        key = ("u8", int(samples), str(bg_policy))
+        r = self._baked_renderers.get(key)
+        if r is None:
+            from nerfsys_tpu.models.baked import make_baked_chunk_renderer
+
+            def tonemap_u8(rgb, depth, acc, exposure, inv_gamma):
+                x = jnp.clip(rgb * (2.0 ** exposure), 0.0, 1.0) ** inv_gamma
+                return (x * 255.0 + 0.5).astype(jnp.uint8)
+
+            r = make_baked_chunk_renderer(
+                baked, bcfg, self.cfg, ray_samples=int(samples),
+                bg_policy=str(bg_policy), map_outputs=tonemap_u8,
+            )
+            self._baked_renderers[key] = r
+        return r
 
     # ------------------------------- plumbing ---------------------------------
     def _rgb_u8_renderer(self, samples, bg_policy, active):
@@ -198,7 +252,32 @@ class RenderEngine:
             two_wave_dispatch,
         )
 
+        # baked serving: valid only for the params snapshot it was baked
+        # from — a newer snapshot means adaptation stepped, so invalidate
+        # and fall back to the live field (never serve stale geometry).
+        # active-expert isolation always renders live (the bake is routed
+        # over ALL experts).
+        use_baked = False
+        if self._baked is not None and output == "rgb" and active is None:
+            if self._baked[2] == id(p):
+                use_baked = True
+            else:
+                self.invalidate_baked()
+
         try:
+            if output == "rgb" and use_baked:
+                renderer = self._baked_u8_renderer(samples, bg)
+                inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
+                exp_f = np.float32(exposure)
+                frame_u8 = np.zeros((n, 3), np.uint8)
+                for ids, out in two_wave_dispatch(
+                    renderer, p, self.statics, rays, self.chunk_rays,
+                    exp_f, inv_gamma,
+                ):
+                    frame_u8[ids] = np.asarray(out)[: len(ids)]
+                frame_u8 = np.where(valid[:, None], frame_u8, 0)
+                return frame_u8.reshape(H, W, 3).astype(np.uint8)
+
             if output == "rgb":
                 # fused device tonemap -> one uint8 fetch (3 B/ray vs the
                 # 20 B/ray f32 rgb+depth+acc path); under occupancy the
@@ -388,6 +467,15 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
                 step=max(scene_extent_world, 1.0) / 1000.0,
                 initial_value=max(scene_extent_world, 1.0))
 
+    with server.gui.add_folder("Serving"):
+        # baked SH snapshot serving (models/baked.py): bake on pause / on
+        # enable-while-idle; any adapt step invalidates automatically (the
+        # engine keys the snapshot to the params identity it was baked from)
+        gui_baked = server.gui.add_checkbox(
+            "Baked serving (bake on pause)", initial_value=False)
+        gui_baked_res = server.gui.add_number(
+            "Bake resolution", initial_value=256)
+
     with server.gui.add_folder("Operation Mode"):
         gui_mode = server.gui.add_dropdown(
             "Mode", ("View", "Runtime-Adapt"), initial_value="View")
@@ -411,9 +499,31 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         if not ctrl.is_running and ctrl.mode != want:
             ctrl.set_mode(want)
 
+    def _bake_now():
+        try:
+            bcfg = engine.bake(ctrl.get_render_params(),
+                               resolution=int(gui_baked_res.value))
+            gui_status.content = (f"status: baked {bcfg.resolution}³ "
+                                  f"SH-{bcfg.sh_levels} serving snapshot")
+        except Exception as e:
+            gui_status.content = f"status: bake failed: {e}"
+
+    def _pause(_):
+        ctrl.pause()
+        if gui_baked.value:
+            _bake_now()  # bake-on-pause: the field is frozen, serve it baked
+
+    def _baked_toggle(_=None):
+        if not gui_baked.value:
+            engine.invalidate_baked()
+        elif not ctrl.is_running:
+            _bake_now()
+
+    gui_baked.on_update(_baked_toggle)
+
     gui_mode.on_update(_sync_mode)
     gui_start.on_click(lambda _: (_sync_mode(), ctrl.start(int(gui_steps.value))))
-    gui_pause.on_click(lambda _: ctrl.pause())
+    gui_pause.on_click(_pause)
     gui_resume.on_click(lambda _: ctrl.resume())
     gui_stop.on_click(lambda _: ctrl.stop(join=False))
     gui_reset.on_click(lambda _: ctrl.reset_fast())

@@ -502,3 +502,64 @@ def test_render_video_e2e_with_occ(tmp_path):
     assert out.exists()
     if out.is_dir():
         assert len(list(out.glob("*.png"))) == 2
+
+
+def test_render_video_baked(tmp_path):
+    """--op video --render_baked N: the video loop rides the baked SH
+    snapshot renderer (serving mode), fog suppression included — frames
+    come out at the requested size and finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.pipelines.video_gen import render_video
+    from nerfsys_tpu.utils.config import parse_args
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(hidden=16, sigma_depth=1, color_hidden=16,
+                         color_depth=1, geo_feat_dim=7,
+                         hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                             log2_hashmap_size=8)),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.0, c + 1.0]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    )
+    P = parse_args([
+        "--op", "video", "--data_path", str(tmp_path),
+        "--camera_path", "turntable", "--video_frames", "2",
+        "--video_width", "24", "--video_height", "16",
+        "--ray_samples", "8", "--near", "0.05", "--far", "6.0",
+        "--render_baked", "16", "--render_baked_sh", "2",
+    ])
+    ctx = {
+        "P": P, "cfg": cfg, "statics": statics,
+        "params": init_container_params(jax.random.PRNGKey(0), cfg),
+        "run_dir": tmp_path,
+    }
+    out = render_video(ctx)
+    from pathlib import Path as _P
+
+    out = _P(out)
+    if out.is_dir():
+        frames = sorted(out.glob("*.png"))
+        assert len(frames) == 2
+        from PIL import Image as PILImage
+
+        img = np.asarray(PILImage.open(frames[0]))
+        assert img.shape[:2] == (16, 24)
+        assert np.isfinite(img.astype(np.float64)).all()
+    else:
+        import imageio.v3 as iio
+
+        vid = iio.imread(out)
+        assert vid.shape[-3:-1] == (16, 24)

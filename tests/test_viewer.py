@@ -511,3 +511,42 @@ def test_viser_gui_smoke(tmp_path):
     finally:
         ctrl.stop(join=False)
         server.stop()
+
+
+def test_render_engine_baked_serving(tiny_engine):
+    """Baked serving: bake -> rgb frames ride the snapshot; a NEW params
+    snapshot (adapt step) auto-invalidates; active-expert isolation always
+    renders live without dropping the snapshot; the render is a fair
+    approximation of the live frame."""
+    import jax
+
+    c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    live = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+
+    bcfg = tiny_engine.bake(resolution=24, sh_levels=2)
+    assert tiny_engine.baked_active and bcfg.resolution == 24
+    baked = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+    assert baked.shape == (12, 16, 3) and baked.dtype == np.uint8
+    # the baked u8 renderer was actually built and used
+    assert tiny_engine._baked_renderers
+    # a random-init field is smooth: the snapshot should track the live
+    # render closely (u8 space; loose tolerance — it IS an approximation)
+    assert np.mean(np.abs(baked.astype(int) - live.astype(int))) < 25.0
+
+    # active-expert isolation renders live but keeps the snapshot
+    f = tiny_engine.render(c2w, 8, 8, fov_y=0.8, active_expert="1")
+    assert f.shape == (8, 8, 3) and tiny_engine.baked_active
+
+    # depth/opacity render live too
+    f = tiny_engine.render(c2w, 8, 8, fov_y=0.8, output="depth")
+    assert f.shape == (8, 8, 3) and tiny_engine.baked_active
+
+    # a NEW params snapshot = an adapt step landed -> auto-invalidation
+    new_params = jax.tree.map(lambda x: x, tiny_engine.base_params)
+    f = tiny_engine.render(c2w, 16, 12, fov_y=0.8, params=new_params)
+    assert f.shape == (12, 16, 3)
+    assert not tiny_engine.baked_active
+
+    # explicit invalidate is idempotent
+    tiny_engine.invalidate_baked()
+    assert not tiny_engine.baked_active

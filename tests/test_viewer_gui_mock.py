@@ -273,3 +273,65 @@ def test_launch_viewer_wiring_and_render(mock_viser, tmp_path):
     finally:
         ctrl.stop(join=False)
         server.stop()
+
+
+def test_launch_viewer_baked_serving_flow(mock_viser, tmp_path):
+    """Serving controls: enable-while-idle bakes immediately; Pause bakes
+    when the checkbox is on (bake-on-pause); an adapt step's new params
+    snapshot invalidates on the next render; unchecking drops it."""
+    from nerfsys_tpu.viewer.viewer import launch_viewer
+
+    ctx = _tiny_ctx(tmp_path)
+    server, ctrl, engine = launch_viewer(ctx, port=0, blocking=False)
+    try:
+        w = server.gui.widgets
+        assert "Baked serving (bake on pause)" in w
+        w["Bake resolution"].value = 16
+
+        # enable while idle -> bake immediately
+        w["Baked serving (bake on pause)"].value = True
+        for fn in w["Baked serving (bake on pause)"]._on_update:
+            fn(None)
+        assert engine.baked_active
+
+        client = server.connect()
+        w["Max resolution"].value = 32
+        w["Samples/ray"].value = 8
+        client.camera.fire()
+        assert client.scene.frames[-1].dtype == np.uint8
+        assert engine.baked_active  # same params snapshot -> still serving
+
+        # switch to Runtime-Adapt: the runner starts from the SAME params
+        # object (no step yet), so the snapshot keeps serving
+        w["Mode"].value = "Runtime-Adapt"
+        for fn in w["Mode"]._on_update:
+            fn(None)
+        client.camera.fire()
+        assert engine.baked_active
+
+        # a step lands a NEW params snapshot -> next render invalidates
+        # (simulated the way RuntimeAdaptRunner.step publishes: replace
+        # self.params under model_lock with a fresh pytree)
+        import jax
+
+        from nerfsys_tpu.viewer.engine.runners.base import model_lock
+
+        with model_lock:
+            ctrl.runner.params = jax.tree.map(lambda x: x,
+                                              ctrl.runner.params)
+        client.camera.fire()
+        assert not engine.baked_active
+
+        # Pause with the checkbox on re-bakes from the adapted snapshot
+        w["Pause"].click()
+        assert engine.baked_active
+        assert "baked" in str(w["status: idle"].value)
+
+        # unchecking drops the snapshot
+        w["Baked serving (bake on pause)"].value = False
+        for fn in w["Baked serving (bake on pause)"]._on_update:
+            fn(None)
+        assert not engine.baked_active
+    finally:
+        ctrl.stop(join=False)
+        server.stop()
