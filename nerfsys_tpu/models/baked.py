@@ -266,6 +266,7 @@ def make_baked_chunk_renderer(
     use_bg_fn: bool = True,
     fog_stats: bool = False,
     map_outputs=None,
+    mesh=None,
 ):
     """Chunk renderer over the snapshot, drop-in for render_image /
     render_rays_chunked: (params, statics, rays (C,8)) -> (rgb, depth, acc)
@@ -279,6 +280,12 @@ def make_baked_chunk_renderer(
     the jitted program — the viewer uses it for the fused uint8 tonemap
     (extra per-call traced args, e.g. exposure/gamma scalars, thread
     through the returned callable).
+
+    With a `jax.sharding.Mesh`, the chunk's ray axis shards over the
+    mesh's 'data' axis and the table/params/statics replicate (per-ray
+    work is communication-free — same scaling story as
+    make_chunk_renderer(mesh=...)); chunks are padded to a multiple of
+    the data-axis length internally, so any chunk size works.
 
     The table is threaded as a jit ARGUMENT, never a closure constant: a
     closed-over device array is inlined into the HLO module as a literal,
@@ -300,5 +307,40 @@ def make_baked_chunk_renderer(
         return rgb, depth, acc
 
     jitted = jax.jit(render_fn)
-    return lambda params, statics, rays, *extra: jitted(
-        baked, params, statics, rays, *extra)
+    if mesh is None:
+        return lambda params, statics, rays, *extra: jitted(
+            baked, params, statics, rays, *extra)
+
+    from nerfsys_tpu.parallel.mesh import ray_batch_sharding, replicated
+
+    ray_sh = ray_batch_sharding(mesh)  # P('data', None)
+    rep = replicated(mesh)
+    data_axis = int(mesh.shape["data"])
+    # device_put ONCE per params version (id-keyed like
+    # make_chunk_renderer.prepare); the entry pins the params object so
+    # its id can't be reused after gc
+    rep_cache: Dict = {}
+
+    def render(params, statics, rays, *extra):
+        key = id(params)
+        if key not in rep_cache:
+            rep_cache.clear()
+            rep_cache[key] = (
+                params,
+                jax.device_put(baked, rep),
+                jax.device_put(params, rep),
+                jax.device_put(statics, rep),
+            )
+        _, b_rep, p_rep, s_rep = rep_cache[key]
+        r = jnp.asarray(rays)
+        n = r.shape[0]
+        pad = (-n) % data_axis
+        if pad:
+            r = jnp.concatenate(
+                [r, jnp.zeros((pad, r.shape[1]), r.dtype)], axis=0)
+        out = jitted(b_rep, p_rep, s_rep, jax.device_put(r, ray_sh), *extra)
+        if pad:
+            out = jax.tree_util.tree_map(lambda a: a[:n], out)
+        return out
+
+    return render

@@ -1218,9 +1218,6 @@ def runtime_evaluate(
         # serving mode: resample the (adapted) field into a baked SH grid
         # once, then frames cost only trilinear grid lookups (models/baked).
         # Re-baked per TTO setting because adaptation changes the field.
-        if mesh is not None:
-            log("  [baked] NOTE: --render_baked renders single-device; "
-                "--mesh_shape is ignored for Phase-B rendering")
         if float(render_early_stop) > 0.0:
             log("  [baked] NOTE: --render_early_stop is ignored with "
                 "--render_baked (the baked render has no occ/ET path)")
@@ -1242,6 +1239,7 @@ def runtime_evaluate(
             f"in {time.time() - tb:.1f}s")
         renderer = make_baked_chunk_renderer(
             baked, bcfg, cfg, ray_samples=ray_samples, bg_policy="white",
+            mesh=mesh,
         )
     else:
         renderer = make_chunk_renderer(

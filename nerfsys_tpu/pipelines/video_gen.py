@@ -314,9 +314,6 @@ def render_video(ctx) -> Path:
             make_baked_chunk_renderer,
         )
 
-        if maybe_render_mesh(P) is not None:
-            print("[video] NOTE: --render_baked renders single-device; "
-                  "--mesh_shape ignored for the baked path")
         bcfg = BakedConfig(resolution=baked_res,
                            sh_levels=int(getattr(P, "render_baked_sh", 3)),
                            n_dirs=max(32, 2 * int(getattr(
@@ -329,6 +326,7 @@ def render_video(ctx) -> Path:
             baked, bcfg, cfg, ray_samples=P.ray_samples, bg_policy="white",
             use_bg_fn=False,  # reference video disables the bg MLP
             fog_stats=suppress,
+            mesh=maybe_render_mesh(P),
         )
     else:
         renderer = make_chunk_renderer(

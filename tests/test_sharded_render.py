@@ -235,3 +235,41 @@ def test_expert_sharded_render_matches_single_device():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(acc_s), np.asarray(acc_m),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_baked_render_matches_single_device():
+    """Baked snapshot renderer under a mesh: rays shard over 'data',
+    table/params replicate; outputs match the unsharded render, including
+    the internal pad-to-data-axis path (n not divisible by 8)."""
+    from nerfsys_tpu.models.baked import (
+        BakedConfig,
+        bake_field,
+        make_baked_chunk_renderer,
+    )
+
+    cfg, st, params, rays = _setup()
+    mesh = make_mesh("8")
+    bcfg = BakedConfig(resolution=16, sh_levels=2)
+    baked = bake_field(params, cfg, st, bcfg)
+
+    single = make_baked_chunk_renderer(baked, bcfg, cfg, ray_samples=16)
+    sharded = make_baked_chunk_renderer(baked, bcfg, cfg, ray_samples=16,
+                                        mesh=mesh)
+    # 1021 rays: NOT a multiple of the data axis — exercises pad + slice
+    r = rays[:1021]
+    rgb_s, depth_s, acc_s = single(params, st, r)
+    rgb_m, depth_m, acc_m = sharded(params, st, r)
+
+    assert rgb_m.shape == (1021, 3)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_s), np.asarray(depth_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc_s), np.asarray(acc_m),
+                               rtol=1e-5, atol=1e-5)
+
+    # a second call with the SAME params object reuses the replication
+    # cache (no fresh device_put of the table per chunk)
+    rgb_m2, _, _ = sharded(params, st, rays)
+    np.testing.assert_allclose(
+        np.asarray(rgb_m2[:1021]), np.asarray(rgb_m), rtol=1e-5, atol=1e-5)
