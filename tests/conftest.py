@@ -38,3 +38,64 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running e2e/compile-heavy test; excluded "
         "from the inner-loop run with -m 'not slow'")
+
+
+# Tests measured >= ~10 s on this 1-core host (pytest --durations run,
+# 2026-08-19; full suite 26 min). Auto-marked slow so the inner loop
+# (`pytest -m "not slow"`, ~10 min) stays usable; the FULL suite remains
+# the round gate. Substring match on nodeid, so parametrized variants of
+# a listed test are all marked.
+_SLOW_NODES = (
+    "test_dataprep_e2e.py::test_runner_train_and_eval_on_prepared_scene",
+    "test_meta.py::test_maml_differs_from_fomaml",
+    "test_measure_perf_smoke.py::test_measure_render_sky_smoke",
+    "test_meta.py::test_train_step_with_occupancy",
+    "test_meta.py::test_expert_map_matches_vmap",
+    "test_sharded_trainer.py::test_sharded_meta_trainer_runs",
+    "test_meta.py::test_trainer_metric_lag_equivalent",
+    "test_early_stop.py::test_big_frame_segment_path",
+    "test_sharded_trainer.py::"
+    "test_sharded_occ_update_and_train_step_match_unsharded",
+    "test_planes.py::test_scatter_bwd_matches_autodiff_and_matmul",
+    "test_meta.py::test_train_step_runs_and_updates",
+    "test_planes.py::test_matmul_bwd_matches_autodiff_scatter",
+    "test_occupancy.py::test_render_rays_occ_shapes_and_dispatch",
+    "test_container.py::test_bucketed_matches_dense",
+    "test_meta.py::test_nonfinite_loss_skips_update",
+    "test_container.py::test_expert_map_matches_vmap_dense_and_bucketed",
+    "test_sharded_render.py::test_expert_sharded_render_matches_single_device",
+    "test_chunk_skip.py::test_dispatch_fuzz_matches_plain",
+    "test_baked.py::test_bake_then_render_tracks_live_field",
+    "test_planes.py::test_lines_matmul_grads_match_all_backward_paths",
+    "test_models_ngp.py::test_stacked_experts_distinct",
+    "test_siren_fim.py::test_fim_adapt_step_runs_and_tracks_fisher",
+    "test_meta.py::test_trainer_fixed_eval_reuses_episodes",
+    "test_occupancy.py::test_render_rays_occ_importance_finite_and_dispatch",
+    "test_chunk_skip.py::test_union_probe_grid_marks_centers_and_renders_close",
+    "test_container.py::test_bucketed_jits_and_grads",
+    "test_occupancy.py::test_online_adapt_and_render_with_occ",
+    "test_encodings.py::test_packed_encode_table_gradient",
+    "test_encodings.py::test_ngp_packed_flag_runs",
+    "test_chunk_skip.py::test_moe_probe_mask_is_conservative",
+    "test_sharded_render.py::test_sharded_two_wave_matches_single_device",
+    "test_sharded_render.py::test_sharded_baked_render_matches_single_device",
+    "test_early_stop.py::test_fog_stats_variant",
+    "test_meta.py::test_task_adapt_reduces_support_loss",
+    "test_meta.py::test_eval_step",
+    "test_diagnostics.py::test_grad_summary_on_real_step_grads",
+    "test_chunk_skip.py::test_ray_packing_matches_plain",
+    "test_models_ngp.py::test_bf16_compute_close_to_fp32",
+    "test_sharded_render.py::test_expert_sharded_rebind_preserves_soft_mask",
+    "test_container.py::test_bucketed_overflow_takes_dense_branch",
+    "test_meta.py::test_invalid_tasks_excluded",
+    "test_viewer_gui_mock.py::test_launch_viewer_baked_serving_flow",
+    "test_planes.py::test_gradients_flow_to_tables_and_positions",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if any(s in item.nodeid for s in _SLOW_NODES):
+            item.add_marker(pytest.mark.slow)
