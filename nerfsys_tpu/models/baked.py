@@ -34,7 +34,7 @@ import numpy as np
 from nerfsys_tpu.models.container import (
     ContainerConfig,
     ContainerStatics,
-    container_apply,
+    container_apply_multidir,
     container_bg_fn,
 )
 from nerfsys_tpu.ops.encodings import sh_encode
@@ -132,14 +132,14 @@ def bake_field(
     @jax.jit
     def eval_chunk(pts):  # (c, 3) -> (c, C) f32
         n = pts.shape[0]
-
-        def per_dir(d):
-            dd = jnp.broadcast_to(d[None, :], (n, 3))
-            rgb, sigma = container_apply(params, cfg, statics, pts, dd)
-            return jnp.clip(rgb, 0.0, 1.0), sigma
-
-        rgb_m, sigma_m = jax.lax.map(per_dir, dirs_j)  # (M,c,3), (M,c)
-        sigma = jnp.maximum(sigma_m[0], 0.0)  # direction-independent
+        # position-heavy work (encoder gathers, sigma trunk, routing) runs
+        # once; only the color head sweeps the M directions — measured
+        # 1119 s -> ~1/M-of-encoder scaling for the 256³ x 32-dir bake
+        rgb_m, sigma = container_apply_multidir(
+            params, cfg, statics, pts, dirs_j
+        )  # (M, c, 3), (c,)
+        rgb_m = jnp.clip(rgb_m, 0.0, 1.0)
+        sigma = jnp.maximum(sigma, 0.0)
         coefs = jnp.einsum("bm,mcr->cbr", proj, rgb_m)  # (c, B, 3)
         return jnp.concatenate([sigma[:, None], coefs.reshape(n, -1)], 1)
 

@@ -408,6 +408,61 @@ def container_apply(
     return rgb, sigma
 
 
+def container_apply_multidir(
+    params: Params,
+    cfg: ContainerConfig,
+    statics: ContainerStatics,
+    pts: Array,  # (N, 3)
+    dirs_m: Array,  # (M, 3) shared direction set, NOT per-point
+) -> Tuple[Array, Array]:
+    """Routed field at N points under M shared view directions
+    -> (rgb (M, N, 3), sigma (N,)).
+
+    Position-heavy work amortized over directions: the xyz encoding (the
+    gather-transaction wall, BASELINE.md), sigma trunk, geo head, and
+    routing weights are all direction-independent, so they run ONCE; only
+    the small color MLP sweeps the M directions. Equivalent to M
+    container_apply calls (tests/test_baked.py pins the parity) at ~1/M of
+    the encoder cost — the bake_field inner loop (256³ x 32 dirs measured
+    1119 s on v5e through container_apply; the encoder dominated).
+
+    Instant-NGP experts on the dense routing path take the fast split;
+    anything else (vanilla/SIREN variants, bucketed dispatch) falls back
+    to per-direction container_apply — correct, just not amortized.
+    """
+    n = pts.shape[0]
+    if cfg.nerf_variant != "instant" or cfg.bucketed:
+        def per_dir(d):
+            dd = jnp.broadcast_to(d[None, :], (n, 3))
+            return container_apply(params, cfg, statics, pts, dd)
+
+        rgb_m, sigma_m = jax.lax.map(per_dir, dirs_m)
+        return rgb_m, sigma_m[0]
+
+    from nerfsys_tpu.models.ngp import ngp_color, ngp_density
+
+    over = over_experts(cfg)
+
+    def per_expert(pb):
+        p_k, box = pb
+        sigma, geo = ngp_density(p_k, cfg.expert, box, pts,
+                                 return_feats=True)
+
+        def per_dir(d):
+            dd = jnp.broadcast_to(d[None, :], (n, 3))
+            return ngp_color(p_k, cfg.expert, dd, geo)  # (N, 3)
+
+        return jax.lax.map(per_dir, dirs_m), sigma  # (M,N,3), (N,)
+
+    rgb_km, sigma_k = over(
+        per_expert, (params["experts"], statics.expert_aabbs)
+    )  # (K, M, N, 3), (K, N)
+    w = routing_weights(statics, cfg, pts)  # (N, K)
+    sigma = jnp.sum(w.T * sigma_k, axis=0)
+    rgb = jnp.einsum("nk,kmnc->mnc", w, rgb_km)
+    return rgb, sigma
+
+
 def background_color(params: Params, cfg: ContainerConfig, d: Array) -> Array:
     """Learned background RGB from view direction (meta_container.py:347-382)."""
     if not cfg.use_bg_nerf or "bg" not in params:

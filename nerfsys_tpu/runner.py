@@ -378,6 +378,34 @@ def train(ctx):
     P = ctx["P"]
     meta = meta_config_from_args(P)
     opt_cfg = optim_config_from_args(P)
+
+    # Warm-start / continue training from a checkpoint (reference parity:
+    # trainer.py:27-29 resumes via P.checkpoint_path + P.prefix through
+    # is_resume, common/utils.py:129-160). `--op train --checkpoint_path
+    # DIR [--prefix TAG]` restores params here (before sharding, so mesh
+    # placement applies to the restored values), optimizer state below
+    # (after tx.init, so moments adopt the init leaves' shardings), occ
+    # grids in the occ block, and step/best thread into the outer loop —
+    # continuing an interrupted run into a fresh log dir. ARCH_KEYS are
+    # already pinned from the checkpoint config by parse_args.
+    start_step, best = 0, float("-inf")
+    warm_tag = None
+    if getattr(P, "checkpoint_path", None):
+        warm_tag = (P.prefix
+                    if ckpt.checkpoint_exists(P.checkpoint_path, P.prefix)
+                    else ckpt.latest_step_tag(P.checkpoint_path))
+        if warm_tag is None:
+            print(f"[warm-start] no checkpoint under {P.checkpoint_path}; "
+                  "training from scratch")
+        else:
+            params_r, _, w_state = ckpt.load_checkpoint(
+                P.checkpoint_path, warm_tag, ctx["params"])
+            ctx["params"] = params_r
+            start_step = int(w_state.get("step", 0))
+            best = float(w_state.get("best", float("-inf")))
+            print(f"[warm-start] restored '{warm_tag}' @ step {start_step} "
+                  f"(best {best:.3f}) from {P.checkpoint_path}")
+
     ctx["params"], _mesh = maybe_shard_training(ctx, ctx["params"])
     if _mesh is not None and _mesh.shape.get("expert", 1) > 1:
         # scanning a sharded expert axis would serialize what the mesh
@@ -388,6 +416,23 @@ def train(ctx):
         ctx["cfg"] = _dc.replace(ctx["cfg"], expert_map=False)
     tx = build_optimizer(opt_cfg, param_group_labels(ctx["params"]))
     opt_state = tx.init(ctx["params"])  # inherits param shardings
+    if warm_tag is not None:
+        _, opt_r, _ = ckpt.load_checkpoint(
+            P.checkpoint_path, warm_tag, ctx["params"], opt_state)
+        if opt_r is not None:
+            # mesh-placed moments (NamedSharding from tx.init on sharded
+            # params) must be re-placed explicitly; everything else stays
+            # an UNCOMMITTED host array — committing (device_put) scalars
+            # like schedule counts pins them to one device and the jitted
+            # step then rejects the params/opt placement mix
+            def _place(r, i):
+                sh = getattr(i, "sharding", None)
+                if isinstance(sh, jax.sharding.NamedSharding):
+                    return jax.device_put(jnp.asarray(r), sh)
+                return np.asarray(r)
+
+            opt_state = jax.tree_util.tree_map(_place, opt_r, opt_state)
+            print("[warm-start] optimizer state restored")
     step_fn = make_train_step(meta, ctx["cfg"], tx)
     eval_fn = make_eval_step(meta, ctx["cfg"], tto=P.inner_iter)
 
@@ -412,6 +457,12 @@ def train(ctx):
                 near=P.near or 0.0,
             )
             print(f"[occ] premarked invisible cells from {len(train_md)} cams")
+        if warm_tag is not None:
+            occ_r = ckpt.load_aux_state(
+                P.checkpoint_path, "occ", occ_state, tag=warm_tag)
+            if occ_r is not None:
+                occ_state = occ_r  # trained grids beat the fresh premark
+                print("[warm-start] occupancy grids restored")
         occ_update_fn = make_occ_update_fn(ctx["cfg"], occ_cfg)
 
     params, opt_state, best = meta_trainer(
@@ -430,6 +481,8 @@ def train(ctx):
         run_dir=ctx["run_dir"],
         logger=ctx["logger"],
         seed=P.seed,
+        start_step=start_step,
+        best=best,
         trace_steps=getattr(P, "trace_steps", 0),
         occ_state=occ_state,
         occ_update_fn=occ_update_fn,

@@ -114,6 +114,35 @@ def _rays(rng, n):
     return jnp.asarray(np.concatenate([o, d, nf], 1))
 
 
+def test_container_apply_multidir_matches_apply():
+    """The bake's amortized evaluation (encoder/sigma/routing once, color
+    head per direction) must equal per-direction container_apply exactly —
+    on the fast instant-NGP split AND the fallback (bucketed) path."""
+    import dataclasses as dc
+
+    from nerfsys_tpu.models.container import (
+        container_apply,
+        container_apply_multidir,
+    )
+
+    cfg, st, params = _tiny_scene()
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-2.0, 2.0, size=(257, 3)).astype(np.float32))
+    dirs = jnp.asarray(_fibonacci_sphere(5))
+
+    for c in (cfg, dc.replace(cfg, bucketed=True, experts_per_point=1)):
+        rgb_m, sigma = container_apply_multidir(params, c, st, pts, dirs)
+        assert rgb_m.shape == (5, 257, 3)
+        for m in range(5):
+            dd = jnp.broadcast_to(dirs[m][None, :], (257, 3))
+            rgb_ref, sigma_ref = container_apply(params, c, st, pts, dd)
+            np.testing.assert_allclose(np.asarray(rgb_m[m]),
+                                       np.asarray(rgb_ref),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_bake_then_render_tracks_live_field():
     cfg, st, params = _tiny_scene()
     bcfg = BakedConfig(resolution=40, sh_levels=3, n_dirs=16,

@@ -351,3 +351,23 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
                        "it_occ_eval_baked")
     assert np.isfinite(r_baked[0]["psnr"])
     assert abs(r_baked[0]["psnr"] - r_single[0]["psnr"]) < 6.0
+
+    # ---- warm-start (reference trainer.py:27-29 via is_resume,
+    # common/utils.py:129-160): --op train --checkpoint_path continues an
+    # interrupted run into a NEW run dir, restoring params, optimizer
+    # moments, occ grids, and the step/best counters ----
+    import json as _json
+
+    warm_argv = list(occ_argv) + [
+        "--checkpoint_path", str(occ_dir), "--prefix", "last",
+        "--outer_steps", "4",  # continue 2 -> 4 (argparse takes the last)
+    ]
+    warm_argv[warm_argv.index("it_occ_run")] = "it_warm_run"
+    P5 = parse_args(warm_argv)
+    ctx5 = build_context(P5, "train")
+    train(ctx5)
+    warm_dir = Path(ctx5["run_dir"])
+    assert warm_dir != occ_dir
+    w_state = _json.loads((warm_dir / "last.state.json").read_text())
+    assert w_state["step"] == 4, w_state  # continued, not restarted at 0
+    assert (warm_dir / "last.occ").exists()
