@@ -256,6 +256,85 @@ def render_rays_baked(
     return volume_render(rgb_sigma, t_vals, bg_rgb=bg)
 
 
+def make_baked_camera_renderer(
+    baked: Dict,
+    bcfg: BakedConfig,
+    cfg: ContainerConfig,
+    *,
+    H: int,
+    W: int,
+    ray_samples: int,
+    chunk_rays: int = 65536,
+    scene_aabb: Optional[np.ndarray] = None,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    bg_policy: str = "white",
+    use_bg_fn: bool = True,
+    out_u8: bool = True,
+):
+    """Serving-path frame renderer over the snapshot:
+    (params, statics, c2w (3,4), intrinsics (4,)) -> (H, W, 3) uint8
+    (or f32 rgb + (H, W) depth/acc with out_u8=False).
+
+    The whole frame's host<->device traffic is ~20 floats up and the u8
+    image down: rays generate on device (ops/rays.frame_chunk_rays) and
+    the tonemap fuses into the render program. This is the fix for the
+    measured baked-frame wall — at 800² the ray upload (20 MB) + f32
+    readback (13 MB) through the axon tunnel cost ~3 s of the 3.6 s
+    frame while the gathers only need ~0.7 s (BASELINE.md 2026-08-19;
+    frame time was table-size INDEPENDENT). All chunks dispatch before
+    the first fetch, so compute overlaps the readbacks. One compiled
+    program serves every chunk AND every camera (start/c2w/intrinsics
+    are traced; H/W/chunk shape are the only static bits).
+    """
+    from nerfsys_tpu.ops.rays import frame_chunk_rays
+    from nerfsys_tpu.ops.scene_box import SceneBox
+
+    sb = None
+    if scene_aabb is not None:
+        sb = SceneBox(jnp.asarray(scene_aabb, jnp.float32))
+    elif near is None or far is None:
+        raise ValueError("provide scene_aabb or scalar near/far")
+
+    def chunk_fn(baked_arg, params, statics, c2w, intr, start):
+        rays = frame_chunk_rays(
+            c2w, intr, start, chunk_rays, H, W, scene_box=sb,
+            near=near, far=far,
+        )
+        bg_fn = container_bg_fn(params, cfg) if use_bg_fn else None
+        rgb, depth, _, acc = render_rays_baked(
+            baked_arg, bcfg, rays, ray_samples, bg_policy=bg_policy,
+            bg_fn=bg_fn,
+        )
+        if out_u8:
+            return jnp.clip(
+                rgb * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        return jnp.concatenate(
+            [rgb, depth[:, None], acc[:, None]], axis=1)
+
+    jitted = jax.jit(chunk_fn)
+    n_pix = H * W
+
+    def render(params, statics, c2w, intrinsics):
+        c2w_j = jnp.asarray(np.asarray(c2w, np.float32)[:3, :4])
+        intr_j = jnp.asarray(np.asarray(intrinsics, np.float32)[:4])
+        # dispatch every chunk before the first fetch (overlap compute
+        # with the readbacks)
+        pending = [
+            jitted(baked, params, statics, c2w_j, intr_j,
+                   jnp.asarray(s, jnp.int32))
+            for s in range(0, n_pix, chunk_rays)
+        ]
+        out = np.concatenate([np.asarray(p) for p in pending], 0)[:n_pix]
+        if out_u8:
+            return out.reshape(H, W, 3)
+        return (out[:, 0:3].reshape(H, W, 3).copy(),
+                out[:, 3].reshape(H, W).copy(),
+                out[:, 4].reshape(H, W).copy())
+
+    return render
+
+
 def make_baked_chunk_renderer(
     baked: Dict,
     bcfg: BakedConfig,

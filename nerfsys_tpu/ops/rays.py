@@ -147,6 +147,53 @@ def clamp_rays_near_far(
     return rays, valid
 
 
+def frame_chunk_rays(
+    c2w: Array,  # (3, 4) or (4, 4), traced
+    intrinsics: Array,  # (4,) [fx, fy, cx, cy], traced
+    start,  # traced int32 scalar: first flattened pixel index
+    count: int,  # static chunk size
+    H: int,
+    W: int,
+    *,
+    scene_box: Optional[SceneBox] = None,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    near_override: Optional[float] = None,
+    far_override: Optional[float] = None,
+    center_pixels: bool = True,
+) -> Array:
+    """Packed rays (count, 8) for flattened pixels [start, start+count) of
+    one pinhole frame, generated ON DEVICE (jit-safe; start/c2w/intrinsics
+    are traced, so one compiled program serves every chunk and camera).
+
+    Serving-path counterpart of data/ram_rays.frame_rays: uploading a
+    frame becomes ~20 floats (pose + intrinsics) instead of H*W*8 — the
+    host->device ray transfer (~20 MB at 800² through the axon tunnel)
+    dominated the baked frame latency (BASELINE.md 2026-08-19), and the
+    host-side ray-gen time leaves the frame budget entirely. Matches
+    frame_rays semantics bit-for-bit: same RUB directions, AABB slab
+    test with 1e10 miss tags, and clamp/valid policy (invalid rays get
+    inf near/far -> background). Indices past H*W-1 clamp to the last
+    pixel; callers drop the padded tail.
+    """
+    idx = start + jnp.arange(count, dtype=jnp.int32)
+    idx = jnp.clip(idx, 0, H * W - 1)
+    jj = (idx // W).astype(jnp.float32)
+    ii = (idx % W).astype(jnp.float32)
+    if center_pixels:
+        ii = ii + 0.5
+        jj = jj + 0.5
+    x = (ii - intrinsics[2]) / intrinsics[0]
+    y = -(jj - intrinsics[3]) / intrinsics[1]
+    z = -jnp.ones_like(x)
+    dirs = jnp.stack([x, y, z], axis=-1)
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    rays = get_rays(dirs, c2w, scene_box=scene_box, near=near, far=far)
+    rays, _ = clamp_rays_near_far(rays, near_override, far_override)
+    return rays
+
+
 def rays_for_camera(
     c2w: Array,
     H: int,

@@ -512,6 +512,69 @@ def _bench_cfg():
 
 
 
+def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
+                        sh_levels: int = 3, iters: int = 5):
+    """Serving-rate frame latency: camera pose in, uint8 image out.
+
+    Uses make_baked_camera_renderer — rays generate ON DEVICE and the
+    tonemap fuses into the render program, so per-frame host<->device
+    traffic is ~20 floats up + the u8 image down (vs 20 MB of rays up +
+    13 MB of f32 down for the host-raygen path, which dominated the
+    3.6 s baked frame; BASELINE.md 2026-08-19)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.baked import (
+        BakedConfig,
+        bake_field,
+        make_baked_camera_renderer,
+    )
+
+    _, params, _, statics, _, _ = bench_setup()
+    cfg = _bench_cfg()
+    bcfg = BakedConfig(resolution=res, sh_levels=sh_levels)
+
+    t0 = time.perf_counter()
+    baked = bake_field(params, cfg, statics, bcfg)
+    float(jnp.sum(baked["table"][:1].astype(jnp.float32)))  # host sync
+    bake_s = time.perf_counter() - t0
+
+    H = W = side
+    renderer = make_baked_camera_renderer(
+        baked, bcfg, cfg, H=H, W=W, ray_samples=samples,
+        scene_aabb=np.asarray(statics.global_aabb), out_u8=True,
+    )
+    # camera above the scene looking down -z (RUB identity pose), fov
+    # sized so the frustum covers the scene box
+    c2w = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 2.0]], np.float32)
+    intr = np.array([W * 0.8, W * 0.8, W / 2, H / 2], np.float32)
+
+    img = renderer(params, statics, c2w, intr)  # compile
+    assert img.dtype == np.uint8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = renderer(params, statics, c2w, intr)
+    dt = (time.perf_counter() - t0) / iters
+
+    n = H * W
+    out = {
+        "mode": "baked_serve",
+        "resolution": f"{side}x{side}",
+        "grid_res": res,
+        "sh_levels": sh_levels,
+        "samples": samples,
+        "bake_seconds": round(bake_s, 2),
+        "frame_seconds": round(dt, 4),
+        "fps": round(1.0 / dt, 2),
+        "rays_per_sec": round(n / dt, 1),
+        "gather_rows_per_ray": 4.0 * samples,
+        "host_io_bytes_per_frame": int(3 * n + 19 * 4),
+        "mean_pixel": round(float(img.astype(np.float32).mean()), 2),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
                   sh_levels: int = 3, iters: int = 3):
     """Baked SH snapshot render latency (models/baked.py): one-time bake of
@@ -592,7 +655,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
                     choices=["train", "render", "moe", "occ_update",
-                             "baked"],
+                             "baked", "baked_serve"],
                     required=True)
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--samples", type=int, default=96)
@@ -624,6 +687,9 @@ def main(argv=None):
     elif a.mode == "baked":
         measure_baked(a.side, a.samples, res=a.grid_res,
                       sh_levels=a.sh_levels, iters=a.iters)
+    elif a.mode == "baked_serve":
+        measure_baked_serve(a.side, a.samples, res=a.grid_res,
+                            sh_levels=a.sh_levels, iters=a.iters)
     elif a.mode == "moe":
         measure_moe(a.K, iters=a.iters,
                     experts_per_point=a.experts_per_point,

@@ -169,6 +169,55 @@ def test_bake_then_render_tracks_live_field():
     assert (np.abs(np.asarray(acc_b) - np.asarray(acc_l)) < 0.25).mean() > 0.9
 
 
+def test_baked_camera_renderer_matches_host_raygen_path():
+    """On-device frame raygen (ops/rays.frame_chunk_rays inside the jitted
+    chunk) must reproduce the host path exactly: frame_rays -> baked chunk
+    renderer -> render_rays_chunked, same camera. Also pins the u8 output
+    as the quantization of the f32 render, and the non-divisible
+    H*W % chunk_rays tail handling."""
+    from nerfsys_tpu.data.ram_rays import frame_rays
+    from nerfsys_tpu.models.baked import make_baked_camera_renderer
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        render_rays_chunked,
+    )
+
+    cfg, st, params = _tiny_scene()
+    bcfg = BakedConfig(resolution=16, sh_levels=2, n_dirs=8,
+                       chunk_cells=4096, dtype="float32")
+    baked = bake_field(params, cfg, st, bcfg)
+
+    H, W = 23, 31  # 713 pixels: NOT a multiple of chunk_rays=256
+    intr = np.array([25.0, 25.0, W / 2, H / 2], np.float32)
+    c2w = np.array([[1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 3.0]],
+                   np.float32)
+    aabb = np.asarray(st.global_aabb)
+
+    # host path: native/numpy raygen -> ray upload -> chunk renderer
+    rays, _ = frame_rays(H, W, intr, c2w, aabb=aabb)
+    chunk = make_baked_chunk_renderer(baked, bcfg, cfg, ray_samples=16)
+    out = render_rays_chunked(chunk, params, st, rays, 256)
+    rgb_h = out[:, 0:3].reshape(H, W, 3)
+    depth_h = out[:, 3].reshape(H, W)
+
+    # device path: 19 floats up, image down
+    cam = make_baked_camera_renderer(
+        baked, bcfg, cfg, H=H, W=W, ray_samples=16, chunk_rays=256,
+        scene_aabb=aabb, out_u8=False)
+    rgb_d, depth_d, acc_d = cam(params, st, c2w, intr)
+    np.testing.assert_allclose(rgb_d, rgb_h, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(depth_d, depth_h, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(acc_d).all()
+
+    cam8 = make_baked_camera_renderer(
+        baked, bcfg, cfg, H=H, W=W, ray_samples=16, chunk_rays=256,
+        scene_aabb=aabb, out_u8=True)
+    img = cam8(params, st, c2w, intr)
+    assert img.dtype == np.uint8 and img.shape == (H, W, 3)
+    ref8 = np.clip(rgb_h * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # identical quantization modulo float rounding at bucket edges
+    assert (np.abs(img.astype(int) - ref8.astype(int)) <= 1).all()
+
+
 def test_baked_chunk_renderer_is_dispatch_compatible():
     from nerfsys_tpu.pipelines.online.runtime_adapt import render_rays_chunked
 
