@@ -268,9 +268,13 @@ def make_baked_camera_renderer(
     scene_aabb: Optional[np.ndarray] = None,
     near: Optional[float] = None,
     far: Optional[float] = None,
+    near_override: Optional[float] = None,
+    far_override: Optional[float] = None,
     bg_policy: str = "white",
     use_bg_fn: bool = True,
     out_u8: bool = True,
+    invalid_black: bool = False,
+    map_outputs=None,
 ):
     """Serving-path frame renderer over the snapshot:
     (params, statics, c2w (3,4), intrinsics (4,)) -> (H, W, 3) uint8
@@ -296,16 +300,26 @@ def make_baked_camera_renderer(
     elif near is None or far is None:
         raise ValueError("provide scene_aabb or scalar near/far")
 
-    def chunk_fn(baked_arg, params, statics, c2w, intr, start):
+    def chunk_fn(baked_arg, params, statics, c2w, intr, start, *extra):
         rays = frame_chunk_rays(
             c2w, intr, start, chunk_rays, H, W, scene_box=sb,
             near=near, far=far,
+            near_override=near_override, far_override=far_override,
         )
         bg_fn = container_bg_fn(params, cfg) if use_bg_fn else None
         rgb, depth, _, acc = render_rays_baked(
             baked_arg, bcfg, rays, ray_samples, bg_policy=bg_policy,
             bg_fn=bg_fn,
         )
+        if invalid_black:
+            # the host paths zero AABB-miss rays after the fetch (viewer
+            # semantics); here the mask lives on device
+            ok = jnp.isfinite(rays[:, 6])
+            rgb = jnp.where(ok[:, None], rgb, 0.0)
+            depth = jnp.where(ok, depth, 0.0)
+            acc = jnp.where(ok, acc, 0.0)
+        if map_outputs is not None:
+            return map_outputs(rgb, depth, acc, *extra)
         if out_u8:
             return jnp.clip(
                 rgb * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
@@ -315,19 +329,19 @@ def make_baked_camera_renderer(
     jitted = jax.jit(chunk_fn)
     n_pix = H * W
 
-    def render(params, statics, c2w, intrinsics):
+    def render(params, statics, c2w, intrinsics, *extra):
         c2w_j = jnp.asarray(np.asarray(c2w, np.float32)[:3, :4])
         intr_j = jnp.asarray(np.asarray(intrinsics, np.float32)[:4])
         # dispatch every chunk before the first fetch (overlap compute
         # with the readbacks)
         pending = [
             jitted(baked, params, statics, c2w_j, intr_j,
-                   jnp.asarray(s, jnp.int32))
+                   jnp.asarray(s, jnp.int32), *extra)
             for s in range(0, n_pix, chunk_rays)
         ]
         out = np.concatenate([np.asarray(p) for p in pending], 0)[:n_pix]
-        if out_u8:
-            return out.reshape(H, W, 3)
+        if map_outputs is not None or out_u8:
+            return out.reshape(H, W, -1)
         return (out[:, 0:3].reshape(H, W, 3).copy(),
                 out[:, 3].reshape(H, W).copy(),
                 out[:, 4].reshape(H, W).copy())

@@ -117,24 +117,38 @@ class RenderEngine:
     def baked_active(self) -> bool:
         return self._baked is not None
 
-    def _baked_u8_renderer(self, samples: int, bg_policy: str):
-        """Fused uint8 tonemap over the snapshot (same 3 B/ray fetch as the
-        live u8 path); exposure/gamma are traced scalars."""
+    def _baked_cam_renderer(self, H, W, samples, bg_policy, near, far):
+        """Whole-frame serving renderer over the snapshot: pose in, fused-
+        tonemap uint8 out (exposure/gamma are traced scalars). Rays
+        generate on device — per-frame host IO is ~20 floats up + 3 B/px
+        down. AABB-miss pixels render black (the host paths' valid-mask
+        semantics, applied on device)."""
         import jax.numpy as jnp
 
         baked, bcfg, _src = self._baked
-        key = ("u8", int(samples), str(bg_policy))
+        key = ("cam", int(H), int(W), int(samples), str(bg_policy),
+               near, far)
         r = self._baked_renderers.get(key)
         if r is None:
-            from nerfsys_tpu.models.baked import make_baked_chunk_renderer
+            from nerfsys_tpu.models.baked import make_baked_camera_renderer
 
             def tonemap_u8(rgb, depth, acc, exposure, inv_gamma):
                 x = jnp.clip(rgb * (2.0 ** exposure), 0.0, 1.0) ** inv_gamma
                 return (x * 255.0 + 0.5).astype(jnp.uint8)
 
-            r = make_baked_chunk_renderer(
-                baked, bcfg, self.cfg, ray_samples=int(samples),
-                bg_policy=str(bg_policy), map_outputs=tonemap_u8,
+            if len(self._baked_renderers) >= 6:  # resolution churn bound
+                self._baked_renderers.clear()
+            kw = {}
+            if self.global_aabb is not None:
+                kw = dict(scene_aabb=np.asarray(self.global_aabb),
+                          near_override=near, far_override=far)
+            else:
+                kw = dict(near=near, far=far)
+            r = make_baked_camera_renderer(
+                baked, bcfg, self.cfg, H=int(H), W=int(W),
+                ray_samples=int(samples), chunk_rays=self.chunk_rays,
+                bg_policy=str(bg_policy), invalid_black=True,
+                map_outputs=tonemap_u8, **kw,
             )
             self._baked_renderers[key] = r
         return r
@@ -239,6 +253,33 @@ class RenderEngine:
             far = 100.0 if far is None else far
 
         fy = H / (2.0 * np.tan(0.5 * float(fov_y)))
+
+        # baked serving: checked BEFORE host ray-gen — the camera renderer
+        # uploads ~20 floats (pose + intrinsics) and fetches the u8 frame;
+        # rays generate on device (the ray upload dominated baked frame
+        # latency, BASELINE.md 2026-08-19). Valid only for the params
+        # snapshot it was baked from; newer params mean adaptation stepped,
+        # so invalidate and fall back to the live field. Active-expert
+        # isolation always renders live (the bake is routed over ALL
+        # experts).
+        if self._baked is not None and output == "rgb" and active is None:
+            if self._baked[2] == id(p):
+                try:
+                    renderer = self._baked_cam_renderer(
+                        H, W, samples, bg, near, far)
+                    inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
+                    img = renderer(
+                        p, self.statics, c2w,
+                        np.array([fy, fy, W / 2.0, H / 2.0], np.float32),
+                        np.float32(exposure), inv_gamma,
+                    )
+                    return np.asarray(img, np.uint8)
+                except Exception as e:
+                    print(f"[viewer] render failed "
+                          f"({type(e).__name__}: {e})")
+                    return np.zeros((H, W, 3), np.uint8)
+            self.invalidate_baked()
+
         rays, valid = frame_rays(
             H, W, (fy, fy, W / 2.0, H / 2.0), c2w,
             aabb=self.global_aabb, near=near, far=far,
@@ -252,32 +293,7 @@ class RenderEngine:
             two_wave_dispatch,
         )
 
-        # baked serving: valid only for the params snapshot it was baked
-        # from — a newer snapshot means adaptation stepped, so invalidate
-        # and fall back to the live field (never serve stale geometry).
-        # active-expert isolation always renders live (the bake is routed
-        # over ALL experts).
-        use_baked = False
-        if self._baked is not None and output == "rgb" and active is None:
-            if self._baked[2] == id(p):
-                use_baked = True
-            else:
-                self.invalidate_baked()
-
         try:
-            if output == "rgb" and use_baked:
-                renderer = self._baked_u8_renderer(samples, bg)
-                inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
-                exp_f = np.float32(exposure)
-                frame_u8 = np.zeros((n, 3), np.uint8)
-                for ids, out in two_wave_dispatch(
-                    renderer, p, self.statics, rays, self.chunk_rays,
-                    exp_f, inv_gamma,
-                ):
-                    frame_u8[ids] = np.asarray(out)[: len(ids)]
-                frame_u8 = np.where(valid[:, None], frame_u8, 0)
-                return frame_u8.reshape(H, W, 3).astype(np.uint8)
-
             if output == "rgb":
                 # fused device tonemap -> one uint8 fetch (3 B/ray vs the
                 # 20 B/ray f32 rgb+depth+acc path); under occupancy the
