@@ -98,6 +98,18 @@ def sh_projection_matrix(levels: int, dirs: np.ndarray) -> np.ndarray:
     return np.linalg.solve(Y.T @ Y, Y.T).astype(np.float32)  # (B, M)
 
 
+def _np_dilate3(mask: np.ndarray) -> np.ndarray:
+    """One 3³ max-pool pass over an (R, R, R) bool mask (host numpy)."""
+    R = mask.shape[0]
+    p = np.pad(mask, 1, constant_values=False)
+    out = np.zeros_like(mask)
+    for dx in range(3):
+        for dy in range(3):
+            for dz in range(3):
+                out |= p[dx:dx + R, dy:dy + R, dz:dz + R]
+    return out
+
+
 def bake_field(
     params,
     cfg: ContainerConfig,
@@ -105,6 +117,8 @@ def bake_field(
     bcfg: BakedConfig = BakedConfig(),
     *,
     aabb: Optional[Array] = None,
+    occ_state: Optional[Dict] = None,
+    occ_dilate: int = 2,
 ) -> Dict:
     """Resample the routed container field into a baked grid.
 
@@ -112,6 +126,18 @@ def bake_field(
     metadata} — row ((x*R)+y)*R+z packs cell (x,y,z) AND (x,y,z+1) (z+1
     clamped at the boundary), so a trilinear query needs one row per (x,y)
     corner. One-time cost: R³ x n_dirs field evaluations, chunked.
+
+    With `occ_state` (a trained, ready occupancy state — models/occupancy),
+    only cells marked alive under ANY expert's binary grid are evaluated;
+    dead cells get all-zero rows (sigma 0) without touching the field. The
+    alive mask is dilated `occ_dilate` passes in BAKE-grid space first
+    (trilinear queries read 1-cell neighborhoods, and the occ grid's
+    resolution differs from the bake's — the margin keeps the skip
+    conservative). This matches the HARD-mask live render's zeroing
+    semantics, so soft-trained checkpoints trade the soft pdf-floor's
+    unmarked-space radiance for the bake-cost cut — A/B before trusting
+    (BASELINE.md). The occ probe itself is cheap: one binary row gather per
+    cell per expert vs n_dirs field evaluations saved per dead cell.
     """
     R = int(bcfg.resolution)
     C = bcfg.channels
@@ -144,22 +170,59 @@ def bake_field(
         return jnp.concatenate([sigma[:, None], coefs.reshape(n, -1)], 1)
 
     n_cells = R * R * R
-    chunk = min(int(bcfg.chunk_cells), n_cells)
-    pad = (-n_cells) % chunk
-    pts_all = centers
-    if pad:
-        pts_all = jnp.concatenate([pts_all, jnp.zeros((pad, 3))], 0)
-    pts_all = pts_all.reshape(-1, chunk, 3)
+    centers_np = np.asarray(centers, np.float32)
+
+    alive_idx = None
+    if occ_state is not None:
+        from nerfsys_tpu.models.occupancy import occ_ready, union_binary_fn
+
+        if not bool(occ_ready(occ_state)):
+            print("[bake] occ_state not ready (warmup incomplete) — "
+                  "baking dense")
+        else:
+            qfn = jax.jit(union_binary_fn(occ_state, statics))
+            qchunk = min(1 << 20, n_cells)
+            qpad = (-n_cells) % qchunk
+            qpts = centers_np
+            if qpad:
+                qpts = np.concatenate(
+                    [qpts, np.zeros((qpad, 3), np.float32)], 0)
+            alive_np = np.empty(qpts.shape[0], bool)
+            for i in range(0, qpts.shape[0], qchunk):
+                alive_np[i:i + qchunk] = np.asarray(
+                    qfn(jnp.asarray(qpts[i:i + qchunk])))
+            alive = alive_np[:n_cells].reshape(R, R, R)
+            for _ in range(max(int(occ_dilate), 0)):
+                alive = _np_dilate3(alive)
+            alive_idx = np.nonzero(alive.reshape(-1))[0]
+            print(f"[bake] occ skip: {alive_idx.size}/{n_cells} cells alive "
+                  f"({100.0 * alive_idx.size / n_cells:.1f}%, "
+                  f"dilate={occ_dilate})")
 
     # HOST loop over chunks, one bounded jitted program per chunk, forced
     # to completion via the host transfer (np.asarray): a single fused
     # R³ x n_dirs program runs minutes on-device, and long/dangling
     # executions crash the axon TPU worker (CLAUDE.md). The transfer also
     # IS the sync — block_until_ready does not block under axon.
-    vals_np = np.empty((pts_all.shape[0] * chunk, C), np.float32)
-    for i in range(pts_all.shape[0]):
-        vals_np[i * chunk:(i + 1) * chunk] = np.asarray(eval_chunk(pts_all[i]))
-    vals = vals_np[:n_cells]  # (R³, C) f32
+    if alive_idx is None:
+        eval_pts = centers_np  # (R³, 3)
+    else:
+        eval_pts = centers_np[alive_idx]  # (n_alive, 3)
+    n_eval = eval_pts.shape[0]
+    chunk = max(1, min(int(bcfg.chunk_cells), n_eval))
+    pad = (-n_eval) % chunk
+    if pad:
+        eval_pts = np.concatenate(
+            [eval_pts, np.zeros((pad, 3), np.float32)], 0)
+    out_np = np.empty((eval_pts.shape[0], C), np.float32)
+    for i in range(0, eval_pts.shape[0], chunk):
+        out_np[i:i + chunk] = np.asarray(
+            eval_chunk(jnp.asarray(eval_pts[i:i + chunk])))
+    if alive_idx is None:
+        vals = out_np[:n_cells]  # (R³, C) f32
+    else:
+        vals = np.zeros((n_cells, C), np.float32)
+        vals[alive_idx] = out_np[:n_eval]
 
     # overlapping z-pairs: row z carries [cell z, cell z+1 (clamped)]
     g = vals.reshape(R, R, R, C)

@@ -1156,6 +1156,8 @@ def runtime_evaluate(
     render_early_stop: float = 0.0,  # Phase-B early ray termination eps
     render_baked_res: int = 0,  # > 0: Phase-B renders a baked SH snapshot
     render_baked_sh: int = 3,  # SH levels (degree + 1) for the bake
+    render_baked_occ: bool = False,  # bake only occ-alive cells
+    render_baked_occ_dilate: int = 2,
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
     mesh=None,  # jax.sharding.Mesh -> Phase-B frames shard over 'data'
 ) -> Dict[str, float]:
@@ -1233,7 +1235,11 @@ def runtime_evaluate(
                            sh_levels=int(render_baked_sh),
                            n_dirs=max(32, 2 * int(render_baked_sh) ** 2))
         tb = time.time()
-        baked = bake_field(params, cfg, statics, bcfg)
+        baked = bake_field(
+            params, cfg, statics, bcfg,
+            occ_state=occ_state if render_baked_occ else None,
+            occ_dilate=int(render_baked_occ_dilate),
+        )
         jax.block_until_ready(baked["table"])
         log(f"  baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
             f"in {time.time() - tb:.1f}s")

@@ -319,7 +319,12 @@ def render_video(ctx) -> Path:
                            n_dirs=max(32, 2 * int(getattr(
                                P, "render_baked_sh", 3)) ** 2))
         t0 = _time.perf_counter()
-        baked = bake_field(params, cfg, statics, bcfg)
+        baked = bake_field(
+            params, cfg, statics, bcfg,
+            occ_state=(ctx.get("occ_state")
+                       if getattr(P, "render_baked_occ", False) else None),
+            occ_dilate=int(getattr(P, "render_baked_occ_dilate", 2)),
+        )
         print(f"[video] baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
               f"in {_time.perf_counter() - t0:.1f}s")
         renderer = make_baked_chunk_renderer(

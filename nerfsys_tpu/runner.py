@@ -539,6 +539,9 @@ def evaluate(ctx):
             render_early_stop=float(getattr(P, "render_early_stop", 0.0)),
             render_baked_res=int(getattr(P, "render_baked", 0)),
             render_baked_sh=int(getattr(P, "render_baked_sh", 3)),
+            render_baked_occ=bool(getattr(P, "render_baked_occ", False)),
+            render_baked_occ_dilate=int(
+                getattr(P, "render_baked_occ_dilate", 2)),
             fim_cfg=fim_cfg,
             optimizer=tx,
             test_metadata=ctx["test_metadata"],

@@ -246,6 +246,36 @@ def measure_occ_update(iters: int = 3, resolution: int = 128,
     return out
 
 
+def _synthetic_occ_state(statics, *, geometry: bool):
+    """Ready occ state for the synthetic bench scene: all-ones binary, or
+    (geometry=True) only cells whose centers sit below the level-0 box tops
+    (z <= 2.2) — so space above the scene is genuinely dead (an all-ones
+    binary marks the level-1 halo up to z=3.4 and nothing would skip)."""
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    occ_state = init_occ_state(
+        OccGridConfig(resolution=64, levels=2, warmup_steps=0), 4
+    )
+    if geometry:
+        from nerfsys_tpu.ops.occupancy import level_aabbs
+
+        K_, L_, R_ = occ_state["binary"].shape[:3]
+        binary = np.zeros(occ_state["binary"].shape, bool)
+        for k in range(K_):
+            la = np.asarray(level_aabbs(statics.expert_aabbs[k], L_))
+            for lv in range(L_):
+                lo, hi = la[lv, 0, 2], la[lv, 1, 2]
+                zc = lo + (np.arange(R_) + 0.5) * (hi - lo) / R_
+                binary[k, lv, :, :, zc <= 2.2] = True
+        occ_state["binary"] = jnp.asarray(binary)
+    else:
+        occ_state["binary"] = jnp.ones_like(occ_state["binary"])
+    occ_state["num_updates"] = jnp.asarray(1000, jnp.int32)
+    return occ_state
+
+
 def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
                    iters: int = 3, top1: bool = False, sky: float = 0.0,
                    union_probe: int = 0, early_stop: float = 0.0,
@@ -262,30 +292,7 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     _, params, _, statics, _, _ = bench_setup()
     occ_state = None
     if use_occ:
-        from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
-
-        occ_state = init_occ_state(
-            OccGridConfig(resolution=64, levels=2, warmup_steps=0), 4
-        )
-        if sky > 0.0:
-            # geometry-shaped grid: only cells whose centers sit below the
-            # level-0 box tops (z <= 2.2) are occupied, so up-pointing rays
-            # above the scene are genuinely dead (an all-ones binary marks
-            # the level-1 halo up to z=3.4 and nothing would skip)
-            from nerfsys_tpu.ops.occupancy import level_aabbs
-
-            K_, L_, R_ = occ_state["binary"].shape[:3]
-            binary = np.zeros(occ_state["binary"].shape, bool)
-            for k in range(K_):
-                la = np.asarray(level_aabbs(statics.expert_aabbs[k], L_))
-                for lv in range(L_):
-                    lo, hi = la[lv, 0, 2], la[lv, 1, 2]
-                    zc = lo + (np.arange(R_) + 0.5) * (hi - lo) / R_
-                    binary[k, lv, :, :, zc <= 2.2] = True
-            occ_state["binary"] = jnp.asarray(binary)
-        else:
-            occ_state["binary"] = jnp.ones_like(occ_state["binary"])
-        occ_state["num_updates"] = jnp.asarray(1000, jnp.int32)
+        occ_state = _synthetic_occ_state(statics, geometry=sky > 0.0)
 
     # renderer over CHUNK-sized ray batches (HBM-safe: 65536 x 96 samples
     # compiles to a ~21 GB program on the 16 GB v5e — measured OOM)
@@ -513,7 +520,8 @@ def _bench_cfg():
 
 
 def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
-                        sh_levels: int = 3, iters: int = 5):
+                        sh_levels: int = 3, iters: int = 5,
+                        use_occ: bool = False):
     """Serving-rate frame latency: camera pose in, uint8 image out.
 
     Uses make_baked_camera_renderer — rays generate ON DEVICE and the
@@ -533,9 +541,11 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
     _, params, _, statics, _, _ = bench_setup()
     cfg = _bench_cfg()
     bcfg = BakedConfig(resolution=res, sh_levels=sh_levels)
+    occ_state = (_synthetic_occ_state(statics, geometry=True)
+                 if use_occ else None)
 
     t0 = time.perf_counter()
-    baked = bake_field(params, cfg, statics, bcfg)
+    baked = bake_field(params, cfg, statics, bcfg, occ_state=occ_state)
     float(jnp.sum(baked["table"][:1].astype(jnp.float32)))  # host sync
     bake_s = time.perf_counter() - t0
 
@@ -576,7 +586,8 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
 
 
 def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
-                  sh_levels: int = 3, iters: int = 3):
+                  sh_levels: int = 3, iters: int = 3,
+                  use_occ: bool = False):
     """Baked SH snapshot render latency (models/baked.py): one-time bake of
     the demo-scale container, then full frames at side² — the serving-rate
     rung of the render ladder (4 gather rows/sample vs 18/point x K live,
@@ -600,9 +611,11 @@ def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
     _, params, _, statics, _, _ = bench_setup()
     cfg = _bench_cfg()
     bcfg = BakedConfig(resolution=res, sh_levels=sh_levels)
+    occ_state = (_synthetic_occ_state(statics, geometry=True)
+                 if use_occ else None)
 
     t0 = time.perf_counter()
-    baked = bake_field(params, cfg, statics, bcfg)
+    baked = bake_field(params, cfg, statics, bcfg, occ_state=occ_state)
     jax.block_until_ready(baked["table"])
     # axon gotcha: block_until_ready may not block — force a host fetch
     float(jnp.sum(baked["table"][:1].astype(jnp.float32)))
@@ -658,7 +671,10 @@ def main(argv=None):
                              "baked", "baked_serve"],
                     required=True)
     ap.add_argument("--side", type=int, default=800)
-    ap.add_argument("--samples", type=int, default=96)
+    ap.add_argument("--samples", type=int, default=None,
+                    help="samples per ray (default: 96 for render, 32 for "
+                         "the baked modes — the baked serving ladder is "
+                         "measured at 32)")
     ap.add_argument("--use_occ", action="store_true")
     ap.add_argument("--top1", action="store_true")
     ap.add_argument("--union_probe", type=int, default=0,
@@ -680,16 +696,20 @@ def main(argv=None):
     ap.add_argument("--experts_per_point", type=int, default=2)
     ap.add_argument("--capacity_factor", type=float, default=1.5)
     a = ap.parse_args(argv)
+    if a.samples is None:
+        a.samples = 32 if a.mode in ("baked", "baked_serve") else 96
     if a.mode == "train":
         measure_train(a.iters, use_occ=a.use_occ)
     elif a.mode == "occ_update":
         measure_occ_update(a.iters)
     elif a.mode == "baked":
         measure_baked(a.side, a.samples, res=a.grid_res,
-                      sh_levels=a.sh_levels, iters=a.iters)
+                      sh_levels=a.sh_levels, iters=a.iters,
+                      use_occ=a.use_occ)
     elif a.mode == "baked_serve":
         measure_baked_serve(a.side, a.samples, res=a.grid_res,
-                            sh_levels=a.sh_levels, iters=a.iters)
+                            sh_levels=a.sh_levels, iters=a.iters,
+                            use_occ=a.use_occ)
     elif a.mode == "moe":
         measure_moe(a.K, iters=a.iters,
                     experts_per_point=a.experts_per_point,

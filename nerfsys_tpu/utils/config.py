@@ -141,6 +141,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "mode, geometry resolution-limited). 0 = live field")
     p.add_argument("--render_baked_sh", type=int, default=3,
                    help="SH levels (degree + 1) for --render_baked")
+    p.add_argument("--render_baked_occ", action="store_true",
+                   help="with --render_baked on an occupancy checkpoint: "
+                        "bake only cells alive under any expert's binary "
+                        "grid (dead cells get zero rows without evaluating "
+                        "the field — cuts bake cost by the dead fraction). "
+                        "Hard-mask zeroing semantics: soft-trained "
+                        "checkpoints lose the pdf-floor radiance in "
+                        "unmarked space; A/B before trusting")
+    p.add_argument("--render_baked_occ_dilate", type=int, default=2,
+                   help="conservative 3^3 max-pool passes over the alive "
+                        "mask in BAKE-grid space before skipping "
+                        "(--render_baked_occ)")
     p.add_argument("--render_early_stop", type=float, default=0.0,
                    help="early ray termination for renders: stop paying for "
                         "samples once transmittance < eps (reference parity: "

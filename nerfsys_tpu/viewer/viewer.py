@@ -91,12 +91,16 @@ class RenderEngine:
         self._baked_renderers: Dict[Tuple, object] = {}
 
     # ------------------------------ baked serving -----------------------------
-    def bake(self, params=None, resolution: int = 256, sh_levels: int = 3):
+    def bake(self, params=None, resolution: int = 256, sh_levels: int = 3,
+             use_occ: bool = False, occ_dilate: int = 2):
         """Resample the (possibly adapted) field into a baked SH grid and
         serve subsequent rgb frames from it — 4 gather rows/sample instead
         of the live MoE chain. Call on pause (the GUI's Bake control /
         bake-on-pause); rendering any NEWER params snapshot invalidates
         automatically, so a resumed adaptation never serves stale geometry.
+        With use_occ and a loaded occupancy state, dead cells are skipped
+        during the bake (models/baked.bake_field occ_state path) — the
+        interactive bake-on-pause latency drops by the dead fraction.
         """
         from nerfsys_tpu.models.baked import BakedConfig, bake_field
 
@@ -104,7 +108,11 @@ class RenderEngine:
         bcfg = BakedConfig(resolution=int(resolution),
                            sh_levels=int(sh_levels),
                            n_dirs=max(32, 2 * int(sh_levels) ** 2))
-        baked = bake_field(p, self.cfg, self.statics, bcfg)
+        baked = bake_field(
+            p, self.cfg, self.statics, bcfg,
+            occ_state=self.occ_state if use_occ else None,
+            occ_dilate=int(occ_dilate),
+        )
         self._baked = (baked, bcfg, id(p))
         self._baked_renderers = {}
         return bcfg
@@ -517,8 +525,11 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
 
     def _bake_now():
         try:
+            # interactive bakes ride the occupancy skip when the checkpoint
+            # carries grids — bake-on-pause latency is the UX-critical bit
             bcfg = engine.bake(ctrl.get_render_params(),
-                               resolution=int(gui_baked_res.value))
+                               resolution=int(gui_baked_res.value),
+                               use_occ=engine.occ_state is not None)
             gui_status.content = (f"status: baked {bcfg.resolution}³ "
                                   f"SH-{bcfg.sh_levels} serving snapshot")
         except Exception as e:

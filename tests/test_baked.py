@@ -240,3 +240,79 @@ def test_baked_chunk_renderer_is_dispatch_compatible():
     )
     np.testing.assert_allclose(out[:, 0:3], np.asarray(rgb_d), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_bake_occ_skip_all_alive_is_bitexact_dense():
+    """Occupancy-aware bake (bake_field occ_state path): when every cell is
+    alive (expert rois cover the global box, binary all-True), the sparse
+    bake must equal the dense bake BIT-exactly — same points, same chunking,
+    same program."""
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    cfg, st, params = _tiny_scene()
+    # expert rois = the global box, so the union query is True everywhere
+    full = jnp.broadcast_to(st.global_aabb[None], (2, 2, 3))
+    st = ContainerStatics(st.centroids, full, st.global_aabb)
+    bcfg = BakedConfig(resolution=12, sh_levels=2, n_dirs=8,
+                       chunk_cells=1728, dtype="float32")
+    dense = bake_field(params, cfg, st, bcfg)
+
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=1), 2)
+    occ = dict(occ, binary=jnp.ones_like(occ["binary"]),
+               num_updates=occ["ready_after"])
+    sparse = bake_field(params, cfg, st, bcfg, occ_state=occ, occ_dilate=1)
+    np.testing.assert_array_equal(np.asarray(dense["table"]),
+                                  np.asarray(sparse["table"]))
+
+
+def test_bake_occ_skip_zeroes_dead_cells_and_keeps_alive_exact():
+    """Partial occupancy: alive cells (union binary, dilated in bake-grid
+    space) reproduce the dense bake exactly; dead cells are all-zero rows
+    (the field is never evaluated there). Checked at the packed-row level:
+    a row matches dense where both its z-cells are alive, and is zero where
+    both are dead."""
+    from nerfsys_tpu.models.baked import _np_dilate3
+    from nerfsys_tpu.models.occupancy import union_binary_fn
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    cfg, st, params = _tiny_scene()
+    R = 12
+    bcfg = BakedConfig(resolution=R, sh_levels=2, n_dirs=8,
+                       chunk_cells=256, dtype="float32")
+    dense = bake_field(params, cfg, st, bcfg)
+
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=1), 2)
+    occ = dict(occ, binary=jnp.ones_like(occ["binary"]),
+               num_updates=occ["ready_after"])
+    sparse = bake_field(params, cfg, st, bcfg, occ_state=occ, occ_dilate=1)
+
+    # recompute the expected alive mask exactly as bake_field does
+    lo, hi = np.asarray(st.global_aabb[0]), np.asarray(st.global_aabb[1])
+    idx = np.arange(R, dtype=np.float32) + 0.5
+    gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
+    centers = lo + np.stack([gx, gy, gz], -1).reshape(-1, 3) * (hi - lo) / R
+    alive = np.asarray(union_binary_fn(occ, st)(jnp.asarray(centers)))
+    alive = _np_dilate3(alive.reshape(R, R, R))
+    assert 0 < alive.sum() < alive.size  # the scene must exercise both arms
+
+    # packed rows: [cell z, cell z+1 (clamped)]
+    nxt = np.concatenate([alive[:, :, 1:], alive[:, :, -1:]], axis=2)
+    both = (alive & nxt).reshape(-1)
+    neither = (~alive & ~nxt).reshape(-1)
+    dt, sp = np.asarray(dense["table"]), np.asarray(sparse["table"])
+    np.testing.assert_array_equal(dt[both], sp[both])
+    assert np.all(sp[neither] == 0.0)
+    assert not np.all(dt[neither] == 0.0)  # the skip actually skipped work
+
+
+def test_bake_occ_skip_falls_back_dense_when_not_ready():
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    cfg, st, params = _tiny_scene()
+    bcfg = BakedConfig(resolution=8, sh_levels=1, n_dirs=4,
+                       chunk_cells=512, dtype="float32")
+    dense = bake_field(params, cfg, st, bcfg)
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=1), 2)  # 0 updates
+    sparse = bake_field(params, cfg, st, bcfg, occ_state=occ, occ_dilate=1)
+    np.testing.assert_array_equal(np.asarray(dense["table"]),
+                                  np.asarray(sparse["table"]))
