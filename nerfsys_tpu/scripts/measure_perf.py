@@ -521,7 +521,7 @@ def _bench_cfg():
 
 def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
                         sh_levels: int = 3, iters: int = 5,
-                        use_occ: bool = False):
+                        use_occ: bool = False, chunk_rays: int = 65536):
     """Serving-rate frame latency: camera pose in, uint8 image out.
 
     Uses make_baked_camera_renderer — rays generate ON DEVICE and the
@@ -552,6 +552,7 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
     H = W = side
     renderer = make_baked_camera_renderer(
         baked, bcfg, cfg, H=H, W=W, ray_samples=samples,
+        chunk_rays=chunk_rays,
         scene_aabb=np.asarray(statics.global_aabb), out_u8=True,
     )
     # camera above the scene looking down -z (RUB identity pose), fov
@@ -573,6 +574,8 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
         "grid_res": res,
         "sh_levels": sh_levels,
         "samples": samples,
+        "chunk_rays": chunk_rays,
+        "n_chunks": -(-n // chunk_rays),
         "bake_seconds": round(bake_s, 2),
         "frame_seconds": round(dt, 4),
         "fps": round(1.0 / dt, 2),
@@ -688,6 +691,10 @@ def main(argv=None):
                     help="baked mode: SH levels (degree + 1)")
     ap.add_argument("--early_stop", type=float, default=0.0,
                     help="render mode: early ray termination eps")
+    ap.add_argument("--chunk_rays", type=int, default=65536,
+                    help="baked_serve mode: rays per dispatched chunk "
+                         "(sweep to separate per-dispatch overhead from "
+                         "gather throughput)")
     ap.add_argument("--opaque", type=float, default=1.0,
                     help="render mode: density scale (trained scenes are "
                          "opaque; random init is not)")
@@ -709,7 +716,7 @@ def main(argv=None):
     elif a.mode == "baked_serve":
         measure_baked_serve(a.side, a.samples, res=a.grid_res,
                             sh_levels=a.sh_levels, iters=a.iters,
-                            use_occ=a.use_occ)
+                            use_occ=a.use_occ, chunk_rays=a.chunk_rays)
     elif a.mode == "moe":
         measure_moe(a.K, iters=a.iters,
                     experts_per_point=a.experts_per_point,
