@@ -1234,6 +1234,12 @@ def runtime_evaluate(
         bcfg = BakedConfig(resolution=int(render_baked_res),
                            sh_levels=int(render_baked_sh),
                            n_dirs=max(32, 2 * int(render_baked_sh) ** 2))
+        if render_baked_occ and occ_state is None:
+            # visible no-op guard (ADVICE r3): bake_field only warns for a
+            # present-but-not-ready state; a checkpoint with no grids at
+            # all would otherwise silently bake dense
+            log("  [baked] WARNING: --render_baked_occ requested but the "
+                "checkpoint has no occupancy state — baking dense")
         tb = time.time()
         baked = bake_field(
             params, cfg, statics, bcfg,

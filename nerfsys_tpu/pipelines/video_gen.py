@@ -318,6 +318,11 @@ def render_video(ctx) -> Path:
                            sh_levels=int(getattr(P, "render_baked_sh", 3)),
                            n_dirs=max(32, 2 * int(getattr(
                                P, "render_baked_sh", 3)) ** 2))
+        if getattr(P, "render_baked_occ", False) and \
+                ctx.get("occ_state") is None:
+            # visible no-op guard (ADVICE r3): no grids -> dense bake
+            print("[video] WARNING: --render_baked_occ requested but the "
+                  "checkpoint has no occupancy state — baking dense")
         t0 = _time.perf_counter()
         baked = bake_field(
             params, cfg, statics, bcfg,

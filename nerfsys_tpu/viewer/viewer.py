@@ -525,11 +525,15 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
 
     def _bake_now():
         try:
-            # interactive bakes ride the occupancy skip when the checkpoint
-            # carries grids — bake-on-pause latency is the UX-critical bit
+            # interactive bakes ride the occupancy skip only while the
+            # 'Occupancy sampling' toggle is on — the occ bake hard-zeros
+            # dead cells, which soft-trained checkpoints should be able to
+            # opt out of from the GUI (ADVICE r3); bake-on-pause latency is
+            # the UX-critical bit, so the toggle's default (occ_state
+            # present) keeps the skip for occ checkpoints
             bcfg = engine.bake(ctrl.get_render_params(),
                                resolution=int(gui_baked_res.value),
-                               use_occ=engine.occ_state is not None)
+                               use_occ=engine.use_occ)
             gui_status.content = (f"status: baked {bcfg.resolution}³ "
                                   f"SH-{bcfg.sh_levels} serving snapshot")
         except Exception as e:

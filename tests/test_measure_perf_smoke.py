@@ -78,3 +78,19 @@ def test_train_rows_model_lines_matmul():
         num_experts=1, tasks_per_expert=1, support_rays=1, query_rays=0,
         inner_iter=1, ray_samples=1, lines_gathered=False)
     assert rows == 9.0
+
+
+def test_cli_samples_default_per_mode():
+    """The baked modes default to 32 samples; render/train keep 96; an
+    explicit --samples always wins. Regression for the r3 sweep that ran
+    baked_serve at 96 because the render default leaked over the mode's
+    (VERDICT r3 item 1)."""
+    from nerfsys_tpu.scripts.measure_perf import parse_perf_args
+
+    assert parse_perf_args(["--mode", "baked_serve"]).samples == 32
+    assert parse_perf_args(["--mode", "baked"]).samples == 32
+    assert parse_perf_args(["--mode", "render"]).samples == 96
+    assert parse_perf_args(
+        ["--mode", "baked_serve", "--samples", "16"]).samples == 16
+    assert parse_perf_args(
+        ["--mode", "render", "--samples", "32"]).samples == 32

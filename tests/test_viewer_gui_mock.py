@@ -335,3 +335,52 @@ def test_launch_viewer_baked_serving_flow(mock_viser, tmp_path):
     finally:
         ctrl.stop(join=False)
         server.stop()
+
+
+def test_bake_respects_occ_toggle(mock_viser, tmp_path, monkeypatch):
+    """Interactive bakes follow the 'Occupancy sampling' GUI toggle
+    (ADVICE r3): with the toggle off, _bake_now must NOT thread the occ
+    state into bake_field (the occ bake hard-zeros dead cells, which a
+    soft-trained checkpoint's user may want to opt out of)."""
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.viewer.viewer import launch_viewer
+
+    ctx = _tiny_ctx(tmp_path)
+    ctx["occ_state"] = init_occ_state(
+        OccGridConfig(resolution=8, levels=1, warmup_steps=0), 2)
+
+    seen = []
+
+    def fake_bake_field(params, cfg, statics, bcfg, *, occ_state=None, **kw):
+        seen.append(occ_state is not None)
+        n = bcfg.resolution ** 3
+        return {"table": jnp.zeros((n, 2 * bcfg.channels), jnp.bfloat16),
+                "aabb": jnp.asarray([[-1.5] * 3, [1.5] * 3], jnp.float32)}
+
+    import nerfsys_tpu.models.baked as baked_mod
+    monkeypatch.setattr(baked_mod, "bake_field", fake_bake_field)
+
+    server, ctrl, engine = launch_viewer(ctx, port=0, blocking=False)
+    try:
+        w = server.gui.widgets
+        w["Bake resolution"].value = 4
+        assert engine.use_occ  # occ checkpoint -> toggle defaults on
+
+        # toggle ON (default): the bake threads the occ state
+        w["Baked serving (bake on pause)"].value = True
+        for fn in w["Baked serving (bake on pause)"]._on_update:
+            fn(None)
+        assert seen == [True]
+
+        # toggle OFF -> re-bake must go dense
+        w["Occupancy sampling"].value = False
+        for fn in w["Occupancy sampling"]._on_update:
+            fn(None)
+        assert not engine.use_occ
+        w["Pause"].click()  # bake-on-pause with the checkbox on
+        assert seen == [True, False]
+    finally:
+        ctrl.stop(join=False)
+        server.stop()
