@@ -333,8 +333,10 @@ def make_baked_camera_renderer(
     far: Optional[float] = None,
     near_override: Optional[float] = None,
     far_override: Optional[float] = None,
+    near_bias: float = 0.0,  # video near shift, applied on device
     bg_policy: str = "white",
     use_bg_fn: bool = True,
+    fog_stats: bool = False,  # append (wmax, entropy) before map_outputs
     out_u8: bool = True,
     invalid_black: bool = False,
     map_outputs=None,
@@ -364,30 +366,43 @@ def make_baked_camera_renderer(
         raise ValueError("provide scene_aabb or scalar near/far")
 
     def chunk_fn(baked_arg, params, statics, c2w, intr, start, *extra):
+        from nerfsys_tpu.ops.rays import clamp_rays_near_far
+
         rays = frame_chunk_rays(
             c2w, intr, start, chunk_rays, H, W, scene_box=sb,
             near=near, far=far,
             near_override=near_override, far_override=far_override,
         )
+        if float(near_bias) != 0.0:
+            # video near shift (video_gen.py:362-366 parity): inf miss
+            # tags flow through the bias arithmetic unchanged
+            t_near = jnp.maximum(rays[:, 6], 0.0) + jnp.float32(near_bias)
+            rays = rays.at[:, 6].set(
+                jnp.minimum(t_near, rays[:, 7] - 1e-4))
+            rays, _ = clamp_rays_near_far(rays)
         bg_fn = container_bg_fn(params, cfg) if use_bg_fn else None
-        rgb, depth, _, acc = render_rays_baked(
+        rgb, depth, weights, acc = render_rays_baked(
             baked_arg, bcfg, rays, ray_samples, bg_policy=bg_policy,
             bg_fn=bg_fn,
         )
+        outs = [rgb, depth, acc]
+        if fog_stats:
+            from nerfsys_tpu.pipelines.online.runtime_adapt import _fog_stats
+
+            outs += list(_fog_stats(weights))
         if invalid_black:
             # the host paths zero AABB-miss rays after the fetch (viewer
             # semantics); here the mask lives on device
             ok = jnp.isfinite(rays[:, 6])
-            rgb = jnp.where(ok[:, None], rgb, 0.0)
-            depth = jnp.where(ok, depth, 0.0)
-            acc = jnp.where(ok, acc, 0.0)
+            outs = [jnp.where(ok[:, None] if o.ndim == 2 else ok, o, 0.0)
+                    for o in outs]
         if map_outputs is not None:
-            return map_outputs(rgb, depth, acc, *extra)
+            return map_outputs(*outs, *extra)
         if out_u8:
             return jnp.clip(
-                rgb * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+                outs[0] * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
         return jnp.concatenate(
-            [rgb, depth[:, None], acc[:, None]], axis=1)
+            [o if o.ndim == 2 else o[:, None] for o in outs], axis=1)
 
     jitted = jax.jit(chunk_fn)
     n_pix = H * W

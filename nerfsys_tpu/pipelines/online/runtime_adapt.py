@@ -899,6 +899,136 @@ def render_image(
     )
 
 
+def make_live_camera_renderer(
+    cfg: ContainerConfig,
+    *,
+    H: int,
+    W: int,
+    ray_samples: int,
+    chunk_rays: int = 65536,
+    scene_aabb: Optional[np.ndarray] = None,
+    near: Optional[float] = None,
+    far: Optional[float] = None,
+    near_override: Optional[float] = None,
+    far_override: Optional[float] = None,
+    near_bias: float = 0.0,
+    occ_state=None,
+    occ_importance: bool = False,
+    occ_hard_mask: bool = True,
+    occ_probe_mask: bool = False,
+    active_expert: Optional[int] = None,
+    bg_policy: str = "white",
+    use_bg_fn: bool = True,
+    fog_stats: bool = False,
+    invalid_black: bool = False,
+    out_u8: bool = True,
+    map_outputs=None,
+):
+    """Serving-path frame renderer over the LIVE field:
+    (params, statics, c2w (3,4), intrinsics (4,), *extra) -> (H, W, 3)
+    uint8 (or stacked f32 planes with out_u8=False / a map_outputs fn).
+
+    The live counterpart of models/baked.make_baked_camera_renderer: rays
+    generate ON DEVICE (ops/rays.frame_chunk_rays) and the display
+    transform fuses into the render program, so per-frame host<->device
+    traffic is ~20 floats up + the frame down — vs H*W*8 f32 of rays up
+    for the render_image/two_wave_dispatch path (~6 MB at the viewer's
+    512², ~20 MB at 800² through the axon tunnel). One compiled program
+    serves every chunk AND camera (start/c2w/intrinsics are traced).
+
+    Covers the ONE-PROGRAM live modes: stratified, soft occupancy (the
+    shipped default — the grid steers placement inside the program, no
+    probe wave), and hard-mask occ WITHOUT dead-chunk skipping. The
+    two-wave chunk-skip/pack dispatcher stays on the host-ray path
+    (runtime's mode decision needs per-ray alive bits on host); callers
+    that want sky-skipping on hard-mask checkpoints keep riding
+    two_wave_dispatch. Reference analogue: the viewer render callback
+    (/root/reference/adaptive_nerf/viewer/viewer.py:694-848) regenerates
+    and uploads rays per frame.
+
+    `near_bias` applies the video path's near shift on device
+    (t_near = max(near, 0) + bias, capped at far - 1e-4; inf miss tags
+    flow through unchanged — video_gen.py:362-366 parity).
+
+    `map_outputs(rgb, depth, acc[, wmax, entropy], *extra)` transforms
+    outputs INSIDE the jitted program (fused u8 tonemap, fog suppression
+    + srgb for video). With fog_stats the per-ray haze signals are
+    appended before map_outputs/stacking. invalid_black zeroes AABB-miss
+    pixels on device (the host paths' valid-mask semantics)."""
+    from nerfsys_tpu.ops.rays import clamp_rays_near_far, frame_chunk_rays
+    from nerfsys_tpu.ops.scene_box import SceneBox
+
+    sb = None
+    if scene_aabb is not None:
+        sb = SceneBox(jnp.asarray(np.asarray(scene_aabb), jnp.float32))
+    elif near is None or far is None:
+        raise ValueError("provide scene_aabb or scalar near/far")
+
+    if occ_state is not None:
+        from nerfsys_tpu.models.occupancy import render_rays_occ
+
+    def chunk_fn(params, statics, c2w, intr, start, *extra):
+        rays = frame_chunk_rays(
+            c2w, intr, start, chunk_rays, H, W, scene_box=sb,
+            near=near, far=far,
+            near_override=near_override, far_override=far_override,
+        )
+        if float(near_bias) != 0.0:
+            t_near = jnp.maximum(rays[:, 6], 0.0) + jnp.float32(near_bias)
+            rays = rays.at[:, 6].set(
+                jnp.minimum(t_near, rays[:, 7] - 1e-4))
+            rays, _ = clamp_rays_near_far(rays)
+        if occ_state is not None:
+            rgb, depth, w, acc = render_rays_occ(
+                params, cfg, statics, occ_state, rays, ray_samples,
+                randomized=False, bg_policy=bg_policy,
+                active_expert=active_expert, importance=occ_importance,
+                hard_mask=occ_hard_mask, mask_from_probes=occ_probe_mask,
+                use_bg_fn=use_bg_fn,
+            )
+        else:
+            field = container_field_fn(params, cfg, statics, active_expert)
+            rgb, depth, w, acc = render_rays_stratified(
+                field, rays, ray_samples, randomized=False,
+                bg_policy=bg_policy,
+                bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
+            )
+        outs = [rgb, depth, acc]
+        if fog_stats:
+            outs += list(_fog_stats(w))
+        if invalid_black:
+            ok = jnp.isfinite(rays[:, 6])
+            outs = [jnp.where(ok[:, None] if o.ndim == 2 else ok, o, 0.0)
+                    for o in outs]
+        if map_outputs is not None:
+            return map_outputs(*outs, *extra)
+        if out_u8:
+            return jnp.clip(
+                outs[0] * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        return jnp.concatenate(
+            [o if o.ndim == 2 else o[:, None] for o in outs], axis=1)
+
+    jitted = jax.jit(chunk_fn)
+    n_pix = H * W
+
+    def render(params, statics, c2w, intrinsics, *extra):
+        c2w_j = jnp.asarray(np.asarray(c2w, np.float32)[:3, :4])
+        intr_j = jnp.asarray(np.asarray(intrinsics, np.float32)[:4])
+        # dispatch every chunk before the first fetch (compute overlaps
+        # the readbacks)
+        pending = [
+            jitted(params, statics, c2w_j, intr_j,
+                   jnp.asarray(s, jnp.int32), *extra)
+            for s in range(0, n_pix, chunk_rays)
+        ]
+        out = np.concatenate([np.asarray(p) for p in pending], 0)[:n_pix]
+        if map_outputs is not None or out_u8:
+            return out.reshape(H, W, -1)
+        return out  # (H*W, C) stacked planes; caller reshapes
+
+    return render
+
+
 def _pad_chunk(chunk: np.ndarray, chunk_rays: int) -> np.ndarray:
     pad = chunk_rays - chunk.shape[0]
     if pad:

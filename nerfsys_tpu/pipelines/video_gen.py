@@ -301,7 +301,36 @@ def render_video(ctx) -> Path:
     # (same dispatch as the eval op; reference render_rays, :564-574)
     from nerfsys_tpu.parallel.mesh import maybe_render_mesh
 
+    mesh = maybe_render_mesh(P)
     baked_res = int(getattr(P, "render_baked", 0))
+    # pose-path eligibility: every one-program frame mode serves from the
+    # camera (rays generate on device; fog suppression + srgb + u8 fuse
+    # into the program — host IO per frame is ~20 floats up + 3 B/px
+    # down, vs H*W*8 f32 of rays up). The two-wave hard-occ dispatcher
+    # and mesh/early-stop modes keep host raygen (their dispatch needs
+    # per-ray bits on host).
+    occ_hard_live = (baked_res == 0 and ctx.get("occ_state") is not None
+                     and not getattr(P, "occ_no_hard_mask", False))
+    pose_path = (mesh is None and not occ_hard_live
+                 and float(getattr(P, "render_early_stop", 0.0)) == 0.0)
+    budget = (int(P.chunk_points)
+              if "chunk_points" in getattr(P, "explicit_keys", ())
+              else 3_145_728)
+    chunk_rays = default_chunk_rays(P.ray_samples, budget_pts=budget)
+
+    def fused_frame(rgb, depth, acc, *rest):
+        """Device tail of the video loop: fog suppression (when on) +
+        linear->srgb + u8, exactly the host math below (suppress_fog with
+        entropy_thr 1.4, then truncating *255 cast)."""
+        if suppress:
+            wmax, entropy = rest
+            rgb = jnp.where((acc < 0.05)[:, None], 1.0, rgb)
+            fog = (acc < 0.10) & ((wmax < 0.08) | (entropy > 1.4))
+            rgb = jnp.where(fog[:, None], 1.0, rgb)
+        srgb = linear_to_srgb(rgb)
+        return (jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    cam_renderer = None
     if baked_res > 0:
         # serving mode: one bake, then every frame costs only 4 trilinear
         # row gathers/sample (models/baked.py) — the video loop is where
@@ -311,6 +340,7 @@ def render_video(ctx) -> Path:
         from nerfsys_tpu.models.baked import (
             BakedConfig,
             bake_field,
+            make_baked_camera_renderer,
             make_baked_chunk_renderer,
         )
 
@@ -332,11 +362,37 @@ def render_video(ctx) -> Path:
         )
         print(f"[video] baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
               f"in {_time.perf_counter() - t0:.1f}s")
-        renderer = make_baked_chunk_renderer(
-            baked, bcfg, cfg, ray_samples=P.ray_samples, bg_policy="white",
-            use_bg_fn=False,  # reference video disables the bg MLP
-            fog_stats=suppress,
-            mesh=maybe_render_mesh(P),
+        if pose_path:
+            cam_renderer = make_baked_camera_renderer(
+                baked, bcfg, cfg, H=H, W=W, ray_samples=P.ray_samples,
+                chunk_rays=chunk_rays, scene_aabb=aabb,
+                near_bias=near_bias, bg_policy="white",
+                use_bg_fn=False,  # reference video disables the bg MLP
+                fog_stats=suppress, map_outputs=fused_frame,
+            )
+        else:
+            renderer = make_baked_chunk_renderer(
+                baked, bcfg, cfg, ray_samples=P.ray_samples,
+                bg_policy="white",
+                use_bg_fn=False,  # reference video disables the bg MLP
+                fog_stats=suppress,
+                mesh=mesh,
+            )
+    elif pose_path:
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            make_live_camera_renderer,
+        )
+
+        cam_renderer = make_live_camera_renderer(
+            cfg, H=H, W=W, ray_samples=P.ray_samples,
+            chunk_rays=chunk_rays, scene_aabb=aabb, near_bias=near_bias,
+            occ_state=ctx.get("occ_state"),
+            occ_importance=bool(getattr(P, "occ_importance", False)),
+            occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
+            occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
+            bg_policy="white",
+            use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
+            fog_stats=suppress, map_outputs=fused_frame,
         )
     else:
         renderer = make_chunk_renderer(
@@ -346,18 +402,23 @@ def render_video(ctx) -> Path:
             occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
             occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
             occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
-            mesh=maybe_render_mesh(P),
+            mesh=mesh,
             use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
             fog_stats=suppress,
             early_stop_eps=float(getattr(P, "render_early_stop", 0.0)),
         )
-    budget = (int(P.chunk_points)
-              if "chunk_points" in getattr(P, "explicit_keys", ())
-              else 3_145_728)
-    chunk_rays = default_chunk_rays(P.ray_samples, budget_pts=budget)
 
+    intr = np.array([fx, fy, cx, cy], np.float32)
     frames = []
     for i, c2w in enumerate(poses):
+        if cam_renderer is not None:
+            # pose path: fog suppression + srgb + u8 fused on device;
+            # host IO = pose up, u8 frame down
+            frames.append(np.asarray(
+                cam_renderer(params, statics, c2w[:3], intr), np.uint8))
+            if i % 10 == 0:
+                print(f"[video] frame {i}/{len(poses)}")
+            continue
         rays, _ = frame_rays(H, W, (fx, fy, cx, cy), c2w[:3], aabb=aabb)
         # t_near = clamp(t_near, 0) + near_bias, capped below t_far
         # (video_gen.py:479-481); invalid rays stay inf-tagged (inf flows

@@ -57,6 +57,7 @@ class RenderEngine:
         default_samples: int = 64,
         occ_state=None,  # stacked expert occupancy (viewer occ toggle)
         occ_hard_mask: bool = True,  # match how the checkpoint trained
+        occ_importance: bool = False,  # match how the checkpoint trained
         occ_probe_grid_res: int = 0,  # union-grid probing (0 = exact)
         occ_probe_mask: bool = False,  # interval-bit masking
     ):
@@ -66,6 +67,7 @@ class RenderEngine:
         self.occ_state = occ_state
         self.use_occ = occ_state is not None
         self.occ_hard_mask = bool(occ_hard_mask)
+        self.occ_importance = bool(occ_importance)
         self.occ_probe_grid_res = int(occ_probe_grid_res)
         self.occ_probe_mask = bool(occ_probe_mask)
         self.global_aabb = (
@@ -208,8 +210,68 @@ class RenderEngine:
                 self.cfg, ray_samples=int(samples), bg_policy=str(bg_policy),
                 active_expert=active, occ_state=occ,
                 occ_hard_mask=self.occ_hard_mask,
+                occ_importance=self.occ_importance,
                 occ_probe_grid_res=self.occ_probe_grid_res,
                 occ_probe_mask=self.occ_probe_mask,
+            )
+            self._renderers[key] = r
+        return r
+
+    def _two_wave_live(self, bg_policy: str) -> bool:
+        """True when the live render rides the two-wave probe dispatcher
+        (hard-mask occ + background that reads no field colors) — that
+        path needs per-ray alive bits on host, so it keeps host raygen;
+        every other live mode is one program and serves from a pose."""
+        return (self.use_occ and self.occ_state is not None
+                and self.occ_hard_mask
+                and str(bg_policy) in ("white", "black", "none"))
+
+    def _live_cam_renderer(self, H, W, samples, bg_policy, active, near, far,
+                           planes: bool = False):
+        """Pose-in live-frame renderer (make_live_camera_renderer): rays
+        generate on device and the tonemap fuses into the program, so a
+        live frame's host IO is ~20 floats up + the frame down — the same
+        serving shape as baked frames (VERDICT r3 item 4). planes=True
+        fetches f32 [rgb, depth, acc] for the depth/opacity displays
+        (still kills the ray upload). Cache capped like the baked
+        renderers (resolution churn bound)."""
+        import jax.numpy as jnp
+
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            make_live_camera_renderer,
+        )
+
+        key = ("livecam", bool(planes), int(H), int(W), int(samples),
+               str(bg_policy), active, self.use_occ, near, far)
+        r = self._renderers.get(key)
+        if r is None:
+            if sum(1 for k in self._renderers if k[0] == "livecam") >= 6:
+                for k in [k for k in self._renderers if k[0] == "livecam"]:
+                    del self._renderers[k]
+            kw = {}
+            if self.global_aabb is not None:
+                kw = dict(scene_aabb=np.asarray(self.global_aabb),
+                          near_override=near, far_override=far)
+            else:
+                kw = dict(near=near, far=far)
+            if not planes:
+                def tonemap_u8(rgb, depth, acc, exposure, inv_gamma):
+                    x = jnp.clip(rgb * (2.0 ** exposure), 0.0, 1.0) \
+                        ** inv_gamma
+                    return (x * 255.0 + 0.5).astype(jnp.uint8)
+
+                kw["map_outputs"] = tonemap_u8
+            else:
+                kw["out_u8"] = False
+            r = make_live_camera_renderer(
+                self.cfg, H=int(H), W=int(W), ray_samples=int(samples),
+                chunk_rays=self.chunk_rays, bg_policy=str(bg_policy),
+                active_expert=active,
+                occ_state=self.occ_state if self.use_occ else None,
+                occ_importance=self.occ_importance,
+                occ_hard_mask=self.occ_hard_mask,
+                occ_probe_mask=self.occ_probe_mask,
+                invalid_black=True, **kw,
             )
             self._renderers[key] = r
         return r
@@ -288,59 +350,83 @@ class RenderEngine:
                     return np.zeros((H, W, 3), np.uint8)
             self.invalidate_baked()
 
-        rays, valid = frame_rays(
-            H, W, (fy, fy, W / 2.0, H / 2.0), c2w,
-            aabb=self.global_aabb, near=near, far=far,
-        )
-        rays = np.nan_to_num(rays, posinf=1e10, neginf=-1e10)
-
-        n = rays.shape[0]
-
-        from nerfsys_tpu.pipelines.online.runtime_adapt import (
-            render_rays_chunked,
-            two_wave_dispatch,
-        )
-
-        try:
-            if output == "rgb":
-                # fused device tonemap -> one uint8 fetch (3 B/ray vs the
-                # 20 B/ray f32 rgb+depth+acc path); under occupancy the
-                # dispatcher also skips/packs sky chunks (two-wave)
-                renderer = self._rgb_u8_renderer(samples, bg, active)
-                inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
-                exp_f = np.float32(exposure)
-                cache = None
-                if getattr(renderer, "probe", None) is not None:
-                    # the probe is params-independent: a stationary camera
-                    # watching live adaptation pays wave 1 once
-                    key = (hash(rays.tobytes()), self.chunk_rays,
-                           id(self.occ_state), int(samples), active)
-                    cache = self._probe_caches.get(key)
-                    if cache is None:
-                        if len(self._probe_caches) >= 4:
-                            self._probe_caches.clear()
-                        cache = self._probe_caches[key] = {}
-                frame_u8 = np.zeros((n, 3), np.uint8)
-                for ids, out in two_wave_dispatch(
-                    renderer, p, self.statics, rays, self.chunk_rays,
-                    exp_f, inv_gamma, probe_cache=cache,
-                ):
-                    frame_u8[ids] = np.asarray(out)[: len(ids)]
-                frame_u8 = np.where(valid[:, None], frame_u8, 0)
-                return frame_u8.reshape(H, W, 3).astype(np.uint8)
-
-            renderer = self._renderer(samples, bg, active)
-            out5 = render_rays_chunked(
-                renderer, p, self.statics, rays, self.chunk_rays
+        inv_gamma = np.float32(1.0 / max(float(gamma), 1e-3))
+        if not self._two_wave_live(bg):
+            # one-program live modes (stratified / soft occ / hard occ
+            # without a skippable bg): serve from the pose — rays
+            # generate on device, the frame comes back u8 (or f32 planes
+            # for depth/opacity). Host IO per frame: ~20 floats up.
+            intr = np.array([fy, fy, W / 2.0, H / 2.0], np.float32)
+            try:
+                if output == "rgb":
+                    renderer = self._live_cam_renderer(
+                        H, W, samples, bg, active, near, far)
+                    img = renderer(p, self.statics, c2w, intr,
+                                   np.float32(exposure), inv_gamma)
+                    return np.asarray(img, np.uint8)
+                renderer = self._live_cam_renderer(
+                    H, W, samples, bg, active, near, far, planes=True)
+                out5 = renderer(p, self.statics, c2w, intr)
+            except Exception as e:  # device OOM -> blank frame, keep serving
+                print(f"[viewer] render failed ({type(e).__name__}: {e})")
+                return np.zeros((H, W, 3), np.uint8)
+            # invalid pixels are already black (on-device valid mask)
+            rgb = out5[:, 0:3].reshape(H, W, 3)
+            depth = out5[:, 3].reshape(H, W)
+            acc = out5[:, 4].reshape(H, W)
+        else:
+            rays, valid = frame_rays(
+                H, W, (fy, fy, W / 2.0, H / 2.0), c2w,
+                aabb=self.global_aabb, near=near, far=far,
             )
-            rgb, depth, acc = out5[:, 0:3], out5[:, 3], out5[:, 4]
-        except Exception as e:  # device OOM etc. -> blank frame, keep serving
-            print(f"[viewer] render failed ({type(e).__name__}: {e})")
-            return np.zeros((H, W, 3), np.uint8)
+            rays = np.nan_to_num(rays, posinf=1e10, neginf=-1e10)
 
-        rgb = np.where(valid[:, None], rgb, 0.0).reshape(H, W, 3)
-        depth = np.where(valid, depth, 0.0).reshape(H, W)
-        acc = np.where(valid, acc, 0.0).reshape(H, W)
+            n = rays.shape[0]
+
+            from nerfsys_tpu.pipelines.online.runtime_adapt import (
+                render_rays_chunked,
+                two_wave_dispatch,
+            )
+
+            try:
+                if output == "rgb":
+                    # fused device tonemap -> one uint8 fetch (3 B/ray vs
+                    # the 20 B/ray f32 rgb+depth+acc path); the dispatcher
+                    # also skips/packs sky chunks (two-wave)
+                    renderer = self._rgb_u8_renderer(samples, bg, active)
+                    exp_f = np.float32(exposure)
+                    cache = None
+                    if getattr(renderer, "probe", None) is not None:
+                        # the probe is params-independent: a stationary
+                        # camera watching live adaptation pays wave 1 once
+                        key = (hash(rays.tobytes()), self.chunk_rays,
+                               id(self.occ_state), int(samples), active)
+                        cache = self._probe_caches.get(key)
+                        if cache is None:
+                            if len(self._probe_caches) >= 4:
+                                self._probe_caches.clear()
+                            cache = self._probe_caches[key] = {}
+                    frame_u8 = np.zeros((n, 3), np.uint8)
+                    for ids, out in two_wave_dispatch(
+                        renderer, p, self.statics, rays, self.chunk_rays,
+                        exp_f, inv_gamma, probe_cache=cache,
+                    ):
+                        frame_u8[ids] = np.asarray(out)[: len(ids)]
+                    frame_u8 = np.where(valid[:, None], frame_u8, 0)
+                    return frame_u8.reshape(H, W, 3).astype(np.uint8)
+
+                renderer = self._renderer(samples, bg, active)
+                out5 = render_rays_chunked(
+                    renderer, p, self.statics, rays, self.chunk_rays
+                )
+                rgb, depth, acc = out5[:, 0:3], out5[:, 3], out5[:, 4]
+            except Exception as e:  # device OOM -> blank frame, keep serving
+                print(f"[viewer] render failed ({type(e).__name__}: {e})")
+                return np.zeros((H, W, 3), np.uint8)
+
+            rgb = np.where(valid[:, None], rgb, 0.0).reshape(H, W, 3)
+            depth = np.where(valid, depth, 0.0).reshape(H, W)
+            acc = np.where(valid, acc, 0.0).reshape(H, W)
 
         if output == "depth":
             frame = apply_depth_colormap(
@@ -387,6 +473,7 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
         default_samples=min(int(getattr(P, "ray_samples", 64)), 128),
         occ_state=ctx.get("occ_state"),
         occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
+        occ_importance=bool(getattr(P, "occ_importance", False)),
         occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
         occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
     )

@@ -563,3 +563,71 @@ def test_render_video_baked(tmp_path):
 
         vid = iio.imread(out)
         assert vid.shape[-3:-1] == (16, 24)
+
+
+def test_render_video_pose_path_matches_host_rays(tmp_path, monkeypatch):
+    """The video pose path (rays + fog + srgb + u8 fused on device) must
+    produce the same frames as the host-raygen loop. Forcing the host arm
+    via a mesh=None-but-ineligible knob: render_early_stop > 0 keeps the
+    host path and, on a no-occ checkpoint, is ignored by
+    make_chunk_renderer — so both arms render the identical program modulo
+    where rays come from (u8 tolerance 1 for fusion-order float noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.encodings import HashGridConfig
+    from nerfsys_tpu.pipelines.video_gen import render_video
+    from nerfsys_tpu.utils.config import parse_args
+
+    cfg = ContainerConfig(
+        num_experts=2,
+        expert=NGPConfig(hidden=16, sigma_depth=1, color_hidden=16,
+                         color_depth=1, geo_feat_dim=7,
+                         hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                             log2_hashmap_size=8)),
+        bg_hidden=8,
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]], jnp.float32)
+    boxes = jnp.stack([jnp.stack([c - 1.0, c + 1.0]) for c in cents])
+    statics = ContainerStatics(
+        cents, boxes, jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    )
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+
+    from pathlib import Path
+
+    def _frames(extra_args, subdir):
+        P = parse_args([
+            "--op", "video", "--data_path", str(tmp_path),
+            "--camera_path", "turntable", "--video_frames", "2",
+            "--video_width", "24", "--video_height", "16",
+            "--ray_samples", "4",
+        ] + extra_args)
+        run = tmp_path / subdir
+        run.mkdir(exist_ok=True)
+        ctx = {"P": P, "cfg": cfg, "statics": statics, "params": params,
+               "run_dir": run}
+        out = Path(render_video(ctx))
+        if out.is_dir():
+            from PIL import Image as PILImage
+
+            return [np.asarray(PILImage.open(p))
+                    for p in sorted(out.glob("*.png"))]
+        import imageio.v3 as iio
+
+        v = iio.imread(out)
+        return [v[i] for i in range(v.shape[0])]
+
+    pose = _frames([], "pose")
+    host = _frames(["--render_early_stop", "1e-9"], "host")
+    assert len(pose) == len(host) == 2
+    for a, b in zip(pose, host):
+        assert a.shape == b.shape
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1, f"max u8 diff {diff.max()}"

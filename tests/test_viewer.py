@@ -550,3 +550,24 @@ def test_render_engine_baked_serving(tiny_engine):
     # explicit invalidate is idempotent
     tiny_engine.invalidate_baked()
     assert not tiny_engine.baked_active
+
+
+def test_render_engine_live_pose_path(tiny_engine):
+    """No-occ live rgb frames serve from the pose (make_live_camera_renderer:
+    rays generate on device, host IO = ~20 floats up + u8 down). Parity with
+    the host-ray path is pinned in tests/test_camera_render.py; here: the
+    engine actually routes to it, frames are deterministic, and the traced
+    exposure scalar never rebuilds the renderer."""
+    tiny_engine._renderers.clear()
+    c2w = look_at_rub(np.array([0.0, 0.0, 4.0]), np.zeros(3))
+    f1 = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+    assert any(k[0] == "livecam" for k in tiny_engine._renderers)
+    assert not any(k[0] == "u8" for k in tiny_engine._renderers)
+    f2 = tiny_engine.render(c2w, 16, 12, fov_y=0.8)
+    np.testing.assert_array_equal(f1, f2)
+
+    n = len(tiny_engine._renderers)
+    f3 = tiny_engine.render(c2w, 16, 12, fov_y=0.8, exposure=2.0)
+    assert len(tiny_engine._renderers) == n  # exposure is traced, not baked
+    assert f3.astype(int).sum() >= f1.astype(int).sum()  # brighter
+    tiny_engine._renderers.clear()
