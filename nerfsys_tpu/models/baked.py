@@ -57,6 +57,16 @@ class BakedConfig:
     chunk_cells: int = 131072  # field-eval chunk during baking
     dtype: str = "bfloat16"  # table dtype (payload bandwidth, not accuracy-
     # critical: compositing runs in f32 after the gather)
+    corner_pack: int = 0  # corners packed per table row: 2 (z-pairs, 4
+    # gathers/point), 4 ((y,z) blocks, 2 gathers), 8 (full 2x2x2 block,
+    # ONE gather). 0 = auto: 8 unless the table would exceed
+    # auto_pack_budget_gb, then 4, then 2. Measured serve ladder at 800²/32
+    # samples, 128³ (2026-08-20 /tmp/r6_layout.log): pack2-unpadded 3.65
+    # s/frame -> pack2 1.34 -> pack4 0.84 -> pack8 0.62 — gathers are
+    # TRANSACTION-bound, so fewer-but-wider rows win as long as each block
+    # stays on the fast-width path; memory scales with corner_pack.
+    auto_pack_budget_gb: float = 5.0  # auto mode's table-size ceiling
+    # (v5e has 16 GB HBM; leave room for chunk temporaries + params)
 
     def __post_init__(self):
         if int(self.n_dirs) < self.n_bases:
@@ -66,6 +76,11 @@ class BakedConfig:
                 "least-squares projection YᵀY singular — raise n_dirs to at "
                 "least sh_levels², or lower sh_levels."
             )
+        if int(self.corner_pack) not in (0, 2, 4, 8):
+            raise ValueError(
+                f"BakedConfig: corner_pack={self.corner_pack} — must be "
+                "0 (auto), 2, 4, or 8"
+            )
 
     @property
     def n_bases(self) -> int:
@@ -74,6 +89,34 @@ class BakedConfig:
     @property
     def channels(self) -> int:
         return 1 + 3 * self.n_bases  # sigma + SH coefs per color channel
+
+    @property
+    def padded_channels(self) -> int:
+        """Per-corner block width in the table, padded so the row hits
+        the v5e gather fast path: measured (2026-08-20 width sweep, 2^21-row
+        bf16 tables) rows of >= 64 elements gather at ~105-109M rows/s while
+        56-wide rows run at 39.5M and the SH-3 table's natural 2x28 = 56
+        layout was exactly that slow width — the whole 3.6 s/frame serve
+        wall. Pad each block to a multiple of 8 with 2 blocks >= 64 total
+        (zeros; sliced away after the corner lerps, exactness unchanged)."""
+        return max(32, -(-self.channels // 8) * 8)
+
+    def resolved_pack(self, resolution: Optional[int] = None) -> int:
+        """corner_pack with auto (0) resolved against the table budget."""
+        pack = int(self.corner_pack)
+        if pack:
+            return pack
+        R = int(self.resolution if resolution is None else resolution)
+        bytes_per = np.dtype(self.dtype).itemsize
+        for pack in (8, 4):
+            gb = R ** 3 * pack * self.padded_channels * bytes_per / 1e9
+            if gb <= float(self.auto_pack_budget_gb):
+                return pack
+        return 2
+
+    @property
+    def row_width(self) -> int:
+        return self.resolved_pack() * self.padded_channels
 
 
 def _fibonacci_sphere(n: int) -> np.ndarray:
@@ -224,30 +267,65 @@ def bake_field(
         vals = np.zeros((n_cells, C), np.float32)
         vals[alive_idx] = out_np[:n_eval]
 
-    # overlapping z-pairs: row z carries [cell z, cell z+1 (clamped)]
+    # overlapping corner blocks: row (x, y, z) carries the payloads of
+    # corner_pack cells of its forward 2x2x2 neighborhood (neighbors
+    # clamped at the boundary), each block zero-padded to padded_channels
+    # so every row sits on the gather fast path. pack 2 -> [z, z+1]
+    # (4 gathers/query); pack 4 -> (y, z) block (2 gathers); pack 8 ->
+    # the full corner block (ONE gather). Block order is (dx, dy, dz)
+    # lexicographic — baked_query's lerp tree indexes it that way.
+    pack = bcfg.resolved_pack(R)
+    Cp = bcfg.padded_channels
     g = vals.reshape(R, R, R, C)
-    g_next = np.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
-    table = np.concatenate([g, g_next], axis=-1).reshape(n_cells, 2 * C)
+    if Cp != C:
+        g = np.concatenate(
+            [g, np.zeros((R, R, R, Cp - C), np.float32)], axis=-1)
+
+    # fill block-by-block in the target dtype (a 256³ pack-8 table is
+    # 8.6 GB bf16 — never materialize a second f32 copy on the 1-core host)
+    deltas = [(dx, dy, dz)
+              for dx in range(2 if pack == 8 else 1)
+              for dy in range(2 if pack >= 4 else 1)
+              for dz in range(2)]
+    clamped = np.minimum(np.arange(1, R + 1), R - 1)
+    table = np.empty((R, R, R, pack * Cp), dtype=np.dtype(bcfg.dtype))
+    for bi, (dx, dy, dz) in enumerate(deltas):
+        b = g
+        if dz:
+            b = b.take(clamped, axis=2)
+        if dy:
+            b = b.take(clamped, axis=1)
+        if dx:
+            b = b.take(clamped, axis=0)
+        table[..., bi * Cp:(bi + 1) * Cp] = b
     return {
-        "table": jnp.asarray(table, dtype=jnp.dtype(bcfg.dtype)),
+        "table": jnp.asarray(table.reshape(n_cells, pack * Cp)),
         "aabb": jnp.stack([lo, hi]).astype(jnp.float32),
+        "corner_pack": pack,
     }
 
 
-def baked_query(
-    baked: Dict, bcfg: BakedConfig, pts: Array, dirs: Array
-) -> Tuple[Array, Array]:
-    """Trilinear (sigma, rgb) at pts (N,3) viewed along dirs (N,3).
+def baked_trilerp(baked: Dict, bcfg: BakedConfig, pts: Array) -> Array:
+    """Trilinear payload (N, C) at pts (N, 3) — 8/corner_pack row gathers.
 
-    Exactly 4 row gathers per point (2x2 (x,y) corners; rows carry both z
-    corners)."""
+    The table rows carry corner_pack corners of the forward 2x2x2
+    neighborhood (bake_field packing), each block padded to the
+    fast-gather width; the lerp tree consumes blocks in (dx, dy, dz)
+    lexicographic order and slices the pad off once at the end. Measured
+    serve ladder (v5e, 2026-08-20): one wide gather per point beats four
+    narrow ones 5.9x — gathers are transaction-bound, not bandwidth-bound."""
     R = int(bcfg.resolution)
     C = bcfg.channels
-    B = bcfg.n_bases
+    Cp = bcfg.padded_channels
+    table = baked["table"]
+    # the pack is implied by the (static) row width — never read the
+    # "corner_pack" dict entry here: the baked dict is threaded through
+    # jit as an ARGUMENT, so its non-array leaves arrive as tracers
+    pack = int(table.shape[1]) // Cp
     lo, hi = baked["aabb"][0], baked["aabb"][1]
     h = (hi - lo) / R
 
-    # cell-center coordinates; clamp so z+1 stays inside the packed row
+    # cell-center coordinates; clamp so forward neighbors stay in-row
     g = (pts - lo) / h - 0.5
     g = jnp.clip(g, 0.0, R - 1.000001)
     f = jnp.floor(g)
@@ -255,21 +333,54 @@ def baked_query(
     ix = f[:, 0].astype(jnp.int32)
     iy = f[:, 1].astype(jnp.int32)
     iz = f[:, 2].astype(jnp.int32)
-    ix1 = jnp.minimum(ix + 1, R - 1)
-    iy1 = jnp.minimum(iy + 1, R - 1)
+    wx, wy, wz = w[:, 0:1], w[:, 1:2], w[:, 2:3]
 
-    def row(jx, jy):  # one gather: both z corners of the (jx, jy) column
-        r = row_gather(baked["table"], (jx * R + jy) * R + iz)
-        r = r.astype(jnp.float32)
-        return r[:, :C] * (1.0 - w[:, 2:3]) + r[:, C:] * w[:, 2:3]
+    if pack == 8:
+        r = row_gather(table, (ix * R + iy) * R + iz).astype(jnp.float32)
 
-    wx, wy = w[:, 0:1], w[:, 1:2]
-    val = (
-        row(ix, iy) * (1 - wx) * (1 - wy)
-        + row(ix1, iy) * wx * (1 - wy)
-        + row(ix, iy1) * (1 - wx) * wy
-        + row(ix1, iy1) * wx * wy
-    )
+        def blk(i):
+            return r[:, i * Cp:(i + 1) * Cp]
+
+        x0 = ((blk(0) * (1 - wz) + blk(1) * wz) * (1 - wy)
+              + (blk(2) * (1 - wz) + blk(3) * wz) * wy)
+        x1 = ((blk(4) * (1 - wz) + blk(5) * wz) * (1 - wy)
+              + (blk(6) * (1 - wz) + blk(7) * wz) * wy)
+        val = x0 * (1 - wx) + x1 * wx
+    elif pack == 4:
+        ix1 = jnp.minimum(ix + 1, R - 1)
+
+        def row4(jx):  # one gather: the (y, z) corner block of column jx
+            r = row_gather(table, (jx * R + iy) * R + iz)
+            r = r.astype(jnp.float32)
+            z0 = r[:, 0 * Cp:1 * Cp] * (1 - wz) + r[:, 1 * Cp:2 * Cp] * wz
+            z1 = r[:, 2 * Cp:3 * Cp] * (1 - wz) + r[:, 3 * Cp:4 * Cp] * wz
+            return z0 * (1 - wy) + z1 * wy
+
+        val = row4(ix) * (1 - wx) + row4(ix1) * wx
+    else:
+        ix1 = jnp.minimum(ix + 1, R - 1)
+        iy1 = jnp.minimum(iy + 1, R - 1)
+
+        def row2(jx, jy):  # one gather: both z corners of column (jx, jy)
+            r = row_gather(table, (jx * R + jy) * R + iz)
+            r = r.astype(jnp.float32)
+            return r[:, :Cp] * (1.0 - wz) + r[:, Cp:] * wz
+
+        val = (
+            row2(ix, iy) * (1 - wx) * (1 - wy)
+            + row2(ix1, iy) * wx * (1 - wy)
+            + row2(ix, iy1) * (1 - wx) * wy
+            + row2(ix1, iy1) * wx * wy
+        )
+    return val[:, :C]
+
+
+def baked_query(
+    baked: Dict, bcfg: BakedConfig, pts: Array, dirs: Array
+) -> Tuple[Array, Array]:
+    """Trilinear (sigma, rgb) at pts (N,3) viewed along dirs (N,3)."""
+    B = bcfg.n_bases
+    val = baked_trilerp(baked, bcfg, pts)
     sigma = jnp.maximum(val[:, 0], 0.0)
     sh = sh_encode(dirs, levels=int(bcfg.sh_levels))  # (N, B)
     rgb = jnp.einsum("nb,nbc->nc", sh, val[:, 1:].reshape(-1, B, 3))
@@ -303,12 +414,17 @@ def render_rays_baked(
         skey, bkey = jax.random.split(key)
     t_vals = stratified_t_vals(skey, near_s, far_s, n_samples, randomized)
     pts = t_to_points(o, d, t_vals)
-    dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
-    rgb, sigma = baked_query(
-        baked, bcfg, pts.reshape(-1, 3), dirs.reshape(-1, 3)
-    )
-    rgb = rgb.reshape(n_rays, n_samples, 3)
-    sigma = jnp.where(valid[:, None], sigma.reshape(n_rays, n_samples), 0.0)
+    B = bcfg.n_bases
+    val = baked_trilerp(baked, bcfg, pts.reshape(-1, 3))
+    val = val.reshape(n_rays, n_samples, -1)
+    sigma = jnp.where(valid[:, None], jnp.maximum(val[..., 0], 0.0), 0.0)
+    # view direction is constant along a ray: evaluate the SH basis once
+    # per RAY, not per sample (n_samples x less VPU work than the
+    # per-point baked_query path; measured 0.25 s of the 800²/32 frame)
+    sh = sh_encode(d, levels=int(bcfg.sh_levels))  # (n_rays, B)
+    rgb = jnp.einsum("nb,nsbc->nsc", sh,
+                     val[..., 1:].reshape(n_rays, n_samples, B, 3))
+    rgb = jnp.clip(rgb, 0.0, 1.0)
 
     if bg_fn is not None:
         bg = bg_fn(d)

@@ -13,6 +13,7 @@ contracts pinned here are the bake's own:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerfsys_tpu.models.baked import (
     BakedConfig,
@@ -67,8 +68,11 @@ def test_baked_query_exact_on_linear_field():
     ], -1)
     dc = rgb_cell / 0.28209479177387814  # Y_0 coefficient giving rgb back
     g = np.concatenate([sigma[..., None], dc], -1).astype(np.float32)
+    Cp = bcfg.padded_channels  # blocks pad to the fast-gather width
+    g = np.concatenate(
+        [g, np.zeros(g.shape[:-1] + (Cp - C,), np.float32)], -1)
     g_next = np.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
-    table = np.concatenate([g, g_next], -1).reshape(R**3, 2 * C)
+    table = np.concatenate([g, g_next], -1).reshape(R**3, 2 * Cp)
     baked = {"table": jnp.asarray(table),
              "aabb": jnp.asarray(np.stack([lo, hi]))}
 
@@ -148,7 +152,8 @@ def test_bake_then_render_tracks_live_field():
     bcfg = BakedConfig(resolution=40, sh_levels=3, n_dirs=16,
                        chunk_cells=16384, dtype="float32")
     baked = bake_field(params, cfg, st, bcfg)
-    assert baked["table"].shape == (40**3, 2 * bcfg.channels)
+    assert baked["table"].shape == (
+        40**3, baked["corner_pack"] * bcfg.padded_channels)
 
     rng = np.random.default_rng(2)
     rays = _rays(rng, 128)
@@ -295,14 +300,26 @@ def test_bake_occ_skip_zeroes_dead_cells_and_keeps_alive_exact():
     alive = _np_dilate3(alive.reshape(R, R, R))
     assert 0 < alive.sum() < alive.size  # the scene must exercise both arms
 
-    # packed rows: [cell z, cell z+1 (clamped)]
-    nxt = np.concatenate([alive[:, :, 1:], alive[:, :, -1:]], axis=2)
-    both = (alive & nxt).reshape(-1)
-    neither = (~alive & ~nxt).reshape(-1)
+    # packed rows carry the forward corner neighborhood (corner_pack
+    # cells): a row matches dense where EVERY packed corner is alive, and
+    # is all-zero where every packed corner is dead
+    def fwd(a, axis):
+        idx = np.minimum(np.arange(1, R + 1), R - 1)
+        return a.take(idx, axis=axis)
+
+    pack = dense["corner_pack"]
+    corners = [alive, fwd(alive, 2)]
+    if pack >= 4:
+        corners += [fwd(c, 1) for c in corners]
+    if pack == 8:
+        corners += [fwd(c, 0) for c in corners]
+    every = np.logical_and.reduce(corners).reshape(-1)
+    none = np.logical_and.reduce([~c for c in corners]).reshape(-1)
+    assert every.sum() > 0 and none.sum() > 0
     dt, sp = np.asarray(dense["table"]), np.asarray(sparse["table"])
-    np.testing.assert_array_equal(dt[both], sp[both])
-    assert np.all(sp[neither] == 0.0)
-    assert not np.all(dt[neither] == 0.0)  # the skip actually skipped work
+    np.testing.assert_array_equal(dt[every], sp[every])
+    assert np.all(sp[none] == 0.0)
+    assert not np.all(dt[none] == 0.0)  # the skip actually skipped work
 
 
 def test_bake_occ_skip_falls_back_dense_when_not_ready():
@@ -316,3 +333,37 @@ def test_bake_occ_skip_falls_back_dense_when_not_ready():
     sparse = bake_field(params, cfg, st, bcfg, occ_state=occ, occ_dilate=1)
     np.testing.assert_array_equal(np.asarray(dense["table"]),
                                   np.asarray(sparse["table"]))
+
+
+def test_corner_pack_variants_agree_and_auto_budget():
+    """pack 2 / 4 / 8 are the same field in different row layouts: queries
+    must agree to float tolerance (different lerp association order). Auto
+    pack resolves against the table budget."""
+    cfg, st, params = _tiny_scene()
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1.0, 1.0, size=(512, 3)).astype(np.float32)
+    dirs = rng.normal(size=(512, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    outs = []
+    for pack in (2, 4, 8):
+        bcfg = BakedConfig(resolution=10, sh_levels=2, n_dirs=8,
+                           chunk_cells=512, dtype="float32",
+                           corner_pack=pack)
+        baked = bake_field(params, cfg, st, bcfg)
+        assert baked["table"].shape[1] == pack * bcfg.padded_channels
+        rgb, sigma = baked_query(baked, bcfg, jnp.asarray(pts),
+                                 jnp.asarray(dirs))
+        outs.append((np.asarray(rgb), np.asarray(sigma)))
+    for rgb, sigma in outs[1:]:
+        np.testing.assert_allclose(rgb, outs[0][0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(sigma, outs[0][1], rtol=1e-5, atol=1e-6)
+
+    # auto: small grids take the 1-gather layout; a tight budget degrades
+    assert BakedConfig(resolution=64).resolved_pack() == 8
+    tight = BakedConfig(resolution=256, auto_pack_budget_gb=5.0)
+    assert tight.resolved_pack() == 4  # 8.6 GB > 5 GB budget at 256³
+    tiny = BakedConfig(resolution=256, auto_pack_budget_gb=0.1)
+    assert tiny.resolved_pack() == 2
+    with pytest.raises(ValueError):
+        BakedConfig(corner_pack=3)

@@ -356,7 +356,8 @@ def test_bake_respects_occ_toggle(mock_viser, tmp_path, monkeypatch):
     def fake_bake_field(params, cfg, statics, bcfg, *, occ_state=None, **kw):
         seen.append(occ_state is not None)
         n = bcfg.resolution ** 3
-        return {"table": jnp.zeros((n, 2 * bcfg.channels), jnp.bfloat16),
+        return {"table": jnp.zeros((n, 2 * bcfg.padded_channels),
+                                   jnp.bfloat16),
                 "aabb": jnp.asarray([[-1.5] * 3, [1.5] * 3], jnp.float32)}
 
     import nerfsys_tpu.models.baked as baked_mod
