@@ -463,14 +463,15 @@ def make_baked_camera_renderer(
 
     The whole frame's host<->device traffic is ~20 floats up and the u8
     image down: rays generate on device (ops/rays.frame_chunk_rays) and
-    the tonemap fuses into the render program. This is the fix for the
-    measured baked-frame wall — at 800² the ray upload (20 MB) + f32
-    readback (13 MB) through the axon tunnel cost ~3 s of the 3.6 s
-    frame while the gathers only need ~0.7 s (BASELINE.md 2026-08-19;
-    frame time was table-size INDEPENDENT). All chunks dispatch before
-    the first fetch, so compute overlaps the readbacks. One compiled
-    program serves every chunk AND every camera (start/c2w/intrinsics
-    are traced; H/W/chunk shape are the only static bits).
+    the tonemap fuses into the render program (at 800² the host-ray path
+    ships 20 MB of rays up + 13 MB f32 down through the axon tunnel).
+    NOTE the 2026-08-19 theory that this transfer was the 3.6 s frame
+    wall was WRONG — the wall was the slow-width table gather (56-wide
+    rows; see BakedConfig.padded_channels / BASELINE.md 2026-08-20);
+    the IO cut stands on its own as the serving shape. All chunks
+    dispatch before the first fetch, so compute overlaps the readbacks.
+    One compiled program serves every chunk AND every camera
+    (start/c2w/intrinsics are traced; H/W/chunk shape are static).
     """
     from nerfsys_tpu.ops.rays import frame_chunk_rays
     from nerfsys_tpu.ops.scene_box import SceneBox

@@ -549,6 +549,7 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
     float(jnp.sum(baked["table"][:1].astype(jnp.float32)))  # host sync
     bake_s = time.perf_counter() - t0
 
+    rows_per_sample = 8.0 / baked["corner_pack"]  # corner-packed layout
     H = W = side
     renderer = make_baked_camera_renderer(
         baked, bcfg, cfg, H=H, W=W, ray_samples=samples,
@@ -576,11 +577,13 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
         "samples": samples,
         "chunk_rays": chunk_rays,
         "n_chunks": -(-n // chunk_rays),
+        "corner_pack": int(baked["corner_pack"]),
+        "table_mb": round(float(np.prod(baked["table"].shape)) * 2 / 1e6, 1),
         "bake_seconds": round(bake_s, 2),
         "frame_seconds": round(dt, 4),
         "fps": round(1.0 / dt, 2),
         "rays_per_sec": round(n / dt, 1),
-        "gather_rows_per_ray": 4.0 * samples,
+        "gather_rows_per_ray": rows_per_sample * samples,
         "host_io_bytes_per_frame": int(3 * n + 19 * 4),
         "mean_pixel": round(float(img.astype(np.float32).mean()), 2),
     }
@@ -593,7 +596,8 @@ def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
                   use_occ: bool = False):
     """Baked SH snapshot render latency (models/baked.py): one-time bake of
     the demo-scale container, then full frames at side² — the serving-rate
-    rung of the render ladder (4 gather rows/sample vs 18/point x K live,
+    rung of the render ladder (8/corner_pack gather rows/sample vs
+    18/point x K live,
     zero probe rows)."""
     import jax
     import jax.numpy as jnp
@@ -624,6 +628,7 @@ def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
     float(jnp.sum(baked["table"][:1].astype(jnp.float32)))
     bake_s = time.perf_counter() - t0
 
+    rows_per_sample = 8.0 / baked["corner_pack"]  # corner-packed layout
     renderer = make_baked_chunk_renderer(baked, bcfg, cfg,
                                          ray_samples=samples)
     n = side * side
@@ -646,7 +651,7 @@ def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
         frame()
     dt = (time.perf_counter() - t0) / iters
 
-    rows_frame = 4.0 * samples * n
+    rows_frame = rows_per_sample * samples * n
     out = {
         "mode": "baked",
         "resolution": f"{side}x{side}",
@@ -654,10 +659,11 @@ def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
         "sh_levels": sh_levels,
         "samples": samples,
         "bake_seconds": round(bake_s, 2),
-        "table_mb": round(np.prod(baked["table"].shape) * 2 / 1e6, 1),
+        "corner_pack": int(baked["corner_pack"]),
+        "table_mb": round(float(np.prod(baked["table"].shape)) * 2 / 1e6, 1),
         "frame_seconds": round(dt, 4),
         "rays_per_sec": round(n / dt, 1),
-        "gather_rows_per_ray": 4.0 * samples,
+        "gather_rows_per_ray": rows_per_sample * samples,
         "transaction_util_vs_measured_peak": [
             round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_HIGH, 3),
             round(rows_frame / dt / V5E_GATHER_ROWS_PER_S_LOW, 3),
