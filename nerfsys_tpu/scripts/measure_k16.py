@@ -1,0 +1,354 @@
+"""City-scale K=16 end-to-end demo: meta-train + eval + full-frame render.
+
+BASELINE.md's K=16 row — the first number that could not exist on the
+reference's serial expert loop (its meta_train_step walks experts in a
+Python for-loop on one GPU; /root/reference/adaptive_nerf/pipelines/
+offline_stage/meta_train_step.py:60). Here one jitted program trains all
+16 experts (lax.map single-chip; vmap when the 'expert' mesh axis is
+sharded), with soft-occupancy sampling and the real occ-grid lifecycle.
+
+Scene: a 4x4 grid of colored spheres (one per expert region) in the
+x = 0 plane, procedural first-hit ground truth, per-region episodic
+support/query batches — the synthetic analog of the reference's
+per-cell TaskDatasets at the scale its premise targets (SURVEY.md §5.7).
+
+  # TPU headline (rays/s, eval PSNR, 800² render s/frame):
+  PYTHONPATH=/root/repo:/root/.axon_site python -m \
+      nerfsys_tpu.scripts.measure_k16 --steps 200
+  # CPU sharded-parity arm (8 virtual devices, {data:2, expert:4}):
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      PYTHONPATH= python -m nerfsys_tpu.scripts.measure_k16 --parity
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+GRID = 4  # experts per axis -> K = GRID^2
+SPACING = 1.1
+RADIUS = 0.4
+X_PLANE = 0.0
+
+
+def _centroids():
+    lin = (np.arange(GRID) - (GRID - 1) / 2.0) * SPACING
+    yy, zz = np.meshgrid(lin, lin, indexing="ij")
+    c = np.stack([np.full(GRID * GRID, X_PLANE), yy.ravel(), zz.ravel()], 1)
+    return c.astype(np.float32)
+
+
+def _colors(K):
+    # distinct saturated colors around the hue wheel (hsv -> rgb, v=1 s=.85)
+    h = np.arange(K, dtype=np.float32) / K * 6.0
+    sector = h.astype(int) % 6
+    x = 1.0 - np.abs(h % 2.0 - 1.0)
+    rgb = np.empty((K, 3), np.float32)
+    for i, (r, g, b) in enumerate([(1, None, 0), (None, 1, 0), (0, 1, None),
+                                   (0, None, 1), (None, 0, 1), (1, 0, None)]):
+        m = sector == i
+        rgb[m] = np.stack([
+            x[m] if c is None else np.full(m.sum(), c, np.float32)
+            for c in (r, g, b)], 1)
+    return 0.15 + 0.85 * rgb
+
+
+def _gt_march(o: np.ndarray, d: np.ndarray, n_march: int = 256):
+    """First-hit color + hit mask against the sphere grid (host numpy)."""
+    cents = _centroids()
+    cols = _colors(len(cents))
+    t = np.linspace(0.2, 7.0, n_march, dtype=np.float32)
+    pts = o[:, None, :] + d[:, None, :] * t[None, :, None]  # (N, M, 3)
+    # nearest sphere id per sample via the grid structure (spheres sit on
+    # a regular (y, z) lattice: index arithmetic, no K-way distance scan)
+    lin0 = -(GRID - 1) / 2.0 * SPACING
+    iy = np.clip(np.round((pts[..., 1] - lin0) / SPACING), 0, GRID - 1)
+    iz = np.clip(np.round((pts[..., 2] - lin0) / SPACING), 0, GRID - 1)
+    kid = (iy * GRID + iz).astype(np.int32)
+    cent = cents[kid]  # (N, M, 3)
+    inside = np.linalg.norm(pts - cent, axis=-1) < RADIUS
+    first = np.argmax(inside, axis=1)
+    hit = inside.any(axis=1)
+    rgb = np.ones((len(o), 3), np.float32)
+    kh = kid[np.arange(len(o)), first]
+    rgb[hit] = cols[kh[hit]]
+    return rgb, hit.astype(np.float32)
+
+
+def _expert_rays(k: int, n: int, rng) -> np.ndarray:
+    """Rays from the +x side aimed into expert k's region (its episodic
+    task rays: same role as the reference's per-cell TaskDataset)."""
+    c = _centroids()[k]
+    o = np.empty((n, 3), np.float32)
+    o[:, 0] = 3.0 + rng.uniform(-0.3, 0.3, n)
+    o[:, 1] = c[1] + rng.uniform(-0.8, 0.8, n)
+    o[:, 2] = c[2] + rng.uniform(-0.8, 0.8, n)
+    tgt = c[None, :] + rng.uniform(-0.65, 0.65, (n, 3)).astype(np.float32)
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile(np.array([0.5, 6.5], np.float32), (n, 1))
+    return np.concatenate([o, d, nf], 1).astype(np.float32)
+
+
+def build_model(K: int, on_cpu: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import (
+        ContainerConfig,
+        ContainerStatics,
+        init_container_params,
+    )
+    from nerfsys_tpu.models.ngp import NGPConfig
+    from nerfsys_tpu.ops.planes import PlaneEncodingConfig
+
+    expert = NGPConfig(
+        hidden=64, sigma_depth=2, color_hidden=64, color_depth=2,
+        geo_feat_dim=15, xyz_encoding="planes",
+        planes=PlaneEncodingConfig(levels=2, base_res=64, growth=2.0,
+                                   features=8, matmul_bwd=not on_cpu,
+                                   pos_grad=False),
+    )
+    cfg = ContainerConfig(num_experts=K, expert=expert,
+                          boundary_margin=1.1, bg_hidden=32)
+    cents = jnp.asarray(_centroids())
+    half = SPACING * 0.75
+    boxes = jnp.stack([jnp.stack([c - half, c + half]) for c in cents])
+    ext = (GRID / 2.0) * SPACING + 0.6
+    statics = ContainerStatics(
+        cents, boxes,
+        jnp.asarray([[-1.2, -ext, -ext], [1.2, ext, ext]], jnp.float32),
+    )
+    params = init_container_params(jax.random.PRNGKey(0), cfg)
+    return cfg, statics, params
+
+
+def build_batch_pools(K, S, Q, B, seed=0):
+    """Per-expert ray pools with precomputed GT (host march once)."""
+    rng = np.random.default_rng(seed)
+    pool_s, pool_q = 16 * S, 8 * Q
+    sup, supc, suph = [], [], []
+    qry, qryc, qryh = [], [], []
+    for k in range(K):
+        rs = _expert_rays(k, pool_s, rng)
+        rq = _expert_rays(k, pool_q, rng)
+        cs, hs = _gt_march(rs[:, 0:3], rs[:, 3:6])
+        cq, hq = _gt_march(rq[:, 0:3], rq[:, 3:6])
+        sup.append(rs), supc.append(cs), suph.append(hs)
+        qry.append(rq), qryc.append(cq), qryh.append(hq)
+    return (np.stack(sup), np.stack(supc), np.stack(suph),
+            np.stack(qry), np.stack(qryc), np.stack(qryh)), rng
+
+
+def sample_batch(pools, rng, K, S, Q, B):
+    sup, supc, _, qry, qryc, _ = pools
+    si = rng.integers(0, sup.shape[1], (K, B, S))
+    qi = rng.integers(0, qry.shape[1], (K, B, Q))
+    ka = np.arange(K)[:, None, None]
+    return {
+        "support_rays": sup[ka, si],
+        "support_rgbs": supc[ka, si],
+        "query_rays": qry[ka, qi],
+        "query_rgbs": qryc[ka, qi],
+        "valid": np.ones((K, B), np.float32),
+    }
+
+
+def run(a):
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.models.container import param_group_labels
+    from nerfsys_tpu.models.occupancy import (
+        make_occ_update_fn,
+        premark_invisible_expert_cells,
+    )
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+    from nerfsys_tpu.pipelines.offline.meta_core import MetaConfig
+    from nerfsys_tpu.pipelines.offline.meta_train_step import make_train_step
+    from nerfsys_tpu.utils.optim import OptimConfig, build_optimizer
+
+    on_cpu = jax.default_backend() == "cpu"
+    K = GRID * GRID
+    S, Q, B = a.support, a.query, a.batch_tasks
+    cfg, statics, params = build_model(K, on_cpu)
+
+    occ_cfg = OccGridConfig(resolution=a.occ_res, levels=2,
+                            warmup_steps=a.occ_warmup,
+                            update_interval=a.occ_interval)
+    occ_state = init_occ_state(occ_cfg, K)
+
+    meta = MetaConfig(
+        algo="fomaml", inner_iter=a.inner, inner_lr=0.015,
+        ray_samples=a.samples, occ_importance=True, occ_hard_mask=False,
+        expert_map=not a.mesh,
+    )
+    tx = build_optimizer(OptimConfig(outer_steps=max(a.steps, 10) * 10),
+                         param_group_labels(params))
+    opt_state = tx.init(params)
+    step = make_train_step(meta, cfg, tx)
+    occ_update = make_occ_update_fn(cfg, occ_cfg)
+
+    mesh = None
+    if a.mesh:
+        from nerfsys_tpu.parallel.mesh import (
+            make_mesh,
+            shard_batch,
+            shard_params,
+        )
+
+        mesh = make_mesh(a.mesh)
+        shard_experts = mesh.shape["expert"] > 1
+        params = shard_params(params, mesh, shard_experts=shard_experts)
+        opt_state = jax.device_put(
+            opt_state,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+
+    print(f"[k16] K={K} S={S} Q={Q} B={B} inner={a.inner} "
+          f"samples={a.samples} backend={jax.default_backend()}"
+          + (f" mesh={dict(mesh.shape)}" if mesh else ""))
+    t0 = time.perf_counter()
+    pools, rng = build_batch_pools(K, S, Q, B, a.seed)
+    print(f"[k16] pools + GT in {time.perf_counter() - t0:.1f}s host")
+
+    key = jax.random.PRNGKey(a.seed)
+    rays_per_step = K * B * (S * a.inner + Q)
+    losses = []
+    t_start = time.perf_counter()
+    t_steady = None
+    for i in range(a.steps):
+        batch = sample_batch(pools, rng, K, S, Q, B)
+        if mesh is not None:
+            from nerfsys_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
+        else:
+            batch = jax.device_put(batch)
+        key, ks, ko = jax.random.split(key, 3)
+        params, opt_state, aux = step(params, opt_state, statics, batch, ks,
+                                      occ_state)
+        occ_state = occ_update(occ_state, params, statics,
+                               jnp.asarray(i), ko)
+        loss = float(np.asarray(aux["loss_out"]))  # host sync
+        losses.append(loss)
+        if i == 1:
+            t_steady = time.perf_counter()  # skip compile
+        if i % 20 == 0 or i == a.steps - 1:
+            print(f"[k16] step {i}/{a.steps} loss {loss:.5f} "
+                  f"psnr~{-10 * np.log10(max(loss, 1e-9)):.2f}", flush=True)
+    n_steady = max(a.steps - 2, 1)
+    dt = ((time.perf_counter() - t_steady) / n_steady
+          if t_steady else float("nan"))
+
+    # ---- eval: held-out query rays through the full routed container ----
+    from nerfsys_tpu.models.container import container_bg_fn, container_field_fn
+    from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+    ev_rng = np.random.default_rng(a.seed + 99)
+    ev = np.concatenate([_expert_rays(k, 512, ev_rng) for k in range(K)])
+    ev_rgb, _ = _gt_march(ev[:, 0:3], ev[:, 3:6])
+
+    @jax.jit
+    def eval_rgb(p, rays):
+        field = container_field_fn(p, cfg, statics, None)
+        rgb, _, _, _ = render_rays_stratified(
+            field, rays, 96, randomized=False, bg_policy="white",
+            bg_fn=container_bg_fn(p, cfg),
+        )
+        return rgb
+
+    pred = np.asarray(eval_rgb(params, jnp.asarray(ev)))
+    mse = float(np.mean((pred - ev_rgb) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-24)
+
+    out = {
+        "mode": "k16",
+        "K": K,
+        "steps": a.steps,
+        "step_seconds": round(dt, 4),
+        "rays_per_sec": round(rays_per_step / dt, 1) if dt == dt else None,
+        "final_loss": round(losses[-1], 6),
+        "eval_psnr_heldout": round(psnr, 2),
+        "backend": jax.default_backend(),
+        "mesh": dict(mesh.shape) if mesh else None,
+    }
+
+    # ---- full-frame render through the real chunked dispatch ----
+    if a.render_side > 0:
+        from nerfsys_tpu.data.ram_rays import frame_rays
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            default_chunk_rays,
+            make_chunk_renderer,
+            render_rays_chunked,
+        )
+
+        side = a.render_side
+        renderer = make_chunk_renderer(
+            cfg, ray_samples=a.samples, occ_state=occ_state,
+            occ_importance=True, occ_hard_mask=False,
+        )
+        c2w = np.array([[0, 0, 1, 4.2], [0, 1, 0, 0], [-1, 0, 0, 0]],
+                       np.float32)  # +x eye looking down -x (RUB)
+        f = side * 0.45
+        rays, _ = frame_rays(side, side, (f, f, side / 2, side / 2), c2w,
+                             aabb=np.asarray(statics.global_aabb))
+        chunk = default_chunk_rays(a.samples)
+        r0 = render_rays_chunked(renderer, params, statics, rays, chunk)
+        t0 = time.perf_counter()
+        r0 = render_rays_chunked(renderer, params, statics, rays, chunk)
+        out["render_side"] = side
+        out["render_seconds"] = round(time.perf_counter() - t0, 2)
+        out["render_mean_rgb"] = round(float(r0[:, :3].mean()), 4)
+
+    print(json.dumps(out))
+    return out, losses
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--support", type=int, default=2048)
+    ap.add_argument("--query", type=int, default=1024)
+    ap.add_argument("--batch_tasks", type=int, default=2)
+    ap.add_argument("--inner", type=int, default=4)
+    ap.add_argument("--samples", type=int, default=32)
+    ap.add_argument("--occ_res", type=int, default=64)
+    ap.add_argument("--occ_warmup", type=int, default=24)
+    ap.add_argument("--occ_interval", type=int, default=12)
+    ap.add_argument("--render_side", type=int, default=800)
+    ap.add_argument("--mesh", type=str, default="",
+                    help="mesh spec (e.g. 2x4): shard 'expert' over the "
+                         "second axis; flips expert_map off (vmap path)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--parity", action="store_true",
+                    help="CPU proof: 3 steps sharded (2x4 mesh) vs "
+                         "unsharded on identical batches — losses must "
+                         "match to float tolerance")
+    a = ap.parse_args(argv)
+
+    if a.parity:
+        import copy
+
+        base = copy.copy(a)
+        base.steps, base.render_side = 3, 0
+        base.support, base.query, base.batch_tasks = 128, 64, 1
+        base.inner, base.samples, base.occ_warmup = 1, 8, 2
+        base.mesh = ""
+        _, l0 = run(base)
+        shard = copy.copy(base)
+        shard.mesh = "2x4"
+        _, l1 = run(shard)
+        ok = np.allclose(l0, l1, rtol=2e-4, atol=2e-6)
+        print(json.dumps({"mode": "k16_parity", "losses_unsharded": l0,
+                          "losses_sharded": l1, "parity_ok": bool(ok)}))
+        if not ok:
+            raise SystemExit(1)
+        return
+    run(a)
+
+
+if __name__ == "__main__":
+    main()
