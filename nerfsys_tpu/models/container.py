@@ -195,6 +195,38 @@ def routing_weights(
     return jax.nn.one_hot(hard, cfg.num_experts, dtype=pts.dtype)
 
 
+def routing_coherent_expert(
+    statics: ContainerStatics, cfg: ContainerConfig, pts_ns: Array
+) -> Array:
+    """Per-ray coherent expert id (N,) int32, or -1 for boundary rays.
+
+    A ray is coherent on expert k iff at EVERY sample position the routed
+    blend degenerates to expert k alone: argmin-distance == k at all
+    samples, and (soft routing, boundary_margin > 1) no other expert sits
+    inside the margin support (d2 > margin * d1 strictly — the weight
+    mask is d <= margin * d_min, routing_weights above). For such rays
+    the full routed render and the single-expert render are the SAME
+    function — the exactness contract of the coherent-chunk dispatch
+    (runtime_adapt.coherent_dispatch; the fast live path for spatially
+    clustered scenes where bucketed top-1 degrades to dense on skewed
+    frames). Reference analogue: the hard `_routing` path
+    (/root/reference/adaptive_nerf/models/inr/meta_container.py:97-134)
+    — the reference evaluates it per point serially; here whole rays
+    collapse to one-expert programs."""
+    N, S = pts_ns.shape[0], pts_ns.shape[1]
+    dist = _routing_dist(statics, cfg, pts_ns.reshape(N * S, 3))
+    dist = dist.reshape(N, S, -1)
+    a1 = jnp.argmin(dist, axis=-1)  # (N, S)
+    same = jnp.all(a1 == a1[:, :1], axis=1)
+    if cfg.boundary_margin > 1.0:
+        top2 = -jax.lax.top_k(-dist, 2)[0]  # (N, S, 2) two smallest
+        singleton = jnp.all(
+            top2[..., 1] > cfg.boundary_margin * top2[..., 0], axis=1
+        )
+        same = same & singleton
+    return jnp.where(same, a1[:, 0], -1).astype(jnp.int32)
+
+
 # ------------------------------- expert eval ---------------------------------
 def _expert_apply_fn(cfg: ContainerConfig):
     if cfg.nerf_variant == "instant":

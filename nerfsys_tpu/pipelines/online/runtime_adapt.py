@@ -1029,6 +1029,137 @@ def make_live_camera_renderer(
     return render
 
 
+class CoherentExpertRenderer:
+    """Bundle for coherent_dispatch: `full` renders a routed chunk,
+    `single(params, statics, rays, k)` renders a chunk through expert k
+    alone (k is TRACED — one compiled program serves all K experts), and
+    `probe(statics, rays)` returns each ray's coherent expert id or -1
+    (models/container.routing_coherent_expert)."""
+
+    def __init__(self, full, single, probe, num_experts, fog_stats=False):
+        self.full = full
+        self.single = single
+        self.probe = probe
+        self.num_experts = int(num_experts)
+        self.fog_stats = bool(fog_stats)
+
+    def __call__(self, params, statics, rays, *extra):
+        return self.full(params, statics, rays, *extra)
+
+
+def make_coherent_renderer(
+    cfg: ContainerConfig,
+    *,
+    ray_samples: int,
+    bg_policy: str = "white",
+    use_bg_fn: bool = True,
+    fog_stats: bool = False,
+):
+    """Coherent-expert live renderer (the honest fast top-1 path).
+
+    Bucketed top-1 routing degrades to dense on spatially-skewed FRAMES
+    (most pixels route to 1-2 experts, the capacity buckets overflow and
+    the exact fallback evaluates all K — BASELINE.md retired rungs). But
+    skewed frames are exactly the COHERENT case: whole rays sit inside
+    one expert's routing region. coherent_dispatch packs such rays into
+    dense chunks and renders each through ONE expert (1/K the field
+    evals), keeping the full routed program only for boundary-crossing
+    rays — EXACT by construction (the packed rays are ones where the
+    routed blend equals the single-expert field; routing_coherent_expert
+    docstring). Stratified non-occ path; probe cost is pure routing
+    arithmetic (zero table gathers) + a 4-byte/ray fetch."""
+
+    def _stats(rgb, depth, weights, acc):
+        if fog_stats:
+            return (rgb, depth, acc) + _fog_stats(weights)
+        return rgb, depth, acc
+
+    def full_fn(params, statics, rays):
+        field = container_field_fn(params, cfg, statics, None)
+        return _stats(*render_rays_stratified(
+            field, rays, ray_samples, randomized=False, bg_policy=bg_policy,
+            bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
+        ))
+
+    def single_fn(params, statics, rays, k):
+        field = container_field_fn(params, cfg, statics, k)
+        return _stats(*render_rays_stratified(
+            field, rays, ray_samples, randomized=False, bg_policy=bg_policy,
+            bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
+        ))
+
+    def probe_fn(statics, rays):
+        from nerfsys_tpu.models.container import routing_coherent_expert
+        from nerfsys_tpu.ops.volrend import stratified_t_vals, t_to_points
+
+        o, d = rays[:, 0:3], rays[:, 3:6]
+        near, far = rays[:, 6], rays[:, 7]
+        valid = (jnp.isfinite(near) & jnp.isfinite(far) & (far > near)
+                 & (far < 1e9))
+        near_s = jnp.where(valid, near, 0.0)
+        far_s = jnp.where(valid, far, 1.0)
+        # EXACTLY the render's sample positions (render_rays_stratified)
+        t_vals = stratified_t_vals(None, near_s, far_s, ray_samples, False)
+        pts = t_to_points(o, d, t_vals)
+        kid = routing_coherent_expert(statics, cfg, pts)
+        # invalid rays composite the background identically under every
+        # program — pack them with their nearest expert
+        return kid
+
+    return CoherentExpertRenderer(
+        full=jax.jit(full_fn), single=jax.jit(single_fn),
+        probe=jax.jit(probe_fn), num_experts=cfg.num_experts,
+        fog_stats=fog_stats,
+    )
+
+
+def coherent_dispatch(
+    renderer: CoherentExpertRenderer,
+    params,
+    statics: ContainerStatics,
+    rays: np.ndarray,  # (n, 8) float32, host
+    chunk_rays: int,
+    *extra,
+    stats: Optional[dict] = None,
+):
+    """Two-wave coherent-expert dispatch -> [(ids, device_output), ...].
+
+    Wave 1 probes each chunk's per-ray coherent expert (pure routing
+    arithmetic); wave 2 packs same-expert rays into dense chunks rendered
+    through the ONE-expert program (traced expert id: a single compile
+    serves all K) and routes boundary-crossing rays through the full
+    program. Exact: packed rays are exactly those where the routed blend
+    equals the single-expert field (tests/test_coherent.py)."""
+    n = rays.shape[0]
+    if stats is None:
+        stats = {}
+    spans = [(s, min(chunk_rays, n - s)) for s in range(0, n, chunk_rays)]
+    kid = np.empty(n, np.int32)
+    for s, m in spans:
+        dev = jnp.asarray(_pad_chunk(rays[s:s + m], chunk_rays))
+        kid[s:s + m] = np.asarray(renderer.probe(statics, dev))[:m]
+
+    pending = []
+    coherent = 0
+    for k in range(renderer.num_experts):
+        ids_k = np.flatnonzero(kid == k)
+        coherent += len(ids_k)
+        for s in range(0, len(ids_k), chunk_rays):
+            ids = ids_k[s:s + chunk_rays]
+            dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
+            pending.append((ids, renderer.single(
+                params, statics, dev, jnp.asarray(k, jnp.int32), *extra)))
+    ids_m = np.flatnonzero(kid < 0)
+    for s in range(0, len(ids_m), chunk_rays):
+        ids = ids_m[s:s + chunk_rays]
+        dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
+        pending.append((ids, renderer.full(params, statics, dev, *extra)))
+    stats.update(mode="coherent", n_coherent=int(coherent),
+                 n_boundary=int(n - coherent),
+                 chunks_total=len(pending))
+    return pending
+
+
 def _pad_chunk(chunk: np.ndarray, chunk_rays: int) -> np.ndarray:
     pad = chunk_rays - chunk.shape[0]
     if pad:

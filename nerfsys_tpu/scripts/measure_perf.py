@@ -279,7 +279,8 @@ def _synthetic_occ_state(statics, *, geometry: bool):
 def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
                    iters: int = 3, top1: bool = False, sky: float = 0.0,
                    union_probe: int = 0, early_stop: float = 0.0,
-                   opaque: float = 1.0):
+                   opaque: float = 1.0, coherent: bool = False,
+                   skew: float = 0.0):
     import jax
     import jax.numpy as jnp
 
@@ -331,6 +332,21 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         o[i0:, 2] = 3.0
         d[i0:, 2] = np.abs(d[i0:, 2]) + 0.5
         d[i0:] /= np.linalg.norm(d[i0:], axis=1, keepdims=True)
+    if skew > 0.0:
+        # spatially-skewed frame (a zoomed-in camera): the first `skew`
+        # fraction of rays aims tightly into ONE expert's region — the
+        # frame shape where bucketed top-1 overflows to dense and the
+        # coherent dispatch packs whole rays onto one expert
+        # nadir geometry: clustering lives in the (y, z) ground plane
+        # (cluster_2d routing), so a zoomed-in camera's rays travel along
+        # x with (y, z) parked inside expert 0's region
+        i1 = int(n * skew)
+        o[:i1, 0] = 2.0
+        o[:i1, 1] = -1.0 + rng.normal(scale=0.15, size=i1)
+        o[:i1, 2] = -1.0 + rng.normal(scale=0.15, size=i1)
+        d[:i1] = np.array([-1.0, 0.0, 0.0], np.float32)
+        d[:i1, 1:] = rng.normal(scale=0.02, size=(i1, 2))
+        d[:i1] /= np.linalg.norm(d[:i1], axis=1, keepdims=True)
     nf = np.tile(np.array([0.1, 4.5], np.float32), (n, 1))
     rays = np.concatenate([o, d, nf], 1)
 
@@ -339,11 +355,34 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     two_wave = getattr(renderer, "probe", None) is not None
     stats = {}
 
-    def frame():
-        # the exact render_image flow (two-wave skip + ray packing when the
-        # renderer supports them); returns host numpy = fully synced
-        return render_rays_chunked(renderer, params, statics, rays, chunk,
-                                   stats=stats)
+    if coherent:
+        if use_occ:
+            print("[render] --coherent ignores occupancy (stratified "
+                  "coherent-expert path only)")
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            coherent_dispatch,
+            make_coherent_renderer,
+        )
+
+        ren_c = make_coherent_renderer(
+            _bench_cfg(), ray_samples=samples, bg_policy="white")
+        two_wave = False
+
+        def frame():
+            buf = np.zeros((n, 5), np.float32)
+            for ids, dev in coherent_dispatch(ren_c, params, statics, rays,
+                                              chunk, stats=stats):
+                cols = np.concatenate(
+                    [np.asarray(x)[: len(ids)].reshape(len(ids), -1)
+                     for x in dev], 1)
+                buf[ids] = cols
+            return buf
+    else:
+        def frame():
+            # the exact render_image flow (two-wave skip + ray packing when
+            # the renderer supports them); returns host numpy = fully synced
+            return render_rays_chunked(renderer, params, statics, rays,
+                                       chunk, stats=stats)
 
     frame()  # compile
     t0 = time.perf_counter()
@@ -406,7 +445,9 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
         "samples": samples,
         "use_occ": use_occ,
         "top1_routing": top1,
+        "coherent": coherent,
         "sky_fraction": sky,
+        "skew_fraction": skew,
         "union_probe_res": union_probe,
         "early_stop_eps": early_stop,
         "sigma_scale": opaque,
@@ -689,6 +730,13 @@ def parse_perf_args(argv=None):
                          "measured at 32)")
     ap.add_argument("--use_occ", action="store_true")
     ap.add_argument("--top1", action="store_true")
+    ap.add_argument("--coherent", action="store_true",
+                    help="render mode: coherent-expert dispatch (exact "
+                         "one-expert programs for rays inside one routing "
+                         "region; boundary rays take the full program)")
+    ap.add_argument("--skew", type=float, default=0.0,
+                    help="render mode: fraction of rays aimed tightly into "
+                         "one expert region (the skewed-frame benchmark)")
     ap.add_argument("--union_probe", type=int, default=0,
                     help="probe one resampled union grid at this resolution")
     ap.add_argument("--sky", type=float, default=0.0,
@@ -738,7 +786,8 @@ def main(argv=None):
     else:
         measure_render(a.side, a.samples, a.use_occ, a.iters, a.top1,
                        sky=a.sky, union_probe=a.union_probe,
-                       early_stop=a.early_stop, opaque=a.opaque)
+                       early_stop=a.early_stop, opaque=a.opaque,
+                       coherent=a.coherent, skew=a.skew)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,107 @@
+"""Coherent-expert dispatch exactness (the honest fast top-1 live path).
+
+Contract: coherent_dispatch output == the full routed render for every
+ray, while most rays of a spatially-clustered frame render through the
+one-expert program (1/K the field evals). The packed rays are those
+where the routed blend provably equals the single-expert field
+(models/container.routing_coherent_expert), so this is an equality
+test, not a tolerance-on-quality test.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfsys_tpu.models.container import (
+    ContainerConfig,
+    ContainerStatics,
+    init_container_params,
+    routing_coherent_expert,
+)
+from nerfsys_tpu.models.ngp import NGPConfig
+from nerfsys_tpu.ops.encodings import HashGridConfig
+from nerfsys_tpu.pipelines.online.runtime_adapt import (
+    coherent_dispatch,
+    make_chunk_renderer,
+    make_coherent_renderer,
+    render_rays_chunked,
+)
+
+
+def _setup(K=2, margin=1.1, seed=0):
+    cents = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)[:K]
+    boxes = jnp.stack([jnp.stack([c - 1.2, c + 1.2]) for c in cents])
+    st = ContainerStatics(cents, boxes,
+                          jnp.asarray([[-2.5, -2.5, -2.5], [2.5, 2.5, 2.5]]))
+    expert = NGPConfig(hidden=8, sigma_depth=1, color_hidden=8, color_depth=1,
+                       geo_feat_dim=3,
+                       hash=HashGridConfig(levels=2, min_res=4, max_res=8,
+                                           log2_hashmap_size=8))
+    cfg = ContainerConfig(num_experts=K, expert=expert,
+                          boundary_margin=margin, bg_hidden=8)
+    params = init_container_params(jax.random.PRNGKey(seed), cfg)
+    return cfg, st, params
+
+
+def _mixed_rays(rng, n):
+    """Some rays deep inside one expert's region, some crossing the
+    boundary plane y=0 (incoherent by construction)."""
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 3.0
+    d = np.zeros((n, 3), np.float32)
+    d[:, 2] = -1.0
+    # thirds: aimed at expert 0, expert 1, and across the boundary
+    o[: n // 3, 1] = -1.0
+    o[n // 3: 2 * n // 3, 1] = 1.0
+    d[2 * n // 3:, 1] = rng.uniform(-0.6, 0.6, n - 2 * n // 3)
+    o[2 * n // 3:, 1] = -rng.uniform(0.5, 1.5, n - 2 * n // 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nf = np.tile([0.5, 6.0], (n, 1)).astype(np.float32)
+    rays = np.concatenate([o, d, nf], 1).astype(np.float32)
+    rays[7] = [0, 0, 3, 0, 0, -1, np.inf, np.inf]  # one invalid ray
+    return rays
+
+
+def test_routing_coherent_expert_soft_and_hard():
+    for margin in (1.1, 1.0):
+        cfg, st, _ = _setup(margin=margin)
+        pts = np.zeros((3, 4, 3), np.float32)
+        pts[0, :, 1] = -1.0  # all samples deep in expert 0
+        pts[1, :, 1] = 1.0   # expert 1
+        pts[2, :, 1] = [-1.0, -0.02, 0.02, 1.0]  # crosses the boundary
+        kid = np.asarray(routing_coherent_expert(st, cfg, jnp.asarray(pts)))
+        assert kid[0] == 0 and kid[1] == 1
+        assert kid[2] == -1  # boundary samples: near-tie (soft: in-margin)
+
+
+def test_coherent_dispatch_exact_vs_full():
+    rng = np.random.default_rng(0)
+    for K, margin in ((2, 1.1), (2, 1.0)):
+        cfg, st, params = _setup(K=K, margin=margin)
+        rays = _mixed_rays(rng, 300)
+        full = make_chunk_renderer(cfg, ray_samples=8)
+        ref = render_rays_chunked(full, params, st, rays, 128)
+
+        ren = make_coherent_renderer(cfg, ray_samples=8)
+        stats = {}
+        out = np.zeros_like(ref)
+        for ids, dev in coherent_dispatch(ren, params, st, rays, 128,
+                                          stats=stats):
+            cols = np.concatenate(
+                [np.asarray(d)[: len(ids)].reshape(len(ids), -1)
+                 for d in dev], 1)
+            out[ids] = cols
+        assert stats["n_coherent"] > 150, stats  # most rays pack
+        assert stats["n_boundary"] > 10, stats   # boundary rays exist
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_coherent_single_program_is_traced_over_experts():
+    """One compiled program serves every expert id (k is traced)."""
+    cfg, st, params = _setup(K=2)
+    ren = make_coherent_renderer(cfg, ray_samples=8)
+    rng = np.random.default_rng(1)
+    rays = jnp.asarray(_mixed_rays(rng, 128))
+    r0 = ren.single(params, st, rays, jnp.asarray(0, jnp.int32))
+    r1 = ren.single(params, st, rays, jnp.asarray(1, jnp.int32))
+    assert ren.single._cache_size() == 1  # same compiled executable
+    assert not np.allclose(np.asarray(r0[0]), np.asarray(r1[0]))
