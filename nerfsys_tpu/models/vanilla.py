@@ -41,14 +41,23 @@ class VanillaConfig:
     color_hidden: int = 128
     color_depth: int = 2
     use_sigmoid_rgb: bool = True
+    # tiny-NeRF (BASELINE.json config 1) drops view dependence entirely:
+    # the color head sees only the geometry features.
+    use_viewdirs: bool = True
     pe_dim_xyz: int = 10
     include_input_xyz: bool = True
     dir_encoding: str = "spherical"
     sh_levels: int = 4
     freq_pe_dim: int = 4
+    # nonzero: the trunk's input width is fixed to this value and the caller
+    # supplies the xyz encoding itself (vanilla_apply_enc) — the mip-NeRF
+    # variant feeds integrated PE through the same skip-MLP (ops/mip.py).
+    xyz_enc_override: int = 0
 
     @property
     def xyz_enc_dim(self) -> int:
+        if self.xyz_enc_override:
+            return self.xyz_enc_override
         return frequency_out_dim(3, self.pe_dim_xyz, self.include_input_xyz)
 
     @property
@@ -86,7 +95,8 @@ def init_vanilla_params(key: jax.Array, cfg: VanillaConfig, dtype=jnp.float32) -
 
     color = []
     for l in range(cfg.color_depth):
-        in_dim = cfg.geo_feat_dim + cfg.dir_enc_dim if l == 0 else cfg.color_hidden
+        dir_dim = cfg.dir_enc_dim if cfg.use_viewdirs else 0
+        in_dim = cfg.geo_feat_dim + dir_dim if l == 0 else cfg.color_hidden
         out_dim = 3 if l == cfg.color_depth - 1 else cfg.color_hidden
         color.append(_linear_init(keys.pop(), in_dim, out_dim, dtype))
     params["color_mlp"] = color
@@ -100,13 +110,11 @@ def _enc_dir(d: Array, cfg: VanillaConfig) -> Array:
     return frequency_encode(d, cfg.freq_pe_dim, include_input=True)
 
 
-def vanilla_density(
-    params: Params, cfg: VanillaConfig, aabb: Array, x: Array,
-    return_feats: bool = False,
+def vanilla_density_enc(
+    params: Params, cfg: VanillaConfig, enc: Array, return_feats: bool = False
 ):
-    """Density branch with NeRF skip connections (`aabb` unused, see module doc)."""
-    del aabb
-    enc = frequency_encode(x, cfg.pe_dim_xyz, cfg.include_input_xyz)
+    """Trunk + heads over an already-encoded input (the mip path encodes
+    Gaussians, not points, so the encoding happens outside)."""
     h = enc
     for i, lyr in enumerate(params["trunk"]):
         if i in cfg.skips and i != 0:
@@ -120,8 +128,30 @@ def vanilla_density(
     return sigma, geo
 
 
+def vanilla_density(
+    params: Params, cfg: VanillaConfig, aabb: Array, x: Array,
+    return_feats: bool = False,
+):
+    """Density branch with NeRF skip connections (`aabb` unused, see module doc)."""
+    del aabb
+    enc = frequency_encode(x, cfg.pe_dim_xyz, cfg.include_input_xyz)
+    return vanilla_density_enc(params, cfg, enc, return_feats)
+
+
+def vanilla_apply_enc(
+    params: Params, cfg: VanillaConfig, enc: Array, d: Array
+) -> Tuple[Array, Array]:
+    """(rgb, sigma) from a caller-supplied xyz encoding (mip-IPE path)."""
+    sigma, geo = vanilla_density_enc(params, cfg, enc, return_feats=True)
+    rgb = vanilla_color(params, cfg, d, geo)
+    return rgb, sigma
+
+
 def vanilla_color(params: Params, cfg: VanillaConfig, d: Array, geo_feat: Array) -> Array:
-    h = jnp.concatenate([geo_feat, _enc_dir(d, cfg)], axis=-1)
+    if cfg.use_viewdirs:
+        h = jnp.concatenate([geo_feat, _enc_dir(d, cfg)], axis=-1)
+    else:
+        h = geo_feat
     n = len(params["color_mlp"])
     for i, lyr in enumerate(params["color_mlp"]):
         h = h @ lyr["w"] + lyr["b"]

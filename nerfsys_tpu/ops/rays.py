@@ -208,3 +208,46 @@ def rays_for_camera(
     fx, fy, cx, cy = [float(v) for v in intrinsics]
     dirs = get_ray_directions(H, W, fx, fy, cx, cy, center_pixels)
     return get_rays(dirs, c2w, scene_box=scene_box, near=near, far=far)
+
+
+# --------------------------- NDC parameterization ---------------------------
+def ndc_rays(
+    H: int,
+    W: int,
+    fx: float,
+    fy: float,
+    near: float,
+    rays_o: Array,  # (N, 3) world origins (forward-facing, -z into scene)
+    rays_d: Array,  # (N, 3) world directions (need not be unit)
+) -> Tuple[Array, Array]:
+    """Shift forward-facing rays into Normalized Device Coordinates.
+
+    The original-NeRF LLFF parameterization (BASELINE.json north star:
+    "LLFF forward-facing with NDC ray parameterization"): rays are first
+    advanced to the z = -near plane, then mapped through the perspective
+    projection so that t' in [0, 1] sweeps depth from the near plane to
+    infinity. Sampling linearly in t' therefore samples linearly in
+    DISPARITY in world space — the right spacing for unbounded
+    forward-facing captures.
+
+    Assumes the camera looks down -z in a [right, up, back] world (the LLFF
+    loader's recentered frame). Returns (o_ndc, d_ndc), each (N, 3); render
+    with near=0, far=1.
+    """
+    # advance origins to the near plane
+    t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+
+    ox, oy, oz = rays_o[..., 0], rays_o[..., 1], rays_o[..., 2]
+    dx, dy, dz = rays_d[..., 0], rays_d[..., 1], rays_d[..., 2]
+
+    o0 = -1.0 / (W / (2.0 * fx)) * ox / oz
+    o1 = -1.0 / (H / (2.0 * fy)) * oy / oz
+    o2 = 1.0 + 2.0 * near / oz
+    d0 = -1.0 / (W / (2.0 * fx)) * (dx / dz - ox / oz)
+    d1 = -1.0 / (H / (2.0 * fy)) * (dy / dz - oy / oz)
+    d2 = -2.0 * near / oz
+
+    o_ndc = jnp.stack([o0, o1, o2], axis=-1)
+    d_ndc = jnp.stack([d0, d1, d2], axis=-1)
+    return o_ndc, d_ndc

@@ -299,3 +299,114 @@ def render_rays_stratified(
 
     rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
     return volume_render(rgb_sigma, t_vals, bg_rgb=bg, sigma_scale=sigma_scale)
+
+
+# --------------------------- hierarchical sampling ---------------------------
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: Array,  # (N, B+1) sorted bin edges
+    weights: Array,  # (N, B) nonnegative
+    n_samples: int,
+    randomized: bool = True,
+    eps: float = 1e-5,
+) -> Array:
+    """Inverse-CDF sampling of the piecewise-constant pdf over `bins`.
+
+    The classic NeRF fine-sampling step (BASELINE.json north star: "inverse-CDF
+    hierarchical sampling"). TPU-first: static shapes, one vectorized
+    searchsorted over the (B+1)-long CDF per ray — no per-ray Python. The
+    result carries stop_gradient (sample PLACEMENT is not differentiated, as
+    in the original NeRF).
+
+    Returns t samples (N, n_samples), sorted along the last axis.
+    """
+    w = weights + eps  # avoid nans and keep every bin reachable
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+    n_rays = bins.shape[0]
+    if randomized:
+        if key is None:
+            raise ValueError("randomized sample_pdf requires a PRNG key")
+        u = jax.random.uniform(key, (n_rays, n_samples), dtype=bins.dtype)
+    else:
+        u = jnp.linspace(0.0, 1.0 - 1e-6, n_samples, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, (n_rays, n_samples))
+
+    # searchsorted over the row-wise CDF: index of the bin containing u
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 2)
+    above = jnp.clip(idx, 1, cdf.shape[-1] - 1)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-10, 1.0, cdf_hi - cdf_lo)
+    t = (u - cdf_lo) / denom
+    samples = bin_lo + t * (bin_hi - bin_lo)
+    return jax.lax.stop_gradient(jnp.sort(samples, axis=-1))
+
+
+def render_rays_hierarchical(
+    coarse_field_fn: FieldFn,
+    fine_field_fn: Optional[FieldFn],
+    rays: Array,  # (N, 8) packed
+    n_coarse: int,
+    n_fine: int,
+    key: Optional[jax.Array] = None,
+    *,
+    randomized: bool = False,
+    bg_policy: str = "white",
+    sigma_scale: float = 1.0,
+) -> Tuple[Tuple[Array, Array, Array, Array], Tuple[Array, Array, Array, Array]]:
+    """Classic NeRF coarse-to-fine rendering (BASELINE.json "64+128
+    coarse/fine hierarchical sampling").
+
+    Pass 1 renders `n_coarse` stratified samples through `coarse_field_fn`;
+    its compositing weights drive inverse-CDF placement of `n_fine` extra
+    samples, and pass 2 renders the UNION of both sample sets (sorted,
+    n_coarse + n_fine per ray — one fixed-shape program) through
+    `fine_field_fn` (or the coarse field when None, the mip-NeRF
+    single-network arrangement).
+
+    Returns ((rgb, depth, weights, acc) coarse, (same) fine).
+    """
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    n_rays = o.shape[0]
+
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near) & (far < 1e9)
+    near_s = jnp.where(valid, near, 0.0)
+    far_s = jnp.where(valid, far, 1.0)
+
+    k_strat = k_pdf = k_bg = None
+    if key is not None:
+        k_strat, k_pdf, k_bg = jax.random.split(key, 3)
+
+    t_c = stratified_t_vals(k_strat, near_s, far_s, n_coarse, randomized)
+
+    def run(field_fn, t_vals, n_s):
+        pts = t_to_points(o, d, t_vals)
+        dirs = jnp.broadcast_to(d[:, None, :], pts.shape)
+        rgb, sigma = field_fn(pts.reshape(-1, 3), dirs.reshape(-1, 3))
+        rgb = rgb.reshape(n_rays, n_s, 3)
+        sigma = jnp.where(valid[:, None], sigma.reshape(n_rays, n_s), 0.0)
+        bg = background_rgb(bg_policy, n_rays, key=k_bg,
+                            last_sample_rgb=rgb[:, -1, :], dtype=rgb.dtype)
+        rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+        return volume_render(rgb_sigma, t_vals, bg_rgb=bg,
+                             sigma_scale=sigma_scale)
+
+    coarse_out = run(coarse_field_fn, t_c, n_coarse)
+    weights_c = coarse_out[2]
+
+    mids = 0.5 * (t_c[:, 1:] + t_c[:, :-1])  # (N, Sc-1) interior edges
+    t_f = sample_pdf(k_pdf, mids, weights_c[:, 1:-1], n_fine,
+                     randomized=randomized)
+    t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
+
+    fine_out = run(fine_field_fn or coarse_field_fn, t_all, n_coarse + n_fine)
+    return coarse_out, fine_out

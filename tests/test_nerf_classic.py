@@ -1,0 +1,365 @@
+"""Classic-NeRF axis: Blender/LLFF loaders, NDC, sample_pdf, mip-IPE.
+
+Covers the literal BASELINE.json north-star configs (tiny / full / llff /
+mip) added by scripts/nerf_classic.py. The reference repo has none of this
+(its datasets are aerial COLMAP captures) — these pin the public formats and
+the sampling math against first principles.
+"""
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsys_tpu.data.blender import load_blender_scene, write_blender_scene
+from nerfsys_tpu.data.llff import (
+    load_llff_scene,
+    recenter_poses,
+    write_llff_scene,
+)
+from nerfsys_tpu.ops.mip import (
+    cast_rays,
+    conical_frustum_to_gaussian,
+    ipe_encode,
+    ipe_out_dim,
+    render_rays_mip,
+)
+from nerfsys_tpu.ops.rays import ndc_rays
+from nerfsys_tpu.ops.volrend import (
+    render_rays_hierarchical,
+    sample_pdf,
+)
+
+
+# --------------------------- sample_pdf -------------------------------------
+def test_sample_pdf_uniform_weights_cover_range():
+    bins = jnp.broadcast_to(jnp.linspace(1.0, 5.0, 17), (4, 17))
+    w = jnp.ones((4, 16))
+    s = sample_pdf(None, bins, w, 32, randomized=False)
+    assert s.shape == (4, 32)
+    assert bool(jnp.all(s[:, 1:] >= s[:, :-1]))  # sorted
+    assert float(s.min()) >= 1.0 and float(s.max()) <= 5.0
+    # deterministic uniform sampling of a uniform pdf ~ evenly spaced
+    gaps = np.diff(np.asarray(s[0]))
+    assert np.allclose(gaps, gaps.mean(), atol=0.02)
+
+
+def test_sample_pdf_concentrates_in_heavy_bin():
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (2, 11))
+    w = jnp.zeros((2, 10)).at[:, 3].set(1.0)  # all mass in [0.3, 0.4]
+    s = sample_pdf(jax.random.PRNGKey(0), bins, w, 64, randomized=True)
+    frac_inside = float(jnp.mean((s >= 0.3) & (s <= 0.4)))
+    assert frac_inside > 0.95  # eps spreads a sliver elsewhere
+
+
+def test_sample_pdf_randomized_matches_cdf_quantiles():
+    key = jax.random.PRNGKey(1)
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 2.0, 9), (1, 9))
+    w = jnp.asarray([[0.0, 0.0, 1.0, 3.0, 0.0, 0.0, 0.0, 0.0]])
+    s = np.asarray(sample_pdf(key, bins, w, 4096, randomized=True))
+    # 3/4 of the mass sits in bin 3 ([0.75, 1.0])
+    frac_b3 = np.mean((s >= 0.75) & (s <= 1.0))
+    assert abs(frac_b3 - 0.75) < 0.03
+
+
+# --------------------------- hierarchical renderer --------------------------
+def _const_field(rgb, sigma):
+    def field(pts, dirs):
+        n = pts.shape[0]
+        return (
+            jnp.broadcast_to(jnp.asarray(rgb), (n, 3)),
+            jnp.full((n,), sigma),
+        )
+    return field
+
+
+def test_hierarchical_const_field_matches_stratified():
+    rays = jnp.concatenate(
+        [
+            jnp.zeros((8, 3)),
+            jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (8, 1)),
+            jnp.full((8, 1), 2.0),
+            jnp.full((8, 1), 6.0),
+        ],
+        axis=1,
+    )
+    f = _const_field((0.2, 0.5, 0.8), 3.0)
+    (rc, *_), (rf, *_rest) = render_rays_hierarchical(
+        f, f, rays, 32, 64, None, randomized=False, bg_policy="white"
+    )
+    # a constant opaque field renders the same color in both passes
+    assert np.allclose(np.asarray(rc), np.asarray(rf), atol=1e-3)
+    assert np.allclose(np.asarray(rf[0]), [0.2, 0.5, 0.8], atol=2e-2)
+
+
+def test_hierarchical_fine_samples_focus_on_surface():
+    """Density spike at t=4 -> fine pass sharpens depth toward 4."""
+    def field(pts, dirs):
+        t = -pts[:, 2]  # rays go down -z from origin
+        sigma = jnp.where(jnp.abs(t - 4.0) < 0.1, 50.0, 0.0)
+        return jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (pts.shape[0], 3)), sigma
+
+    rays = jnp.concatenate(
+        [
+            jnp.zeros((4, 3)),
+            jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (4, 1)),
+            jnp.full((4, 1), 2.0),
+            jnp.full((4, 1), 6.0),
+        ],
+        axis=1,
+    )
+    (rc, dc, *_), (rf, df, *_r) = render_rays_hierarchical(
+        field, field, rays, 16, 48, jax.random.PRNGKey(0), randomized=False
+    )
+    assert abs(float(df[0]) - 4.0) < 0.08
+    # fine depth is at least as sharp as coarse
+    assert abs(float(df[0]) - 4.0) <= abs(float(dc[0]) - 4.0) + 1e-3
+
+
+# --------------------------- NDC --------------------------------------------
+def _project(p, W, H, fx, fy, near):
+    """Reference NDC projection of a world point (forward-facing, -z)."""
+    x, y, z = p
+    return np.array([
+        -fx * 2.0 / W * x / z,
+        -fy * 2.0 / H * y / z,
+        1.0 + 2.0 * near / z,
+    ])
+
+
+def test_ndc_rays_points_lie_on_projected_line():
+    W = H = 64
+    fx = fy = 50.0
+    near = 1.0
+    o = jnp.asarray([[0.3, -0.2, 0.5]])
+    d = jnp.asarray([[0.1, 0.05, -1.0]])
+    o_n, d_n = ndc_rays(H, W, fx, fy, near, o, d)
+    o_n, d_n = np.asarray(o_n[0]), np.asarray(d_n[0])
+    for t in (0.0, 0.7, 2.0, 10.0):
+        p = np.asarray(o[0]) + t * np.asarray(d[0])
+        if p[2] > -near:  # in front of the near plane: not covered
+            continue
+        proj = _project(p, W, H, fx, fy, near)
+        # solve t' from the z component, check x/y agree
+        tp = (proj[2] - o_n[2]) / d_n[2]
+        assert 0.0 <= tp <= 1.0 + 1e-6
+        assert np.allclose(o_n + tp * d_n, proj, atol=1e-5)
+
+
+def test_ndc_depth_limits():
+    """t'=0 is the near plane (z'=-1); t'=1 is infinity (z'=+1)."""
+    W = H = 32
+    o = jnp.asarray([[0.0, 0.0, 10.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    o_n, d_n = ndc_rays(H, W, 30.0, 30.0, 1.0, o, d)
+    z0 = float(o_n[0, 2])
+    z1 = float(o_n[0, 2] + d_n[0, 2])
+    assert abs(z0 - (-1.0)) < 1e-6
+    assert abs(z1 - 1.0) < 1e-6
+
+
+def test_ndc_direction_scale_invariant():
+    o = jnp.asarray([[0.1, 0.2, 2.0]])
+    d = jnp.asarray([[0.05, -0.02, -1.0]])
+    a = ndc_rays(48, 48, 40.0, 40.0, 1.0, o, d)
+    b = ndc_rays(48, 48, 40.0, 40.0, 1.0, o, 3.7 * d)
+    for x, y in zip(a, b):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+# --------------------------- mip / IPE --------------------------------------
+def test_ipe_zero_cov_matches_plain_pe():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(7, 3)).astype(np.float32))
+    enc = ipe_encode(x, jnp.zeros_like(x), 0, 4)
+    scales = 2.0 ** np.arange(4)
+    y = (np.asarray(x)[:, None, :] * scales[:, None]).reshape(7, -1)
+    expected = np.concatenate([np.sin(y), np.cos(y)], axis=-1)
+    assert enc.shape == (7, ipe_out_dim(0, 4))
+    assert np.allclose(np.asarray(enc), expected, atol=1e-5)
+
+
+def test_ipe_high_freq_attenuates_with_cov():
+    x = jnp.ones((1, 3)) * 0.3
+    lo = ipe_encode(x, jnp.full((1, 3), 1e-6), 0, 8)
+    hi = ipe_encode(x, jnp.full((1, 3), 0.5), 0, 8)
+    # the last (highest) frequency block must shrink, the first barely
+    def band_norm(e, k):
+        sin = np.asarray(e)[0, k * 3:(k + 1) * 3]
+        cos = np.asarray(e)[0, 24 + k * 3:24 + (k + 1) * 3]
+        return np.sqrt((sin**2 + cos**2).sum())
+    assert band_norm(hi, 7) < 0.01 * band_norm(lo, 7)
+    assert band_norm(hi, 0) > 0.5 * band_norm(lo, 0)
+
+
+def test_frustum_gaussian_stats_sane():
+    t0 = jnp.asarray([[1.0, 2.0]])
+    t1 = jnp.asarray([[1.5, 3.0]])
+    r = jnp.asarray([[0.01]])
+    t_mean, (t_var, r_var) = conical_frustum_to_gaussian(t0, t1, r)
+    mids = (t0 + t1) / 2
+    assert bool(jnp.all(t_mean >= mids))  # cone widens away from the apex
+    assert bool(jnp.all(t_var > 0)) and bool(jnp.all(r_var > 0))
+    # wider interval -> larger variance
+    assert float(t_var[0, 1]) > float(t_var[0, 0])
+
+
+def test_cast_rays_means_on_ray():
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    edges = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    means, covs = cast_rays(edges, o, d, jnp.asarray([[0.02]]))
+    assert means.shape == (1, 3, 3) and covs.shape == (1, 3, 3)
+    m = np.asarray(means[0])
+    assert np.allclose(m[:, :2], 0.0, atol=1e-6)  # on the -z axis
+    assert np.all(np.diff(-m[:, 2]) > 0)  # marching forward
+
+
+def test_render_rays_mip_runs_and_levels_agree_on_const_field():
+    def field(means, covs, dirs):
+        n = means.shape[0]
+        return jnp.broadcast_to(jnp.asarray([0.1, 0.6, 0.9]), (n, 3)), jnp.full((n,), 5.0)
+
+    rays = jnp.concatenate(
+        [
+            jnp.zeros((4, 3)),
+            jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (4, 1)),
+            jnp.full((4, 1), 2.0),
+            jnp.full((4, 1), 6.0),
+        ],
+        axis=1,
+    )
+    lv0, lv1 = render_rays_mip(
+        field, rays, jnp.full((4, 1), 0.003), 32,
+        jax.random.PRNGKey(0), randomized=True,
+    )
+    assert np.allclose(np.asarray(lv0[0]), np.asarray(lv1[0]), atol=1e-2)
+    assert np.allclose(np.asarray(lv1[0][0]), [0.1, 0.6, 0.9], atol=2e-2)
+
+
+# --------------------------- Blender loader ---------------------------------
+def _toy_blender(tmp_path: Path, n=3, side=12):
+    rng = np.random.default_rng(0)
+    rgba = rng.uniform(0, 1, (n, side, side, 4)).astype(np.float32)
+    c2ws = np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1))
+    c2ws[:, 2, 3] = 4.0 + np.arange(n)
+    write_blender_scene(tmp_path, rgba, c2ws, camera_angle_x=0.8)
+    return rgba, c2ws
+
+
+def test_blender_roundtrip(tmp_path):
+    rgba, c2ws = _toy_blender(tmp_path)
+    sc = load_blender_scene(tmp_path, split="train", white_bg=True)
+    assert sc.images.shape == (3, 12, 12, 3)
+    assert np.allclose(sc.c2ws, c2ws, atol=1e-6)
+    # white compositing: rgb * a + (1 - a)
+    q = np.round(rgba * 255) / 255  # PNG quantization
+    expect = q[..., :3] * q[..., 3:4] + (1 - q[..., 3:4])
+    assert np.allclose(sc.images, expect, atol=2e-2)
+    assert np.allclose(sc.alphas, q[..., 3], atol=1e-2)
+    # camera_angle_x -> focal
+    assert abs(sc.focal - 0.5 * 12 / np.tan(0.4)) < 1e-3
+
+
+def test_blender_downscale_and_cap(tmp_path):
+    _toy_blender(tmp_path, n=3, side=12)
+    sc = load_blender_scene(tmp_path, downscale=2, cap_images=2)
+    assert sc.images.shape == (2, 6, 6, 3)
+    assert sc.focal == pytest.approx(0.5 * 6 / np.tan(0.4), abs=1e-3)
+
+
+def test_blender_near_far_from_json(tmp_path):
+    _toy_blender(tmp_path)
+    meta_p = tmp_path / "transforms_train.json"
+    meta = json.loads(meta_p.read_text())
+    meta["near"], meta["far"] = 0.25, 9.0
+    meta_p.write_text(json.dumps(meta))
+    sc = load_blender_scene(tmp_path)
+    assert sc.near == 0.25 and sc.far == 9.0
+
+
+# --------------------------- LLFF loader ------------------------------------
+def _toy_llff(tmp_path: Path, n=6, side=16):
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0, 1, (n, side, side, 3)).astype(np.float32)
+    poses = []
+    for i in range(n):
+        # forward-facing-ish rig in RUB, then converted to LLFF's [d, r, b]
+        eye = np.array([0.2 * i, 0.1, 3.0], np.float32)
+        back = np.array([0.0, 0.0, 1.0], np.float32)
+        right = np.array([1.0, 0.0, 0.0], np.float32)
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        poses.append(np.stack([-up, right, back, eye], axis=1))
+    bounds = np.tile(np.asarray([[2.0, 8.0]], np.float64), (n, 1))
+    write_llff_scene(tmp_path, images, np.stack(poses),
+                     hwf=np.array([side, side, 20.0]), bounds=bounds)
+    return images
+
+
+def test_llff_roundtrip_and_conversion(tmp_path):
+    images = _toy_llff(tmp_path)
+    sc = load_llff_scene(tmp_path, recenter=False, bd_factor=None,
+                         llff_hold=3)
+    assert sc.images.shape == images.shape
+    assert np.allclose(sc.images, images, atol=2e-2)
+    # [down, right, back] -> [right, up, back]
+    R = sc.c2ws[0, :3, :3]
+    assert np.allclose(R[:, 0], [1, 0, 0], atol=1e-6)  # right
+    assert np.allclose(R[:, 1], [0, 1, 0], atol=1e-6)  # up
+    assert np.allclose(R[:, 2], [0, 0, 1], atol=1e-6)  # back
+    assert list(sc.test_ids) == [0, 3]
+    assert sorted(set(sc.train_ids) | set(sc.test_ids)) == list(range(6))
+
+
+def test_llff_bd_rescale_and_recenter(tmp_path):
+    _toy_llff(tmp_path)
+    sc = load_llff_scene(tmp_path, recenter=True, bd_factor=0.75)
+    # nearest bound rescaled to 1/0.75
+    assert sc.bounds.min() == pytest.approx(1.0 / 0.75, rel=1e-5)
+    # recentred: average camera ~ identity pose
+    mean_t = sc.c2ws[:, :3, 3].mean(0)
+    assert np.allclose(mean_t, 0.0, atol=1e-5)
+    mean_back = sc.c2ws[:, :3, 2].mean(0)
+    assert np.allclose(mean_back / np.linalg.norm(mean_back), [0, 0, 1],
+                       atol=1e-5)
+
+
+def test_recenter_poses_identity_fixture():
+    c2ws = np.tile(np.eye(3, 4, dtype=np.float32), (4, 1, 1))
+    out = recenter_poses(c2ws)
+    assert np.allclose(out, c2ws, atol=1e-6)
+
+
+# --------------------------- end-to-end presets -----------------------------
+@pytest.mark.parametrize("preset", ["tiny", "full", "llff", "mip"])
+def test_nerf_classic_presets_train_smoke(tmp_path, preset):
+    """Each north-star preset trains a few steps through the REAL loader
+    chain and improves from the grey init (CPU; tiny shapes)."""
+    from nerfsys_tpu.scripts.nerf_classic import main
+
+    argv = [
+        "--preset", preset, "--steps", "30", "--side", "24",
+        "--n_views", "4", "--batch_rays", "256", "--eval_every", "15",
+        "--n_coarse", "16", "--n_fine", "8",
+        "--workdir", str(tmp_path), "--eval_chunk", "576",
+    ]
+    # main prints a JSON line; capture via train()'s return by calling it
+    import nerfsys_tpu.scripts.nerf_classic as nc
+
+    ap_out = {}
+    orig_train = nc.train
+
+    def wrap(a):
+        ap_out["res"] = orig_train(a)
+        return ap_out["res"]
+
+    nc.train = wrap
+    try:
+        main(argv)
+    finally:
+        nc.train = orig_train
+    res = ap_out["res"]
+    assert res["steps"] == 30
+    assert res["test_psnr"] > 5.0  # produced a real image, not NaN
+    assert res["history"][-1][1] >= res["history"][0][1] - 0.5
