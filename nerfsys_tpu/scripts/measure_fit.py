@@ -170,6 +170,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--gt_aa", type=int, default=2,
                     help="GT anti-aliasing factor (aa^2 sub-pixel rays)")
+    ap.add_argument("--blender_dir", default="",
+                    help="route the fit through the LITERAL Blender-"
+                         "synthetic on-disk format (data/blender.py): "
+                         "synthesize the procedural scene there if absent, "
+                         "then train/eval from the loaded PNGs + poses "
+                         "(point it at a real lego download to run the "
+                         "actual BASELINE.json benchmark)")
     a = ap.parse_args(argv)
 
     import jax
@@ -190,29 +197,72 @@ def main(argv=None):
 
     print(f"[fit] building {a.views} views at {a.side}^2 ...")
     t_data0 = time.perf_counter()
-    rays = _rig(a.views, a.side, a.seed)
-    # hold out 2 INTERIOR spiral positions (interleaved, not the spiral's
-    # ends — end views extrapolate past the covered elevations and score
-    # the rig, not the fit)
-    px = a.side * a.side
-    hold = {a.views // 3, (2 * a.views) // 3}
-    train_view_rows = np.concatenate(
-        [np.arange(v * px, (v + 1) * px) for v in range(a.views)
-         if v not in hold])
-    heldout_rows = np.concatenate(
-        [np.arange(v * px, (v + 1) * px) for v in sorted(hold)])
     rng = np.random.default_rng(a.seed)
-    # GT via host ray-march, precomputed ONCE for a fixed training pool:
-    # marching per batch put ~12M numpy points on the 1-core host inside
-    # every step (~7 s/step measured); the pool amortizes it to data-prep
-    pool_idx = rng.choice(train_view_rows, min(a.pool, len(train_view_rows)),
-                          replace=False)
-    pool_rays = rays[pool_idx]
-    # anti-aliased GT (sub-pixel average) + per-ray GT alpha fraction
-    pool_rgb, pool_hit = _gt_for_rows(pool_idx, a.views, a.side, a.seed,
-                                      aa=a.gt_aa)
+    if a.blender_dir:
+        # literal-format path: PNGs + transforms json through data/blender
+        from pathlib import Path
+
+        from nerfsys_tpu.data.blender import load_blender_scene
+        from nerfsys_tpu.data.ram_rays import np_get_rays, np_ray_directions
+        from nerfsys_tpu.scripts.nerf_classic import synthesize_blender
+
+        root = Path(a.blender_dir)
+        if not (root / "transforms_train.json").exists():
+            synthesize_blender(root, a.views, a.side, a.seed)
+        tr = load_blender_scene(root, "train")
+        te = load_blender_scene(root, "test")
+
+        def scene_rays(sc):
+            fx, fy, cx, cy = sc.intrinsics
+            dirs = np_ray_directions(sc.H, sc.W, fx, fy, cx, cy)
+            return np.concatenate([
+                np_get_rays(dirs, c2w, aabb=_SCENE_AABB).reshape(-1, 8)
+                for c2w in sc.c2ws
+            ])
+
+        tr_rays = scene_rays(tr)
+        pool_idx = rng.choice(len(tr_rays), min(a.pool, len(tr_rays)),
+                              replace=False)
+        pool_rays = tr_rays[pool_idx]
+        pool_rgb = tr.images.reshape(-1, 3)[pool_idx]
+        pool_hit = tr.alphas.reshape(-1)[pool_idx]
+        ev_all_rays = scene_rays(te)
+        ev_pick = rng.choice(len(ev_all_rays),
+                             min(4096, len(ev_all_rays)), replace=False)
+        ev_rays_np = ev_all_rays[ev_pick]
+        ev_rgb_np = te.images.reshape(-1, 3)[ev_pick]
+        scene_tag = f"blender-format {len(tr.images)}x{tr.H}^2"
+        n_total = len(tr_rays) + len(ev_all_rays)
+    else:
+        rays = _rig(a.views, a.side, a.seed)
+        # hold out 2 INTERIOR spiral positions (interleaved, not the
+        # spiral's ends — end views extrapolate past the covered elevations
+        # and score the rig, not the fit)
+        px = a.side * a.side
+        hold = {a.views // 3, (2 * a.views) // 3}
+        train_view_rows = np.concatenate(
+            [np.arange(v * px, (v + 1) * px) for v in range(a.views)
+             if v not in hold])
+        heldout_rows = np.concatenate(
+            [np.arange(v * px, (v + 1) * px) for v in sorted(hold)])
+        # GT via host ray-march, precomputed ONCE for a fixed training pool:
+        # marching per batch put ~12M numpy points on the 1-core host inside
+        # every step (~7 s/step measured); the pool amortizes it to data-prep
+        pool_idx = rng.choice(train_view_rows,
+                              min(a.pool, len(train_view_rows)),
+                              replace=False)
+        pool_rays = rays[pool_idx]
+        # anti-aliased GT (sub-pixel average) + per-ray GT alpha fraction
+        pool_rgb, pool_hit = _gt_for_rows(pool_idx, a.views, a.side, a.seed,
+                                          aa=a.gt_aa)
+        ev_idx = rng.choice(heldout_rows, 4096, replace=False)
+        ev_rays_np = rays[ev_idx]
+        ev_rgb_np = _gt_for_rows(ev_idx, a.views, a.side, a.seed,
+                                 aa=a.gt_aa)[0]
+        scene_tag = f"procedural {a.views}x{a.side}^2"
+        n_total = len(rays)
     t_data = time.perf_counter() - t_data0
-    print(f"[fit] {rays.shape[0]:,} rays, GT pool {len(pool_rays):,} "
+    print(f"[fit] {n_total:,} rays, GT pool {len(pool_rays):,} "
           f"in {t_data:.1f}s host")
 
     # matmul_bwd is the TPU-fast table gradient (one-hot MXU contraction,
@@ -280,10 +330,8 @@ def main(argv=None):
     step = jax.jit(fit_step)
 
     # eval on 4096 held-out rays from the unseen views
-    ev_idx = rng.choice(heldout_rows, 4096, replace=False)
-    ev_rays = jnp.asarray(rays[ev_idx])
-    ev_rgb = jnp.asarray(
-        _gt_for_rows(ev_idx, a.views, a.side, a.seed, aa=a.gt_aa)[0])
+    ev_rays = jnp.asarray(ev_rays_np)
+    ev_rgb = jnp.asarray(ev_rgb_np)
 
     @jax.jit
     def eval_psnr(p):
@@ -321,7 +369,7 @@ def main(argv=None):
         psnr = float(eval_psnr(params))  # budget exhausted: final score
     out = {
         "mode": "fit",
-        "scene": f"procedural {a.views}x{a.side}^2",
+        "scene": scene_tag,
         "target_psnr": a.target_psnr,
         "reached": hit_time is not None,
         "seconds_to_target": round(hit_time, 1) if hit_time else None,

@@ -246,11 +246,18 @@ def measure_occ_update(iters: int = 3, resolution: int = 128,
     return out
 
 
-def _synthetic_occ_state(statics, *, geometry: bool):
+def _synthetic_occ_state(statics, *, geometry: bool,
+                         alive_frac: float | None = None):
     """Ready occ state for the synthetic bench scene: all-ones binary, or
     (geometry=True) only cells whose centers sit below the level-0 box tops
     (z <= 2.2) — so space above the scene is genuinely dead (an all-ones
-    binary marks the level-1 halo up to z=3.4 and nothing would skip)."""
+    binary marks the level-1 halo up to z=3.4 and nothing would skip).
+
+    alive_frac: instead of the absolute z <= 2.2 cut, mark the bottom
+    `alive_frac` of EACH level's own box. The bake-cost arm needs dead
+    cells INSIDE the level-0 volume (the bake table covers exactly that
+    box, so the absolute cut leaves it 100% alive and occ-aware bake
+    skipping has nothing to skip — r4 measurement artifact)."""
     import jax.numpy as jnp
 
     from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
@@ -268,7 +275,9 @@ def _synthetic_occ_state(statics, *, geometry: bool):
             for lv in range(L_):
                 lo, hi = la[lv, 0, 2], la[lv, 1, 2]
                 zc = lo + (np.arange(R_) + 0.5) * (hi - lo) / R_
-                binary[k, lv, :, :, zc <= 2.2] = True
+                cut = (lo + alive_frac * (hi - lo)
+                       if alive_frac is not None else 2.2)
+                binary[k, lv, :, :, zc <= cut] = True
         occ_state["binary"] = jnp.asarray(binary)
     else:
         occ_state["binary"] = jnp.ones_like(occ_state["binary"])
@@ -582,8 +591,10 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
     _, params, _, statics, _, _ = bench_setup()
     cfg = _bench_cfg()
     bcfg = BakedConfig(resolution=res, sh_levels=sh_levels)
-    occ_state = (_synthetic_occ_state(statics, geometry=True)
-                 if use_occ else None)
+    occ_state = (
+        _synthetic_occ_state(statics, geometry=True, alive_frac=0.35)
+        if use_occ else None
+    )
 
     t0 = time.perf_counter()
     baked = bake_field(params, cfg, statics, bcfg, occ_state=occ_state)
@@ -659,8 +670,10 @@ def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
     _, params, _, statics, _, _ = bench_setup()
     cfg = _bench_cfg()
     bcfg = BakedConfig(resolution=res, sh_levels=sh_levels)
-    occ_state = (_synthetic_occ_state(statics, geometry=True)
-                 if use_occ else None)
+    occ_state = (
+        _synthetic_occ_state(statics, geometry=True, alive_frac=0.35)
+        if use_occ else None
+    )
 
     t0 = time.perf_counter()
     baked = bake_field(params, cfg, statics, bcfg, occ_state=occ_state)
@@ -714,6 +727,48 @@ def measure_baked(side: int = 800, samples: int = 32, res: int = 256,
     return out
 
 
+def measure_gather_width(iters: int = 5):
+    """Row-gather rate vs row width AND dtype — the fast-path boundary probe.
+
+    The 2026-08-20 serve root-cause found bf16 56-wide rows gather at ~39.5M
+    rows/s while 64-128-wide run 105-109M on v5e. Whether the boundary is
+    ELEMENTS (>= 64) or BYTES (>= 128) decides if the TRAINING tables are
+    affected: the packed planes corner rows are 32 x f32 = 128 B and the
+    line rows 16 x f32 = 64 B. This mode prints the full matrix so the
+    layout decision is measured, not inferred.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.ops.gather import row_gather
+
+    R = 1 << 21
+    N = 1 << 21  # gathered rows per call
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, R, N, dtype=np.int32))
+
+    out = {"mode": "gather_width", "table_rows": R, "gathered_rows": N,
+           "rates_Mrows_per_s": {}}
+    for dtype_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        for width in (8, 16, 28, 32, 56, 64, 128):
+            table = jnp.zeros((R, width), dtype)
+
+            @jax.jit
+            def run(t, i):
+                # fold so XLA can't elide the gather; output is tiny
+                return jnp.sum(row_gather(t, i).astype(jnp.float32))
+
+            float(run(table, idx))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                float(run(table, idx))
+            dt = (time.perf_counter() - t0) / iters
+            key = f"{dtype_name}_w{width}"
+            out["rates_Mrows_per_s"][key] = round(N / dt / 1e6, 1)
+    print(json.dumps(out))
+    return out
+
+
 def parse_perf_args(argv=None):
     """CLI resolution, exposed for the regression test that pins the baked
     modes' --samples default to 32 (the r3 sweep once ran 96 samples because
@@ -721,7 +776,7 @@ def parse_perf_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
                     choices=["train", "render", "moe", "occ_update",
-                             "baked", "baked_serve"],
+                             "baked", "baked_serve", "gather_width"],
                     required=True)
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--samples", type=int, default=None,
@@ -779,6 +834,8 @@ def main(argv=None):
         measure_baked_serve(a.side, a.samples, res=a.grid_res,
                             sh_levels=a.sh_levels, iters=a.iters,
                             use_occ=a.use_occ, chunk_rays=a.chunk_rays)
+    elif a.mode == "gather_width":
+        measure_gather_width(a.iters)
     elif a.mode == "moe":
         measure_moe(a.K, iters=a.iters,
                     experts_per_point=a.experts_per_point,

@@ -47,6 +47,7 @@ def pytest_configure(config):
 # a listed test are all marked.
 _SLOW_NODES = (
     "test_nerf_classic.py::test_nerf_classic_presets_train_smoke",
+    "test_nerf_classic.py::test_measure_fit_blender_dir_smoke",
     "test_dataprep_e2e.py::test_runner_train_and_eval_on_prepared_scene",
     "test_meta.py::test_maml_differs_from_fomaml",
     "test_measure_perf_smoke.py::test_measure_render_sky_smoke",

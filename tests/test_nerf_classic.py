@@ -363,3 +363,25 @@ def test_nerf_classic_presets_train_smoke(tmp_path, preset):
     assert res["steps"] == 30
     assert res["test_psnr"] > 5.0  # produced a real image, not NaN
     assert res["history"][-1][1] >= res["history"][0][1] - 0.5
+
+
+# --------------------------- measure_fit blender path ------------------------
+def test_measure_fit_blender_dir_smoke(tmp_path, capsys):
+    """The lego-class fit harness runs through the LITERAL Blender format
+    (synthesize -> PNGs+json -> loader -> fit); scene tag proves the path."""
+    from nerfsys_tpu.scripts.measure_fit import main
+
+    main([
+        "--side", "24", "--views", "4", "--budget_s", "12",
+        "--batch", "512", "--samples", "12", "--target_psnr", "50",
+        "--blender_dir", str(tmp_path / "bl"),
+    ])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["scene"].startswith("blender-format")
+    assert res["steps"] >= 1
+    assert np.isfinite(res["final_psnr"])
+    # the synthesized dataset is the real on-disk layout
+    assert (tmp_path / "bl" / "transforms_train.json").exists()
+    assert (tmp_path / "bl" / "train" / "r_0.png").exists()
