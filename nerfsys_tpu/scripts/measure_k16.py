@@ -232,13 +232,20 @@ def run(a):
                                       occ_state)
         occ_state = occ_update(occ_state, params, statics,
                                jnp.asarray(i), ko)
-        loss = float(np.asarray(aux["loss_out"]))  # host sync
-        losses.append(loss)
+        # host-sync cadence: every step keeps the parity comparison exact,
+        # but each sync is a round-trip through the axon tunnel — the TPU
+        # run passes --sync_every 10 to keep the device pipeline full (and
+        # fewer transfers for a flaky transport to stall on). The LAST step
+        # always syncs: dangling executions crash the worker (CLAUDE.md).
+        if i % a.sync_every == 0 or i == a.steps - 1:
+            loss = float(np.asarray(aux["loss_out"]))
+            losses.append(loss)
+            if i % 20 == 0 or i == a.steps - 1:
+                print(f"[k16] step {i}/{a.steps} loss {loss:.5f} "
+                      f"psnr~{-10 * np.log10(max(loss, 1e-9)):.2f}",
+                      flush=True)
         if i == 1:
             t_steady = time.perf_counter()  # skip compile
-        if i % 20 == 0 or i == a.steps - 1:
-            print(f"[k16] step {i}/{a.steps} loss {loss:.5f} "
-                  f"psnr~{-10 * np.log10(max(loss, 1e-9)):.2f}", flush=True)
     n_steady = max(a.steps - 2, 1)
     dt = ((time.perf_counter() - t_steady) / n_steady
           if t_steady else float("nan"))
@@ -323,6 +330,10 @@ def main(argv=None):
                     help="mesh spec (e.g. 2x4): shard 'expert' over the "
                          "second axis; flips expert_map off (vmap path)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sync_every", type=int, default=1,
+                    help="host-sync the loss every N steps (1 = exact "
+                         "per-step record for parity; 10 on TPU keeps the "
+                         "pipeline full across the tunnel)")
     ap.add_argument("--parity", action="store_true",
                     help="CPU proof: 3 steps sharded (2x4 mesh) vs "
                          "unsharded on identical batches — losses must "
