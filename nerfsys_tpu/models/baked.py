@@ -67,6 +67,17 @@ class BakedConfig:
     # stays on the fast-width path; memory scales with corner_pack.
     auto_pack_budget_gb: float = 5.0  # auto mode's table-size ceiling
     # (v5e has 16 GB HBM; leave room for chunk temporaries + params)
+    sparse_block: int = 0  # 0 = dense table; else compact the table into
+    # alive blocks of sparse_block³ cells (compact_baked): blocks whose rows
+    # are ALL exactly zero collapse onto one shared zero block, an int32
+    # indirection grid maps block -> compacted slot, and queries pay one
+    # extra FAST-WIDTH gather (the slots of a 4³ super-block pack into one
+    # 64-wide index row; the in-row select is a one-hot VPU dot, never a
+    # vectorized int index). Bit-exact by construction at ANY alive
+    # fraction; table memory scales with the alive fraction, which is what
+    # makes 256³ pack-8 (8.6 GB dense) and 512³ grids servable. Pairs best
+    # with corner_pack=8 (one payload row per query -> one indirection);
+    # pack 4/2 pay 2/4 indirections.
 
     def __post_init__(self):
         if int(self.n_dirs) < self.n_bases:
@@ -80,6 +91,16 @@ class BakedConfig:
             raise ValueError(
                 f"BakedConfig: corner_pack={self.corner_pack} — must be "
                 "0 (auto), 2, 4, or 8"
+            )
+        if int(self.sparse_block) < 0 or int(self.sparse_block) == 1:
+            raise ValueError(
+                f"BakedConfig: sparse_block={self.sparse_block} — must be "
+                "0 (dense) or a block edge >= 2"
+            )
+        if self.sparse_block and self.resolution % self.sparse_block:
+            raise ValueError(
+                f"BakedConfig: sparse_block={self.sparse_block} must divide "
+                f"resolution={self.resolution}"
             )
 
     @property
@@ -139,6 +160,69 @@ def sh_projection_matrix(levels: int, dirs: np.ndarray) -> np.ndarray:
     (tests/test_baked.py pins this)."""
     Y = np.asarray(sh_encode(jnp.asarray(dirs), levels=levels))  # (M, B)
     return np.linalg.solve(Y.T @ Y, Y.T).astype(np.float32)  # (B, M)
+
+
+_SUPER = 4  # blocks per super-block axis in the packed index rows (4³ = 64
+# int32 slots per row — the index gather rides the >= 64-element fast-width
+# path that the payload table itself needs; see BakedConfig.padded_channels)
+
+
+def _compact_np(table: np.ndarray, bcfg: BakedConfig):
+    """Block-compact an (R³, W) table: (compacted_table, block_index).
+
+    Blocks of sparse_block³ x-major rows whose entries are ALL exactly zero
+    collapse onto the reserved all-zero block at slot 0; alive blocks keep
+    their rows contiguously at slot 1..n. block_index rows pack the slots of
+    a 4³ super-block of blocks ((dx, dy, dz) lexicographic, zero-padded past
+    Rb), so resolving a query's slot costs ONE fast-width int32 gather plus
+    a one-hot in-row select on the VPU (TPU has no vectorized in-row int
+    indexing fast path). Gathering the zero block reproduces the zero rows
+    bit-for-bit, so compaction is exact for ANY table — it only ever wins
+    space where dead blocks exist (occ-baked grids zero them wholesale)."""
+    B = int(bcfg.sparse_block)
+    R = int(bcfg.resolution)
+    Rb = R // B
+    W = table.shape[1]
+    t6 = table.reshape(Rb, B, Rb, B, Rb, B, W)
+    alive = t6.any(axis=(1, 3, 5, 6))  # (Rb, Rb, Rb), no big temporary
+    alive_ids = np.nonzero(alive.reshape(-1))[0]
+    n_alive = int(alive_ids.size)
+
+    slots = np.zeros(Rb**3, np.int32)  # dead blocks -> the zero block
+    slots[alive_ids] = 1 + np.arange(n_alive, dtype=np.int32)
+    comp = np.zeros(((n_alive + 1) * B**3, W), table.dtype)
+    for s, bid in enumerate(alive_ids):
+        bx = int(bid) // (Rb * Rb)
+        by = (int(bid) // Rb) % Rb
+        bz = int(bid) % Rb
+        comp[(s + 1) * B**3:(s + 2) * B**3] = (
+            t6[bx, :, by, :, bz, :, :].reshape(B**3, W))
+
+    S = _SUPER
+    Rbs = -(-Rb // S)
+    padded = np.zeros((Rbs * S, Rbs * S, Rbs * S), np.int32)
+    padded[:Rb, :Rb, :Rb] = slots.reshape(Rb, Rb, Rb)
+    block_index = (padded.reshape(Rbs, S, Rbs, S, Rbs, S)
+                   .transpose(0, 2, 4, 1, 3, 5)
+                   .reshape(Rbs**3, S**3))
+    return comp, np.ascontiguousarray(block_index)
+
+
+def compact_baked(baked: Dict, bcfg: BakedConfig) -> Dict:
+    """Dense baked dict -> block-sparse baked dict (exact; see _compact_np).
+
+    bcfg.sparse_block selects the block edge and MUST also be set on the
+    bcfg used at render time — baked_trilerp dispatches on the
+    "block_index" key and refuses a config mismatch."""
+    if not bcfg.sparse_block:
+        raise ValueError("compact_baked: bcfg.sparse_block is 0 (dense)")
+    if "block_index" in baked:
+        return baked
+    comp, block_index = _compact_np(np.asarray(baked["table"]), bcfg)
+    out = dict(baked)
+    out["table"] = jnp.asarray(comp)
+    out["block_index"] = jnp.asarray(block_index)
+    return out
 
 
 def _np_dilate3(mask: np.ndarray) -> np.ndarray:
@@ -298,11 +382,25 @@ def bake_field(
         if dx:
             b = b.take(clamped, axis=0)
         table[..., bi * Cp:(bi + 1) * Cp] = b
-    return {
-        "table": jnp.asarray(table.reshape(n_cells, pack * Cp)),
+    flat = table.reshape(n_cells, pack * Cp)
+    out = {
         "aabb": jnp.stack([lo, hi]).astype(jnp.float32),
         "corner_pack": pack,
     }
+    if bcfg.sparse_block:
+        # compact on the HOST array (before any device transfer — the
+        # whole point is never shipping the dense table to HBM)
+        comp, block_index = _compact_np(flat, bcfg)
+        nb = comp.shape[0] // int(bcfg.sparse_block) ** 3 - 1
+        total = (R // int(bcfg.sparse_block)) ** 3
+        print(f"[bake] sparse compact: {nb}/{total} blocks alive "
+              f"({100.0 * nb / total:.1f}%), table "
+              f"{comp.nbytes / 1e9:.2f} GB (dense {flat.nbytes / 1e9:.2f})")
+        out["table"] = jnp.asarray(comp)
+        out["block_index"] = jnp.asarray(block_index)
+    else:
+        out["table"] = jnp.asarray(flat)
+    return out
 
 
 def baked_trilerp(baked: Dict, bcfg: BakedConfig, pts: Array) -> Array:
@@ -325,6 +423,35 @@ def baked_trilerp(baked: Dict, bcfg: BakedConfig, pts: Array) -> Array:
     lo, hi = baked["aabb"][0], baked["aabb"][1]
     h = (hi - lo) / R
 
+    sparse = "block_index" in baked  # dict STRUCTURE — static under jit
+    if sparse != bool(bcfg.sparse_block):
+        raise ValueError(
+            "baked_trilerp: baked dict sparsity does not match "
+            f"bcfg.sparse_block={bcfg.sparse_block} — bake and render must "
+            "share the BakedConfig")
+    if sparse:
+        Bs = int(bcfg.sparse_block)
+        S = _SUPER
+        Rbs = -(-(R // Bs) // S)
+        idx_tab = baked["block_index"]
+        sel = jnp.arange(S**3, dtype=jnp.int32)
+
+        def row_of(jx, jy, jz):
+            # block -> compacted slot via ONE fast-width index gather +
+            # a one-hot in-row select (no vectorized in-row int indexing
+            # on TPU); dead blocks resolve to the reserved zero block
+            bx, by, bz = jx // Bs, jy // Bs, jz // Bs
+            sid = ((bx // S) * Rbs + (by // S)) * Rbs + (bz // S)
+            srow = row_gather(idx_tab, sid)  # (N, S³) int32
+            sub = ((bx % S) * S + (by % S)) * S + (bz % S)
+            slot = jnp.sum(
+                jnp.where(sub[:, None] == sel[None, :], srow, 0), axis=1)
+            return slot * (Bs**3) + (((jx % Bs) * Bs + (jy % Bs)) * Bs
+                                     + (jz % Bs))
+    else:
+        def row_of(jx, jy, jz):
+            return (jx * R + jy) * R + jz
+
     # cell-center coordinates; clamp so forward neighbors stay in-row
     g = (pts - lo) / h - 0.5
     g = jnp.clip(g, 0.0, R - 1.000001)
@@ -336,7 +463,7 @@ def baked_trilerp(baked: Dict, bcfg: BakedConfig, pts: Array) -> Array:
     wx, wy, wz = w[:, 0:1], w[:, 1:2], w[:, 2:3]
 
     if pack == 8:
-        r = row_gather(table, (ix * R + iy) * R + iz).astype(jnp.float32)
+        r = row_gather(table, row_of(ix, iy, iz)).astype(jnp.float32)
 
         def blk(i):
             return r[:, i * Cp:(i + 1) * Cp]
@@ -350,7 +477,7 @@ def baked_trilerp(baked: Dict, bcfg: BakedConfig, pts: Array) -> Array:
         ix1 = jnp.minimum(ix + 1, R - 1)
 
         def row4(jx):  # one gather: the (y, z) corner block of column jx
-            r = row_gather(table, (jx * R + iy) * R + iz)
+            r = row_gather(table, row_of(jx, iy, iz))
             r = r.astype(jnp.float32)
             z0 = r[:, 0 * Cp:1 * Cp] * (1 - wz) + r[:, 1 * Cp:2 * Cp] * wz
             z1 = r[:, 2 * Cp:3 * Cp] * (1 - wz) + r[:, 3 * Cp:4 * Cp] * wz
@@ -362,7 +489,7 @@ def baked_trilerp(baked: Dict, bcfg: BakedConfig, pts: Array) -> Array:
         iy1 = jnp.minimum(iy + 1, R - 1)
 
         def row2(jx, jy):  # one gather: both z corners of column (jx, jy)
-            r = row_gather(table, (jx * R + jy) * R + iz)
+            r = row_gather(table, row_of(jx, jy, iz))
             r = r.astype(jnp.float32)
             return r[:, :Cp] * (1.0 - wz) + r[:, Cp:] * wz
 

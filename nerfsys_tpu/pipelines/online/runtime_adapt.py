@@ -1419,6 +1419,7 @@ def runtime_evaluate(
     render_baked_sh: int = 3,  # SH levels (degree + 1) for the bake
     render_baked_occ: bool = False,  # bake only occ-alive cells
     render_baked_occ_dilate: int = 2,
+    render_baked_sparse: int = 0,  # block-compact the baked table (exact)
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
     mesh=None,  # jax.sharding.Mesh -> Phase-B frames shard over 'data'
 ) -> Dict[str, float]:
@@ -1494,7 +1495,8 @@ def runtime_evaluate(
         # projection stays overdetermined at any --render_baked_sh
         bcfg = BakedConfig(resolution=int(render_baked_res),
                            sh_levels=int(render_baked_sh),
-                           n_dirs=max(32, 2 * int(render_baked_sh) ** 2))
+                           n_dirs=max(32, 2 * int(render_baked_sh) ** 2),
+                           sparse_block=int(render_baked_sparse))
         if render_baked_occ and occ_state is None:
             # visible no-op guard (ADVICE r3): bake_field only warns for a
             # present-but-not-ready state; a checkpoint with no grids at

@@ -347,7 +347,9 @@ def render_video(ctx) -> Path:
         bcfg = BakedConfig(resolution=baked_res,
                            sh_levels=int(getattr(P, "render_baked_sh", 3)),
                            n_dirs=max(32, 2 * int(getattr(
-                               P, "render_baked_sh", 3)) ** 2))
+                               P, "render_baked_sh", 3)) ** 2),
+                           sparse_block=int(getattr(
+                               P, "render_baked_sparse", 0)))
         if getattr(P, "render_baked_occ", False) and \
                 ctx.get("occ_state") is None:
             # visible no-op guard (ADVICE r3): no grids -> dense bake

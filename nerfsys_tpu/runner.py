@@ -542,6 +542,7 @@ def evaluate(ctx):
             render_baked_occ=bool(getattr(P, "render_baked_occ", False)),
             render_baked_occ_dilate=int(
                 getattr(P, "render_baked_occ_dilate", 2)),
+            render_baked_sparse=int(getattr(P, "render_baked_sparse", 0)),
             fim_cfg=fim_cfg,
             optimizer=tx,
             test_metadata=ctx["test_metadata"],

@@ -571,7 +571,8 @@ def _bench_cfg():
 
 def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
                         sh_levels: int = 3, iters: int = 5,
-                        use_occ: bool = False, chunk_rays: int = 65536):
+                        use_occ: bool = False, chunk_rays: int = 65536,
+                        sparse_block: int = 0, corner_pack: int = 0):
     """Serving-rate frame latency: camera pose in, uint8 image out.
 
     Uses make_baked_camera_renderer — rays generate ON DEVICE and the
@@ -590,7 +591,8 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
 
     _, params, _, statics, _, _ = bench_setup()
     cfg = _bench_cfg()
-    bcfg = BakedConfig(resolution=res, sh_levels=sh_levels)
+    bcfg = BakedConfig(resolution=res, sh_levels=sh_levels,
+                       sparse_block=sparse_block, corner_pack=corner_pack)
     occ_state = (
         _synthetic_occ_state(statics, geometry=True, alive_frac=0.35)
         if use_occ else None
@@ -601,7 +603,9 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
     float(jnp.sum(baked["table"][:1].astype(jnp.float32)))  # host sync
     bake_s = time.perf_counter() - t0
 
-    rows_per_sample = 8.0 / baked["corner_pack"]  # corner-packed layout
+    # corner-packed layout; each sparse lookup adds one index-row gather
+    rows_per_sample = (8.0 / baked["corner_pack"]) * (2 if sparse_block
+                                                      else 1)
     H = W = side
     renderer = make_baked_camera_renderer(
         baked, bcfg, cfg, H=H, W=W, ray_samples=samples,
@@ -630,7 +634,15 @@ def measure_baked_serve(side: int = 800, samples: int = 32, res: int = 256,
         "chunk_rays": chunk_rays,
         "n_chunks": -(-n // chunk_rays),
         "corner_pack": int(baked["corner_pack"]),
-        "table_mb": round(float(np.prod(baked["table"].shape)) * 2 / 1e6, 1),
+        "sparse_block": int(sparse_block),
+        "alive_blocks_frac": (
+            round((baked["table"].shape[0] // sparse_block**3 - 1)
+                  / (res // sparse_block) ** 3, 4)
+            if sparse_block else 1.0),
+        "table_mb": round(
+            (float(np.prod(baked["table"].shape)) * 2
+             + (float(np.prod(baked["block_index"].shape)) * 4
+                if sparse_block else 0.0)) / 1e6, 1),
         "bake_seconds": round(bake_s, 2),
         "frame_seconds": round(dt, 4),
         "fps": round(1.0 / dt, 2),
@@ -807,6 +819,13 @@ def parse_perf_args(argv=None):
                     help="baked_serve mode: rays per dispatched chunk "
                          "(sweep to separate per-dispatch overhead from "
                          "gather throughput)")
+    ap.add_argument("--sparse_block", type=int, default=0,
+                    help="baked_serve mode: block-compact the table with "
+                         "this block edge (0 = dense; exact at any alive "
+                         "fraction, memory scales with it)")
+    ap.add_argument("--corner_pack", type=int, default=0,
+                    help="baked modes: corners per table row (0 = auto vs "
+                         "the HBM budget; sparse tables usually afford 8)")
     ap.add_argument("--opaque", type=float, default=1.0,
                     help="render mode: density scale (trained scenes are "
                          "opaque; random init is not)")
@@ -833,7 +852,9 @@ def main(argv=None):
     elif a.mode == "baked_serve":
         measure_baked_serve(a.side, a.samples, res=a.grid_res,
                             sh_levels=a.sh_levels, iters=a.iters,
-                            use_occ=a.use_occ, chunk_rays=a.chunk_rays)
+                            use_occ=a.use_occ, chunk_rays=a.chunk_rays,
+                            sparse_block=a.sparse_block,
+                            corner_pack=a.corner_pack)
     elif a.mode == "gather_width":
         measure_gather_width(a.iters)
     elif a.mode == "moe":

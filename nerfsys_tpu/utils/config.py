@@ -153,6 +153,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conservative 3^3 max-pool passes over the alive "
                         "mask in BAKE-grid space before skipping "
                         "(--render_baked_occ)")
+    p.add_argument("--render_baked_sparse", type=int, default=0,
+                   help="block-compact the baked table with this block edge "
+                        "(cells): all-zero blocks collapse onto one shared "
+                        "zero block behind an int32 indirection grid — "
+                        "bit-exact at any alive fraction, table memory "
+                        "scales with the alive fraction (pairs with "
+                        "--render_baked_occ, which zeroes dead cells). "
+                        "0 = dense table; 8 is a good default")
     p.add_argument("--render_early_stop", type=float, default=0.0,
                    help="early ray termination for renders: stop paying for "
                         "samples once transmittance < eps (reference parity: "

@@ -94,7 +94,8 @@ class RenderEngine:
 
     # ------------------------------ baked serving -----------------------------
     def bake(self, params=None, resolution: int = 256, sh_levels: int = 3,
-             use_occ: bool = False, occ_dilate: int = 2):
+             use_occ: bool = False, occ_dilate: int = 2,
+             sparse_block: int = 0):
         """Resample the (possibly adapted) field into a baked SH grid and
         serve subsequent rgb frames from it — 4 gather rows/sample instead
         of the live MoE chain. Call on pause (the GUI's Bake control /
@@ -109,7 +110,8 @@ class RenderEngine:
         p = self.base_params if params is None else params
         bcfg = BakedConfig(resolution=int(resolution),
                            sh_levels=int(sh_levels),
-                           n_dirs=max(32, 2 * int(sh_levels) ** 2))
+                           n_dirs=max(32, 2 * int(sh_levels) ** 2),
+                           sparse_block=int(sparse_block))
         baked = bake_field(
             p, self.cfg, self.statics, bcfg,
             occ_state=self.occ_state if use_occ else None,

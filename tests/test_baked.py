@@ -367,3 +367,99 @@ def test_corner_pack_variants_agree_and_auto_budget():
     assert tiny.resolved_pack() == 2
     with pytest.raises(ValueError):
         BakedConfig(corner_pack=3)
+
+
+def _random_packed_table(rng, R, bcfg, zero_blocks, B):
+    """(R³, pack*Cp) random table with the given blocks zeroed exactly."""
+    pack = bcfg.corner_pack
+    Cp = bcfg.padded_channels
+    t = rng.normal(size=(R**3, pack * Cp)).astype(np.float32)
+    Rb = R // B
+    t6 = t.reshape(Rb, B, Rb, B, Rb, B, pack * Cp)
+    for bx, by, bz in zero_blocks:
+        t6[bx, :, by, :, bz, :, :] = 0.0
+    return t6.reshape(R**3, pack * Cp)
+
+
+@pytest.mark.parametrize("pack,block,R", [(8, 4, 8), (4, 2, 12), (2, 4, 8)])
+def test_sparse_trilerp_bitexact_vs_dense(pack, block, R):
+    """Block-compacted tables reproduce the dense trilerp BIT-exactly at
+    every pack layout: dead blocks alias the reserved zero block (gathering
+    it returns the same zero rows), alive blocks keep their rows, and the
+    lerp arithmetic is identical. R=12/block=2 gives Rb=6 — NOT a multiple
+    of the 4-wide super-block row, exercising the index padding; R=8/
+    block=4 gives Rb=2 < 4 (everything in one padded super-row)."""
+    from nerfsys_tpu.models.baked import baked_trilerp, compact_baked
+
+    rng = np.random.default_rng(7)
+    dense_cfg = BakedConfig(resolution=R, sh_levels=2, dtype="float32",
+                            corner_pack=pack)
+    sparse_cfg = BakedConfig(resolution=R, sh_levels=2, dtype="float32",
+                             corner_pack=pack, sparse_block=block)
+    Rb = R // block
+    # zero out a deterministic half-ish of the blocks
+    zero_blocks = [(bx, by, bz)
+                   for bx in range(Rb) for by in range(Rb)
+                   for bz in range(Rb) if (bx + 2 * by + 3 * bz) % 2]
+    table = _random_packed_table(rng, R, dense_cfg, zero_blocks, block)
+    aabb = jnp.asarray(np.array([[-1.0, -1, -1], [1, 1, 1]], np.float32))
+    dense = {"table": jnp.asarray(table), "aabb": aabb}
+    sparse = compact_baked(dense, sparse_cfg)
+
+    n_alive = Rb**3 - len(zero_blocks)
+    assert sparse["table"].shape == ((n_alive + 1) * block**3,
+                                     pack * dense_cfg.padded_channels)
+    S = 4
+    Rbs = -(-Rb // S)
+    assert sparse["block_index"].shape == (Rbs**3, S**3)
+
+    pts = rng.uniform(-1.3, 1.3, size=(4096, 3)).astype(np.float32)
+    out_d = np.asarray(baked_trilerp(dense, dense_cfg, jnp.asarray(pts)))
+    out_s = np.asarray(baked_trilerp(sparse, sparse_cfg, jnp.asarray(pts)))
+    np.testing.assert_array_equal(out_d, out_s)
+
+
+def test_sparse_bake_field_end_to_end_and_guards():
+    """bake_field(sparse_block=...) equals compact_baked of the dense bake;
+    render_rays_baked through the sparse table matches the dense render
+    exactly; config mismatches are refused rather than silently wrong."""
+    from dataclasses import replace
+
+    from nerfsys_tpu.models.baked import baked_trilerp, compact_baked
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    cfg, st, params = _tiny_scene()
+    bcfg = BakedConfig(resolution=12, sh_levels=2, n_dirs=8,
+                       chunk_cells=1728, dtype="float32", corner_pack=4)
+    scfg = replace(bcfg, sparse_block=4)
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=1), 2)
+    occ = dict(occ, binary=jnp.ones_like(occ["binary"]),
+               num_updates=occ["ready_after"])
+    dense = bake_field(params, cfg, st, bcfg, occ_state=occ, occ_dilate=0)
+    sparse = bake_field(params, cfg, st, scfg, occ_state=occ, occ_dilate=0)
+    np.testing.assert_array_equal(
+        np.asarray(compact_baked(dense, scfg)["table"]),
+        np.asarray(sparse["table"]))
+
+    rng = np.random.default_rng(5)
+    rays = _rays(rng, 64)
+    rgb_d, depth_d, _, acc_d = render_rays_baked(
+        dense, bcfg, rays, 16, bg_policy="white")
+    rgb_s, depth_s, _, acc_s = render_rays_baked(
+        sparse, scfg, rays, 16, bg_policy="white")
+    np.testing.assert_array_equal(np.asarray(rgb_d), np.asarray(rgb_s))
+    np.testing.assert_array_equal(np.asarray(depth_d), np.asarray(depth_s))
+    np.testing.assert_array_equal(np.asarray(acc_d), np.asarray(acc_s))
+
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(32, 3)).astype(np.float32))
+    with pytest.raises(ValueError):  # sparse dict, dense config
+        baked_trilerp(sparse, bcfg, pts)
+    with pytest.raises(ValueError):  # dense dict, sparse config
+        baked_trilerp(dense, scfg, pts)
+    with pytest.raises(ValueError):  # block edge must divide resolution
+        BakedConfig(resolution=12, sparse_block=5)
+    with pytest.raises(ValueError):
+        BakedConfig(sparse_block=1)
+    with pytest.raises(ValueError):  # compaction needs a sparse config
+        compact_baked(dense, bcfg)
+    assert compact_baked(sparse, scfg) is sparse  # idempotent
