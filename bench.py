@@ -79,6 +79,9 @@ def main():
     # reference-parity config.
     OCC = os.environ.get("NERFSYS_BENCH_OCC", "1") == "1"
     LINES_MM = os.environ.get("NERFSYS_LINES_MM", "0") == "1"
+    # fast-gather-width A/B (bit-exact zero pad; see gather_width probe)
+    PAD_PLANE = int(os.environ.get("NERFSYS_PAD_PLANE", "0"))
+    PAD_LINE = int(os.environ.get("NERFSYS_PAD_LINE", "0"))
     K, B, S, Q = 4, 3, 4000, 2000
     INNER, SAMPLES = 8, (32 if OCC else 96)
 
@@ -93,7 +96,9 @@ def main():
                                    matmul_bwd=True, pos_grad=False,
                                    # NERFSYS_LINES_MM=1: line lookups as
                                    # hat-stencil MXU dots (A/B arm)
-                                   lines_matmul=LINES_MM),
+                                   lines_matmul=LINES_MM,
+                                   pad_plane_rows=PAD_PLANE,
+                                   pad_line_rows=PAD_LINE),
     )
     cfg = ContainerConfig(num_experts=K, expert=expert, boundary_margin=1.1,
                           bg_hidden=32)

@@ -63,6 +63,16 @@ class PlaneEncodingConfig:
     matmul_bwd: bool = True
     bwd_chunk: int = 8192  # points per contraction chunk (scan step)
     bwd_dtype: str = "bfloat16"  # contraction dtype: 'bfloat16' | 'float32'
+    # Zero-pad the PACKED gather rows to these element counts (0 = natural
+    # width: planes 4F, lines 2F). Execution-strategy knobs, not arch keys —
+    # the zeros are never read, outputs are bit-identical. Rationale: the
+    # 2026-08-20 v5e width sweep found 56-wide bf16 rows gather at ~0.4x
+    # the >= 64-element rate; whether the boundary is elements or BYTES
+    # decides if the f32 plane rows (4F=32 els = 128 B) and line rows
+    # (2F=16 els = 64 B) are affected — measure_perf --mode gather_width
+    # prints the matrix, these knobs apply the verdict.
+    pad_plane_rows: int = 0
+    pad_line_rows: int = 0
     # Hybrid backward OPTION: levels with R >= this threshold compute table
     # grads as a packed-corner scatter-add (one 4F-wide row add per point,
     # folded back with 4 rolls — the forward packing, transposed) instead of
@@ -143,7 +153,8 @@ def plane_encoding_init(
 
 
 def _bilinear_rows(
-    table: Array, u: Array, v: Array, R: int, packed: bool = False
+    table: Array, u: Array, v: Array, R: int, packed: bool = False,
+    pad_to: int = 0,
 ) -> Array:
     """Bilinear interpolation over a flattened (R*R, F) grid.
 
@@ -165,10 +176,14 @@ def _bilinear_rows(
             [table, jnp.roll(table, -1, 0), jnp.roll(table, -R, 0),
              jnp.roll(table, -(R + 1), 0)], axis=-1,
         )
-        g = row_gather(t4, base)  # (N, 4F)
+        if pad_to > t4.shape[-1]:
+            # widen onto the gather fast path; the zero tail is sliced
+            # away below (cfg.pad_plane_rows — bit-exact)
+            t4 = jnp.pad(t4, ((0, 0), (0, pad_to - t4.shape[-1])))
+        g = row_gather(t4, base)  # (N, >=4F)
         F = table.shape[-1]
         g00, g01, g10, g11 = (g[:, :F], g[:, F:2 * F], g[:, 2 * F:3 * F],
-                              g[:, 3 * F:])
+                              g[:, 3 * F:4 * F])  # 4F: exclude any pad tail
     else:
         g00 = row_gather(table, base)
         g01 = row_gather(table, base + 1)
@@ -183,7 +198,7 @@ def _bilinear_rows(
 
 
 def _linear_rows(
-    table: Array, w: Array, R: int, packed: bool = False
+    table: Array, w: Array, R: int, packed: bool = False, pad_to: int = 0
 ) -> Array:
     """Linear interpolation over a (R, F) line -> (N, F).
 
@@ -195,9 +210,11 @@ def _linear_rows(
     w0 = w0f.astype(jnp.int32)
     if packed:
         t2 = jnp.concatenate([table, jnp.roll(table, -1, 0)], axis=-1)
+        if pad_to > t2.shape[-1]:
+            t2 = jnp.pad(t2, ((0, 0), (0, pad_to - t2.shape[-1])))
         g = row_gather(t2, w0)
         F = table.shape[-1]
-        g0, g1 = g[:, :F], g[:, F:]
+        g0, g1 = g[:, :F], g[:, F:2 * F]  # 2F: exclude any pad tail
     else:
         g0 = row_gather(table, w0)
         g1 = row_gather(table, w0 + 1)
@@ -264,14 +281,16 @@ def _plane_encode_parts(params: Dict, x: Array, cfg: PlaneEncodingConfig):
         coords = x * (R - 1)  # (N, 3)
         for o, (a, b, c) in enumerate(_ORIENTATIONS):
             bv = _bilinear_rows(planes_l[o], coords[:, a], coords[:, b], R,
-                                packed=cfg.packed_corners)
+                                packed=cfg.packed_corners,
+                                pad_to=int(cfg.pad_plane_rows))
             bvals.append(bv)
             if lines_l is not None:
                 if cfg.lines_matmul:
                     lv = _linear_rows_mm(lines_l[l][o], coords[:, c], R, cfg)
                 else:
                     lv = _linear_rows(lines_l[l][o], coords[:, c], R,
-                                      packed=cfg.packed_corners)
+                                      packed=cfg.packed_corners,
+                                      pad_to=int(cfg.pad_line_rows))
                 lvals.append(lv)
                 feats.append(bv * lv)
             else:

@@ -89,6 +89,8 @@ def container_config_from_args(P) -> ContainerConfig:
                 # ARCH key): line lookups as hat-stencil MXU dots
                 lines_matmul=bool(getattr(P, "plane_lines_mm", False)),
                 lines_mm_dtype=getattr(P, "plane_lines_mm_dtype", "float32"),
+                pad_plane_rows=int(getattr(P, "plane_pad_rows", 0)),
+                pad_line_rows=int(getattr(P, "line_pad_rows", 0)),
             ),
         )
     else:

@@ -241,6 +241,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "row gathers (execution strategy, not an arch key)")
     p.add_argument("--plane_lines_mm_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--plane_pad_rows", type=int, default=0,
+                   help="zero-pad packed plane gather rows to this element "
+                        "count (0 = natural 4F width) — bit-exact "
+                        "fast-gather-width knob, not an arch key")
+    p.add_argument("--line_pad_rows", type=int, default=0,
+                   help="zero-pad packed line gather rows to this element "
+                        "count (0 = natural 2F width)")
     p.add_argument("--plane_pos_grad", action="store_true",
                    help="compute exact position gradients through the plane "
                         "encoder (slower backward; only needed if sample "

@@ -273,3 +273,40 @@ def test_lines_matmul_grads_match_all_backward_paths():
         for a, b in zip(jax.tree_util.tree_leaves(grads[k]), base):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=2e-4)
+
+
+def test_pad_rows_bitexact_and_grads_match():
+    """pad_plane_rows/pad_line_rows widen the PACKED gather rows with zeros
+    that are never read: outputs and table gradients must be BIT-identical
+    to the unpadded layout (the knob is pure execution strategy for the
+    v5e fast-gather-width boundary — never semantics)."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(size=(257, 3)).astype(np.float32))
+    p = plane_encoding_init(jax.random.PRNGKey(0), CFG)
+    padded_cfg = replace(CFG, pad_plane_rows=64, pad_line_rows=64)
+
+    out0 = plane_encode(p, x, CFG)
+    out1 = plane_encode(p, x, padded_cfg)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+    ct = jnp.asarray(rng.normal(size=out0.shape).astype(np.float32))
+
+    def loss(cfg):
+        return lambda pp: jnp.sum(plane_encode(pp, x, cfg) * ct)
+
+    g0 = jax.grad(loss(CFG))(p)
+    g1 = jax.grad(loss(padded_cfg))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), g0, g1)
+
+    # the scatter-bwd (plain autodiff) path pads through concat/roll/pad
+    scatter = replace(CFG, matmul_bwd=False)
+    scatter_pad = replace(scatter, pad_plane_rows=64, pad_line_rows=32)
+    g2 = jax.grad(loss(scatter))(p)
+    g3 = jax.grad(loss(scatter_pad))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), g2, g3)
