@@ -76,6 +76,12 @@ def load_blender_scene(
         img = PILImage.open(p).convert("RGBA")
         if W0 is None:
             W0, H0 = img.size
+        elif img.size != (W0, H0):
+            # one camera model (camera_angle_x) covers the whole split —
+            # silently resampling a mismatched frame to the first frame's
+            # dims would distort it against its own intrinsics
+            raise ValueError(
+                f"blender frame {p} is {img.size}, split is {(W0, H0)}")
         if downscale != 1:
             img = img.resize(
                 (W0 // downscale, H0 // downscale), PILImage.LANCZOS

@@ -600,7 +600,6 @@ def make_baked_camera_renderer(
     One compiled program serves every chunk AND every camera
     (start/c2w/intrinsics are traced; H/W/chunk shape are static).
     """
-    from nerfsys_tpu.ops.rays import frame_chunk_rays
     from nerfsys_tpu.ops.scene_box import SceneBox
 
     sb = None
@@ -610,43 +609,28 @@ def make_baked_camera_renderer(
         raise ValueError("provide scene_aabb or scalar near/far")
 
     def chunk_fn(baked_arg, params, statics, c2w, intr, start, *extra):
-        from nerfsys_tpu.ops.rays import clamp_rays_near_far
-
-        rays = frame_chunk_rays(
-            c2w, intr, start, chunk_rays, H, W, scene_box=sb,
-            near=near, far=far,
-            near_override=near_override, far_override=far_override,
+        # raygen + near-bias + output shaping are the SAME code the live
+        # camera renderer runs (runtime_adapt helpers) — the two serving
+        # paths cannot drift semantically
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            frame_chunk_rays_biased,
+            shape_frame_outputs,
         )
-        if float(near_bias) != 0.0:
-            # video near shift (video_gen.py:362-366 parity): inf miss
-            # tags flow through the bias arithmetic unchanged
-            t_near = jnp.maximum(rays[:, 6], 0.0) + jnp.float32(near_bias)
-            rays = rays.at[:, 6].set(
-                jnp.minimum(t_near, rays[:, 7] - 1e-4))
-            rays, _ = clamp_rays_near_far(rays)
+
+        rays = frame_chunk_rays_biased(
+            c2w, intr, start, chunk_rays, H, W, scene_box=sb,
+            near=near, far=far, near_override=near_override,
+            far_override=far_override, near_bias=near_bias,
+        )
         bg_fn = container_bg_fn(params, cfg) if use_bg_fn else None
         rgb, depth, weights, acc = render_rays_baked(
             baked_arg, bcfg, rays, ray_samples, bg_policy=bg_policy,
             bg_fn=bg_fn,
         )
-        outs = [rgb, depth, acc]
-        if fog_stats:
-            from nerfsys_tpu.pipelines.online.runtime_adapt import _fog_stats
-
-            outs += list(_fog_stats(weights))
-        if invalid_black:
-            # the host paths zero AABB-miss rays after the fetch (viewer
-            # semantics); here the mask lives on device
-            ok = jnp.isfinite(rays[:, 6])
-            outs = [jnp.where(ok[:, None] if o.ndim == 2 else ok, o, 0.0)
-                    for o in outs]
-        if map_outputs is not None:
-            return map_outputs(*outs, *extra)
-        if out_u8:
-            return jnp.clip(
-                outs[0] * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
-        return jnp.concatenate(
-            [o if o.ndim == 2 else o[:, None] for o in outs], axis=1)
+        return shape_frame_outputs(
+            rays, rgb, depth, weights, acc, *extra, fog_stats=fog_stats,
+            invalid_black=invalid_black, map_outputs=map_outputs,
+            out_u8=out_u8)
 
     jitted = jax.jit(chunk_fn)
     n_pix = H * W

@@ -219,7 +219,11 @@ def routing_coherent_expert(
     a1 = jnp.argmin(dist, axis=-1)  # (N, S)
     same = jnp.all(a1 == a1[:, :1], axis=1)
     if cfg.boundary_margin > 1.0:
-        top2 = -jax.lax.top_k(-dist, 2)[0]  # (N, S, 2) two smallest
+        # the SAME 1e-6 clamp as routing_weights: its margin mask is built
+        # on clamped distances, so the singleton test must see them too —
+        # unclamped, a point with d1 < 1e-6/margin <= d2 < 1e-6 would read
+        # as coherent while the blend is genuinely two-expert
+        top2 = -jax.lax.top_k(-jnp.maximum(dist, 1e-6), 2)[0]  # (N, S, 2)
         singleton = jnp.all(
             top2[..., 1] > cfg.boundary_margin * top2[..., 0], axis=1
         )

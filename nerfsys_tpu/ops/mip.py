@@ -190,9 +190,16 @@ def render_rays_mip(
     if randomized:
         if keys[0] is None:
             raise ValueError("randomized mip rendering requires a PRNG key")
-        step = (far_s - near_s)[:, None] / n_samples
-        u = jax.random.uniform(keys[0], (n_rays, 1), dtype=o.dtype)
-        edges = edges + u * step  # jitter the whole lattice per ray
+        # per-edge stratified jitter BOUNDED to [near, far] (the mip-NeRF
+        # scheme: each edge moves within the bracket of its neighbors'
+        # midpoints, endpoints stay inside their half-bins) — a whole-
+        # lattice shift would push the last interval past far
+        mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+        upper = jnp.concatenate([mids, edges[:, -1:]], axis=1)
+        lower = jnp.concatenate([edges[:, :1], mids], axis=1)
+        u = jax.random.uniform(keys[0], (n_rays, n_samples + 1),
+                               dtype=o.dtype)
+        edges = lower + (upper - lower) * u
 
     outs = []
     for lvl in range(n_levels):

@@ -899,6 +899,55 @@ def render_image(
     )
 
 
+def frame_chunk_rays_biased(
+    c2w, intr, start, chunk_rays, H, W, *, scene_box, near, far,
+    near_override, far_override, near_bias,
+):
+    """On-device frame raygen + the video path's near-bias shift.
+
+    Shared by the live and baked camera renderers (ONE copy of the
+    t_near = max(near, 0) + bias, capped at far - 1e-4 arithmetic —
+    video_gen.py:362-366 parity; inf miss tags flow through unchanged)."""
+    from nerfsys_tpu.ops.rays import clamp_rays_near_far, frame_chunk_rays
+
+    rays = frame_chunk_rays(
+        c2w, intr, start, chunk_rays, H, W, scene_box=scene_box,
+        near=near, far=far,
+        near_override=near_override, far_override=far_override,
+    )
+    if float(near_bias) != 0.0:
+        t_near = jnp.maximum(rays[:, 6], 0.0) + jnp.float32(near_bias)
+        rays = rays.at[:, 6].set(jnp.minimum(t_near, rays[:, 7] - 1e-4))
+        rays, _ = clamp_rays_near_far(rays)
+    return rays
+
+
+def shape_frame_outputs(
+    rays, rgb, depth, weights, acc, *extra, fog_stats, invalid_black,
+    map_outputs, out_u8,
+):
+    """Camera-renderer output shaping, inside the jitted chunk program.
+
+    Appends the fog haze signals, zeroes AABB-miss rays on device
+    (invalid_black — the host paths' valid-mask semantics), then applies
+    map_outputs / the u8 quantization / the stacked-planes packing. ONE
+    copy shared by the live and baked camera renderers so the semantics
+    cannot drift between them."""
+    outs = [rgb, depth, acc]
+    if fog_stats:
+        outs += list(_fog_stats(weights))
+    if invalid_black:
+        ok = jnp.isfinite(rays[:, 6])
+        outs = [jnp.where(ok[:, None] if o.ndim == 2 else ok, o, 0.0)
+                for o in outs]
+    if map_outputs is not None:
+        return map_outputs(*outs, *extra)
+    if out_u8:
+        return jnp.clip(outs[0] * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return jnp.concatenate(
+        [o if o.ndim == 2 else o[:, None] for o in outs], axis=1)
+
+
 def make_live_camera_renderer(
     cfg: ContainerConfig,
     *,
@@ -916,6 +965,7 @@ def make_live_camera_renderer(
     occ_importance: bool = False,
     occ_hard_mask: bool = True,
     occ_probe_mask: bool = False,
+    occ_probe_grid_res: int = 0,  # union-grid probing (0 = exact per-expert)
     active_expert: Optional[int] = None,
     bg_policy: str = "white",
     use_bg_fn: bool = True,
@@ -955,7 +1005,6 @@ def make_live_camera_renderer(
     + srgb for video). With fog_stats the per-ray haze signals are
     appended before map_outputs/stacking. invalid_black zeroes AABB-miss
     pixels on device (the host paths' valid-mask semantics)."""
-    from nerfsys_tpu.ops.rays import clamp_rays_near_far, frame_chunk_rays
     from nerfsys_tpu.ops.scene_box import SceneBox
 
     sb = None
@@ -967,24 +1016,51 @@ def make_live_camera_renderer(
     if occ_state is not None:
         from nerfsys_tpu.models.occupancy import render_rays_occ
 
-    def chunk_fn(params, statics, c2w, intr, start, *extra):
-        rays = frame_chunk_rays(
+    # union-grid probing parity with make_chunk_renderer: the grid builds
+    # lazily per statics version OUTSIDE jit and threads in as a traced
+    # argument (same pattern as _union_probe_wrap); the hard sigma mask
+    # inside render_rays_occ stays exact per-expert either way
+    union_grid_for = None
+    if occ_state is not None and int(occ_probe_grid_res) > 0:
+        if active_expert is not None:
+            print("[render] --occ_union_probe_res ignored: union-grid "
+                  "probing applies to the full-MoE path only "
+                  "(active_expert set)")
+        else:
+            import functools
+
+            from nerfsys_tpu.models.occupancy import build_union_probe_grid
+
+            _build_j = jax.jit(functools.partial(
+                build_union_probe_grid, res=int(occ_probe_grid_res),
+                importance=occ_importance))
+            _grid_cache: Dict = {}
+
+            def union_grid_for(statics):
+                k = id(statics)
+                if k not in _grid_cache:
+                    _grid_cache.clear()
+                    _grid_cache[k] = (statics, _build_j(occ_state, statics))
+                return _grid_cache[k][1]
+
+    def chunk_fn(params, statics, c2w, intr, start, union_grid, *extra):
+        rays = frame_chunk_rays_biased(
             c2w, intr, start, chunk_rays, H, W, scene_box=sb,
-            near=near, far=far,
-            near_override=near_override, far_override=far_override,
+            near=near, far=far, near_override=near_override,
+            far_override=far_override, near_bias=near_bias,
         )
-        if float(near_bias) != 0.0:
-            t_near = jnp.maximum(rays[:, 6], 0.0) + jnp.float32(near_bias)
-            rays = rays.at[:, 6].set(
-                jnp.minimum(t_near, rays[:, 7] - 1e-4))
-            rays, _ = clamp_rays_near_far(rays)
         if occ_state is not None:
+            probe_fns = None
+            if union_grid is not None:  # static: None or a traced grid
+                from nerfsys_tpu.models.occupancy import union_probe_fns
+
+                probe_fns = union_probe_fns(union_grid)
             rgb, depth, w, acc = render_rays_occ(
                 params, cfg, statics, occ_state, rays, ray_samples,
                 randomized=False, bg_policy=bg_policy,
                 active_expert=active_expert, importance=occ_importance,
                 hard_mask=occ_hard_mask, mask_from_probes=occ_probe_mask,
-                use_bg_fn=use_bg_fn,
+                use_bg_fn=use_bg_fn, probe_fns=probe_fns,
             )
         else:
             field = container_field_fn(params, cfg, statics, active_expert)
@@ -993,20 +1069,10 @@ def make_live_camera_renderer(
                 bg_policy=bg_policy,
                 bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
             )
-        outs = [rgb, depth, acc]
-        if fog_stats:
-            outs += list(_fog_stats(w))
-        if invalid_black:
-            ok = jnp.isfinite(rays[:, 6])
-            outs = [jnp.where(ok[:, None] if o.ndim == 2 else ok, o, 0.0)
-                    for o in outs]
-        if map_outputs is not None:
-            return map_outputs(*outs, *extra)
-        if out_u8:
-            return jnp.clip(
-                outs[0] * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
-        return jnp.concatenate(
-            [o if o.ndim == 2 else o[:, None] for o in outs], axis=1)
+        return shape_frame_outputs(
+            rays, rgb, depth, w, acc, *extra, fog_stats=fog_stats,
+            invalid_black=invalid_black, map_outputs=map_outputs,
+            out_u8=out_u8)
 
     jitted = jax.jit(chunk_fn)
     n_pix = H * W
@@ -1014,11 +1080,12 @@ def make_live_camera_renderer(
     def render(params, statics, c2w, intrinsics, *extra):
         c2w_j = jnp.asarray(np.asarray(c2w, np.float32)[:3, :4])
         intr_j = jnp.asarray(np.asarray(intrinsics, np.float32)[:4])
+        ug = union_grid_for(statics) if union_grid_for is not None else None
         # dispatch every chunk before the first fetch (compute overlaps
         # the readbacks)
         pending = [
             jitted(params, statics, c2w_j, intr_j,
-                   jnp.asarray(s, jnp.int32), *extra)
+                   jnp.asarray(s, jnp.int32), ug, *extra)
             for s in range(0, n_pix, chunk_rays)
         ]
         out = np.concatenate([np.asarray(p) for p in pending], 0)[:n_pix]
@@ -1043,8 +1110,10 @@ class CoherentExpertRenderer:
         self.num_experts = int(num_experts)
         self.fog_stats = bool(fog_stats)
 
-    def __call__(self, params, statics, rays, *extra):
-        return self.full(params, statics, rays, *extra)
+    def __call__(self, params, statics, rays):
+        # no *extra: the coherent render fns take none (unlike the fused-u8
+        # two-wave paths) — advertising it would promise a TypeError
+        return self.full(params, statics, rays)
 
 
 def make_coherent_renderer(
@@ -1119,7 +1188,6 @@ def coherent_dispatch(
     statics: ContainerStatics,
     rays: np.ndarray,  # (n, 8) float32, host
     chunk_rays: int,
-    *extra,
     stats: Optional[dict] = None,
 ):
     """Two-wave coherent-expert dispatch -> [(ids, device_output), ...].
@@ -1148,12 +1216,12 @@ def coherent_dispatch(
             ids = ids_k[s:s + chunk_rays]
             dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
             pending.append((ids, renderer.single(
-                params, statics, dev, jnp.asarray(k, jnp.int32), *extra)))
+                params, statics, dev, jnp.asarray(k, jnp.int32))))
     ids_m = np.flatnonzero(kid < 0)
     for s in range(0, len(ids_m), chunk_rays):
         ids = ids_m[s:s + chunk_rays]
         dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
-        pending.append((ids, renderer.full(params, statics, dev, *extra)))
+        pending.append((ids, renderer.full(params, statics, dev)))
     stats.update(mode="coherent", n_coherent=int(coherent),
                  n_boundary=int(n - coherent),
                  chunks_total=len(pending))

@@ -392,6 +392,7 @@ def render_video(ctx) -> Path:
             occ_importance=bool(getattr(P, "occ_importance", False)),
             occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
             occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
+            occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
             bg_policy="white",
             use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
             fog_stats=suppress, map_outputs=fused_frame,

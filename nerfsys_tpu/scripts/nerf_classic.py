@@ -287,7 +287,11 @@ def train(a) -> dict:
         test_rays, test_rgbs = blender_all_rays(test_scene, [0])
 
     _, init_fn, spec = build_models(a.preset)
-    base_radius = 1.0 / (scene.focal * 12.0**0.5)
+    from nerfsys_tpu.ops.mip import pixel_base_radius
+
+    # the mip-NeRF variance-matched pixel disc (2/sqrt(12) of the pixel
+    # width at unit depth) — keep the single definition in ops/mip.py
+    base_radius = pixel_base_radius(scene.focal, scene.focal)
     render = make_render_fn(spec, a.n_coarse, a.n_fine, base_radius)
 
     params = init_fn(jax.random.PRNGKey(a.seed))

@@ -273,6 +273,7 @@ class RenderEngine:
                 occ_importance=self.occ_importance,
                 occ_hard_mask=self.occ_hard_mask,
                 occ_probe_mask=self.occ_probe_mask,
+                occ_probe_grid_res=self.occ_probe_grid_res,
                 invalid_black=True, **kw,
             )
             self._renderers[key] = r

@@ -161,3 +161,63 @@ def test_fog_stats_and_map_outputs():
     img = cam_u8(params, st, c2w, intr, np.float32(2.0))
     want = (np.clip(ref[:, 0:3] * 2.0, 0, 1) * 255.0 + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(img.reshape(-1, 3), want)
+
+
+def test_union_probe_on_pose_path():
+    """--occ_union_probe_res on the pose path: the live camera renderer
+    probes the resampled union grid IN-PROGRAM (the one-program analogue
+    of the two-wave path's union-CDF reuse — the chunk renderer's soft
+    one-shot has no probe wave to switch). Reference: render_rays_occ
+    with union_probe_fns over the same grid on the same rays must match
+    exactly; previously the pose path silently dropped the flag."""
+    import jax
+
+    from nerfsys_tpu.data.ram_rays import frame_rays
+    from nerfsys_tpu.models.occupancy import (
+        build_union_probe_grid,
+        render_rays_occ,
+        union_probe_fns,
+    )
+
+    cfg, st, params, occ = _setup()
+    c2w, intr = _cam()
+    kw = dict(occ_state=occ, occ_importance=True, occ_hard_mask=False)
+
+    grid = jax.jit(
+        lambda o, s: build_union_probe_grid(o, s, res=8, importance=True)
+    )(occ, st)
+    rays, _ = frame_rays(H, W, tuple(intr), c2w, aabb=AABB)
+
+    @jax.jit
+    def ref_fn(params, st, rays):
+        rgb, depth, w, acc = render_rays_occ(
+            params, cfg, st, occ, rays, 8, randomized=False,
+            bg_policy="white", importance=True, hard_mask=False,
+            probe_fns=union_probe_fns(grid),
+        )
+        return rgb, depth, acc
+
+    refs = []
+    for s in range(0, rays.shape[0], CHUNK):
+        r = np.asarray(rays[s:s + CHUNK], np.float32)
+        pad = CHUNK - r.shape[0]
+        if pad:
+            r = np.concatenate([r, np.zeros((pad, 8), np.float32)], 0)
+        rgb, depth, acc = ref_fn(params, st, jnp.asarray(r))
+        refs.append(np.concatenate(
+            [np.asarray(rgb), np.asarray(depth)[:, None],
+             np.asarray(acc)[:, None]], 1)[:CHUNK - pad if pad else CHUNK])
+    ref = np.concatenate(refs, 0)
+
+    cam = make_live_camera_renderer(
+        cfg, H=H, W=W, ray_samples=8, chunk_rays=CHUNK, scene_aabb=AABB,
+        out_u8=False, occ_probe_grid_res=8, **kw)
+    got = cam(params, st, c2w, intr)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    # and the union grid actually changes the sampling vs exact probing
+    cam0 = make_live_camera_renderer(
+        cfg, H=H, W=W, ray_samples=8, chunk_rays=CHUNK, scene_aabb=AABB,
+        out_u8=False, **kw)
+    base = cam0(params, st, c2w, intr)
+    assert not np.allclose(got, base, rtol=1e-6, atol=1e-7)

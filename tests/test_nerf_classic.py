@@ -385,3 +385,30 @@ def test_measure_fit_blender_dir_smoke(tmp_path, capsys):
     # the synthesized dataset is the real on-disk layout
     assert (tmp_path / "bl" / "transforms_train.json").exists()
     assert (tmp_path / "bl" / "train" / "r_0.png").exists()
+
+
+def test_mip_randomized_edges_stay_in_bounds():
+    """Randomized level-0 jitter must stratify WITHIN [near, far]: each
+    edge moves inside the bracket of its neighbors' midpoints (the
+    mip-NeRF scheme) — a whole-lattice shift would query and supervise
+    the field past far every step. Probed via the sample means a field
+    sees: a cone sample's t_mean lies within its [t0, t1] interval, so
+    every distance must fall in [near, far]."""
+    seen = []
+
+    def field(means, covs, dirs):
+        seen.append(np.asarray(means))
+        n = means.shape[0]
+        return jnp.zeros((n, 3)), jnp.zeros((n,))
+
+    o = jnp.zeros((8, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (8, 1))
+    rays = jnp.concatenate(
+        [o, d, jnp.full((8, 1), 2.0), jnp.full((8, 1), 6.0)], axis=1)
+    for k in range(3):
+        seen.clear()
+        render_rays_mip(field, rays, jnp.full((8, 1), 0.003), 16,
+                        jax.random.PRNGKey(k), randomized=True, n_levels=1)
+        t = np.abs(seen[0][:, 2])  # dist along -z
+        assert t.min() >= 2.0 - 1e-4, t.min()
+        assert t.max() <= 6.0 + 1e-4, t.max()
