@@ -456,6 +456,10 @@ def render_rays_occ(
     hard_mask: bool = True,
     ray_floor: Optional[float] = None,  # soft mode: whole-ray pdf floor
     mask_from_probes: bool = False,  # interval-bit masking, no grid re-query
+    field_expert: Optional[Array] = None,  # FIELD eval through this expert
+    # only (may be TRACED), while probing/masking keep the active_expert
+    # semantics (None = union) — the coherent-dispatch contract: identical
+    # sample placement and sigma mask to the full program, 1/K field evals
 ) -> Tuple[Array, Array, Array, Array]:
     """Dense occupancy-guided MoE render (reference render_rays_occ,
     ray_rendering.py:348-558, without packed samples or segment unions).
@@ -514,7 +518,8 @@ def render_rays_occ(
     flat_pts = pts.reshape(-1, 3)
     flat_dirs = dirs.reshape(-1, 3)
     rgb, sigma = container_apply(
-        params, cfg, statics, flat_pts, flat_dirs, active_expert
+        params, cfg, statics, flat_pts, flat_dirs,
+        active_expert if field_expert is None else field_expert,
     )
     rgb = rgb.reshape(n_rays, n_samples, 3)
     sigma = sigma.reshape(n_rays, n_samples)
@@ -548,6 +553,45 @@ def render_rays_occ(
 
     rgb_sigma = jnp.concatenate([rgb, sigma[..., None]], axis=-1)
     return volume_render(rgb_sigma, t_vals, bg_rgb=bg, sigma_scale=sigma_scale)
+
+
+def occ_sample_positions(
+    occ_state: Dict,
+    statics,
+    rays: Array,  # (N, 8)
+    n_samples: int,
+    *,
+    active_expert: Optional[int] = None,
+    importance: bool = False,
+    hard_mask: bool = True,
+    n_probes: int = 128,
+    uniform_frac: float = 0.25,
+) -> Tuple[Array, Array, Array]:
+    """Deterministic occupancy sample positions -> (pts (N,S,3), t_vals,
+    alive), WITHOUT evaluating the field.
+
+    Exactly render_rays_occ's randomized=False placement (same probe fns,
+    ray_floor policy, CDF sampler) — the coherent dispatcher probes the
+    routing at these positions so its exactness contract holds under
+    occupancy-guided sampling too (the single-expert program then re-runs
+    the same union probe for placement and evaluates only its expert;
+    runtime_adapt.make_coherent_renderer occ mode). Keep the defaults in
+    lock-step with render_rays_occ; drift is pinned by
+    tests/test_coherent.py's occ bit-exactness test."""
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    _, near_s, far_s = _ray_validity(rays)
+    bin_fn, val_fn = _occ_query_fns(occ_state, statics, active_expert,
+                                    importance)
+    pair_fn = _occ_pair_fn(occ_state, statics, active_expert, importance)
+    ray_floor = 0.0 if hard_mask else 0.25
+    cdf_state = occupancy_probe_cdf(
+        bin_fn, o, d, near_s, far_s, n_probes, weight_fn=val_fn,
+        uniform_frac=uniform_frac, ray_floor=ray_floor, pair_fn=pair_fn,
+    )
+    t_vals, alive = sample_tvals_from_cdf(
+        cdf_state, near_s, far_s, n_samples, key=None, randomized=False,
+    )
+    return t_to_points(o, d, t_vals), t_vals, alive
 
 
 # --------------------------- early ray termination ----------------------------

@@ -1123,6 +1123,10 @@ def make_coherent_renderer(
     bg_policy: str = "white",
     use_bg_fn: bool = True,
     fog_stats: bool = False,
+    occ_state=None,  # occupancy-guided coherent mode (see below)
+    occ_importance: bool = False,
+    occ_hard_mask: bool = True,
+    occ_probe_mask: bool = False,
 ):
     """Coherent-expert live renderer (the honest fast top-1 path).
 
@@ -1135,13 +1139,58 @@ def make_coherent_renderer(
     evals), keeping the full routed program only for boundary-crossing
     rays — EXACT by construction (the packed rays are ones where the
     routed blend equals the single-expert field; routing_coherent_expert
-    docstring). Stratified non-occ path; probe cost is pure routing
-    arithmetic (zero table gathers) + a 4-byte/ray fetch."""
+    docstring). Probe cost is pure routing arithmetic + a 4-byte/ray
+    fetch on the stratified path.
+
+    With occ_state, sampling is occupancy-guided (render_rays_occ): every
+    program probes the UNION grids for placement (identical CDF ->
+    identical sample positions and hard-mask semantics as the full
+    program) and only the FIELD eval narrows to one expert
+    (field_expert=k, traced). The probe then also pays the union CDF —
+    routing is checked at the CDF-determined positions, where the
+    exactness argument must hold."""
 
     def _stats(rgb, depth, weights, acc):
         if fog_stats:
             return (rgb, depth, acc) + _fog_stats(weights)
         return rgb, depth, acc
+
+    if occ_state is not None:
+        from nerfsys_tpu.models.occupancy import (
+            occ_sample_positions,
+            render_rays_occ,
+        )
+
+        def render_k(params, statics, rays, k):
+            return _stats(*render_rays_occ(
+                params, cfg, statics, occ_state, rays, ray_samples,
+                randomized=False, bg_policy=bg_policy,
+                importance=occ_importance, hard_mask=occ_hard_mask,
+                mask_from_probes=occ_probe_mask, use_bg_fn=use_bg_fn,
+                field_expert=k,
+            ))
+
+        def full_fn(params, statics, rays):
+            return render_k(params, statics, rays, None)
+
+        single_fn = render_k
+
+        def probe_fn(statics, rays):
+            from nerfsys_tpu.models.container import (
+                routing_coherent_expert,
+            )
+
+            pts, _, _ = occ_sample_positions(
+                occ_state, statics, rays, ray_samples,
+                importance=occ_importance, hard_mask=occ_hard_mask,
+            )
+            return routing_coherent_expert(statics, cfg, pts)
+
+        return CoherentExpertRenderer(
+            full=jax.jit(full_fn), single=jax.jit(single_fn),
+            probe=jax.jit(probe_fn), num_experts=cfg.num_experts,
+            fog_stats=fog_stats,
+        )
 
     def full_fn(params, statics, rays):
         field = container_field_fn(params, cfg, statics, None)

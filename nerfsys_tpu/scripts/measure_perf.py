@@ -365,16 +365,17 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
     stats = {}
 
     if coherent:
-        if use_occ:
-            print("[render] --coherent ignores occupancy (stratified "
-                  "coherent-expert path only)")
         from nerfsys_tpu.pipelines.online.runtime_adapt import (
             coherent_dispatch,
             make_coherent_renderer,
         )
 
+        # with --use_occ the coherent programs are occupancy-guided: every
+        # program probes the union grids for placement (identical CDF) and
+        # only the field eval narrows to the packed expert
         ren_c = make_coherent_renderer(
-            _bench_cfg(), ray_samples=samples, bg_policy="white")
+            _bench_cfg(), ray_samples=samples, bg_policy="white",
+            occ_state=occ_state, occ_importance=use_occ)
         two_wave = False
 
         def frame():
@@ -800,7 +801,9 @@ def parse_perf_args(argv=None):
     ap.add_argument("--coherent", action="store_true",
                     help="render mode: coherent-expert dispatch (exact "
                          "one-expert programs for rays inside one routing "
-                         "region; boundary rays take the full program)")
+                         "region; boundary rays take the full program). "
+                         "With --use_occ the programs are occupancy-guided "
+                         "(union-CDF placement, single-expert field eval)")
     ap.add_argument("--skew", type=float, default=0.0,
                     help="render mode: fraction of rays aimed tightly into "
                          "one expert region (the skewed-frame benchmark)")

@@ -105,3 +105,60 @@ def test_coherent_single_program_is_traced_over_experts():
     r1 = ren.single(params, st, rays, jnp.asarray(1, jnp.int32))
     assert ren.single._cache_size() == 1  # same compiled executable
     assert not np.allclose(np.asarray(r0[0]), np.asarray(r1[0]))
+
+
+def _ready_occ(K, seed=3):
+    from nerfsys_tpu.ops.occupancy import OccGridConfig, init_occ_state
+
+    rng = np.random.default_rng(seed)
+    occ = init_occ_state(OccGridConfig(resolution=8, levels=2), K)
+    occ["binary"] = jnp.asarray(
+        rng.uniform(size=np.asarray(occ["binary"]).shape) > 0.4)
+    occ["occs"] = jnp.asarray(
+        rng.uniform(size=np.asarray(occ["occs"]).shape).astype(np.float32))
+    occ["num_updates"] = occ["ready_after"]
+    return occ
+
+
+def test_coherent_dispatch_exact_vs_full_occ():
+    """Occupancy-guided coherent mode: every program probes the UNION
+    grids (identical CDF -> identical sample placement + hard-mask
+    semantics), only the field eval narrows — so dispatch must equal the
+    full occ render bit-for-bit, for both hard and soft modes."""
+    rng = np.random.default_rng(0)
+    for hard in (True, False):
+        cfg, st, params = _setup(K=2)
+        occ = _ready_occ(2)
+        rays = _mixed_rays(rng, 300)
+        full = make_chunk_renderer(
+            cfg, ray_samples=8, occ_state=occ, occ_importance=True,
+            occ_hard_mask=hard)
+        ref = render_rays_chunked(full, params, st, rays, 128)
+
+        ren = make_coherent_renderer(
+            cfg, ray_samples=8, occ_state=occ, occ_importance=True,
+            occ_hard_mask=hard)
+        stats = {}
+        out = np.zeros_like(ref)
+        for ids, dev in coherent_dispatch(ren, params, st, rays, 128,
+                                          stats=stats):
+            cols = np.concatenate(
+                [np.asarray(d)[: len(ids)].reshape(len(ids), -1)
+                 for d in dev], 1)
+            out[ids] = cols
+        assert stats["n_coherent"] > 150, stats
+        assert stats["n_boundary"] > 10, stats
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_coherent_occ_single_program_traced_and_distinct():
+    cfg, st, params = _setup(K=2)
+    occ = _ready_occ(2)
+    ren = make_coherent_renderer(cfg, ray_samples=8, occ_state=occ,
+                                 occ_importance=True)
+    rng = np.random.default_rng(1)
+    rays = jnp.asarray(_mixed_rays(rng, 128))
+    r0 = ren.single(params, st, rays, jnp.asarray(0, jnp.int32))
+    r1 = ren.single(params, st, rays, jnp.asarray(1, jnp.int32))
+    assert ren.single._cache_size() == 1
+    assert not np.allclose(np.asarray(r0[0]), np.asarray(r1[0]))
