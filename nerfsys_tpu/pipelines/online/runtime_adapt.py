@@ -1481,6 +1481,25 @@ def render_rays_chunked(
     the per-ray haze signals ride along: (n, 7) [..., wmax, entropy]."""
     pack, ncols, attr = ((_pack7, 7, "_pack7_cache") if fog_stats
                          else (_pack5, 5, "_pack5_cache"))
+    if getattr(chunk_renderer, "single", None) is not None:
+        # coherent-expert bundle: route through coherent_dispatch with the
+        # outputs packed on device (one fetch per chunk, same as two-wave)
+        packed = getattr(chunk_renderer, attr, None)
+        if packed is None:
+            base = chunk_renderer
+            packed = CoherentExpertRenderer(
+                full=jax.jit(lambda p, s, c: pack(*base.full(p, s, c))),
+                single=jax.jit(
+                    lambda p, s, c, k: pack(*base.single(p, s, c, k))),
+                probe=base.probe, num_experts=base.num_experts,
+                fog_stats=base.fog_stats,
+            )
+            setattr(chunk_renderer, attr, packed)
+        out = np.zeros((rays.shape[0], ncols), np.float32)
+        for ids, dev in coherent_dispatch(packed, params, statics, rays,
+                                          chunk_rays, stats=stats):
+            out[ids] = np.asarray(dev)[: len(ids)]
+        return out
     if getattr(chunk_renderer, "et_resume", None) is not None:
         if chunk_renderer.ncols != ncols:
             raise ValueError(
@@ -1532,6 +1551,7 @@ def runtime_evaluate(
     occ_hard_mask: bool = True,
     occ_probe_grid_res: int = 0,  # Phase-B union-grid probing (0 = exact)
     render_early_stop: float = 0.0,  # Phase-B early ray termination eps
+    render_coherent: bool = False,  # Phase-B coherent-expert dispatch
     render_baked_res: int = 0,  # > 0: Phase-B renders a baked SH snapshot
     render_baked_sh: int = 3,  # SH levels (degree + 1) for the bake
     render_baked_occ: bool = False,  # bake only occ-alive cells
@@ -1633,7 +1653,19 @@ def runtime_evaluate(
             baked, bcfg, cfg, ray_samples=ray_samples, bg_policy="white",
             mesh=mesh,
         )
+    elif render_coherent and mesh is None and float(render_early_stop) == 0:
+        # coherent-expert live dispatch: exact, fastest on spatially-
+        # clustered frames (render_rays_chunked routes the bundle through
+        # coherent_dispatch)
+        renderer = make_coherent_renderer(
+            cfg, ray_samples=ray_samples, bg_policy="white",
+            occ_state=occ_state, occ_importance=occ_importance,
+            occ_hard_mask=occ_hard_mask, occ_probe_mask=occ_probe_mask,
+        )
     else:
+        if render_coherent:
+            log("  [render] --render_coherent ignored: unsharded renders "
+                "without --render_early_stop only")
         renderer = make_chunk_renderer(
             cfg, ray_samples=ray_samples, bg_policy="white",
             occ_state=occ_state,

@@ -133,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "at this resolution instead of every expert's every "
                         "level (K x L fewer probe gathers; placement-only "
                         "approximation). 0 = exact per-expert probing")
+    p.add_argument("--render_coherent", action="store_true",
+                   help="eval: render Phase-B frames via coherent-expert "
+                        "dispatch — rays provably inside ONE expert's "
+                        "routing region render through single-expert "
+                        "programs (1/K field evals, expert id traced), "
+                        "boundary rays keep the full routed blend. EXACT; "
+                        "fastest live mode on spatially-clustered frames. "
+                        "Composes with --use_occ (union-CDF placement); "
+                        "unsharded, no --render_early_stop")
     p.add_argument("--render_baked", type=int, default=0,
                    help="eval: render a baked SH-radiance snapshot of the "
                         "(adapted) field at this grid resolution instead of "

@@ -162,3 +162,20 @@ def test_coherent_occ_single_program_traced_and_distinct():
     r1 = ren.single(params, st, rays, jnp.asarray(1, jnp.int32))
     assert ren.single._cache_size() == 1
     assert not np.allclose(np.asarray(r0[0]), np.asarray(r1[0]))
+
+
+def test_render_rays_chunked_routes_coherent_bundle():
+    """render_rays_chunked duck-types the coherent bundle (the
+    --render_coherent eval path): same (n, 5) output as the plain chunk
+    renderer, via coherent_dispatch with device-packed fetches."""
+    rng = np.random.default_rng(2)
+    cfg, st, params = _setup(K=2)
+    rays = _mixed_rays(rng, 300)
+    full = make_chunk_renderer(cfg, ray_samples=8)
+    ref = render_rays_chunked(full, params, st, rays, 128)
+
+    ren = make_coherent_renderer(cfg, ray_samples=8)
+    stats = {}
+    out = render_rays_chunked(ren, params, st, rays, 128, stats=stats)
+    assert stats["mode"] == "coherent" and stats["n_coherent"] > 150
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
