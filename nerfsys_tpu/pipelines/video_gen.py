@@ -312,7 +312,10 @@ def render_video(ctx) -> Path:
     occ_hard_live = (baked_res == 0 and ctx.get("occ_state") is not None
                      and not getattr(P, "occ_no_hard_mask", False))
     pose_path = (mesh is None and not occ_hard_live
-                 and float(getattr(P, "render_early_stop", 0.0)) == 0.0)
+                 and float(getattr(P, "render_early_stop", 0.0)) == 0.0
+                 # --render_coherent opts into the host-raygen coherent
+                 # loop (the pose path has no dispatch stage to pack on)
+                 and not bool(getattr(P, "render_coherent", False)))
     budget = (int(P.chunk_points)
               if "chunk_points" in getattr(P, "explicit_keys", ())
               else 3_145_728)
@@ -397,7 +400,26 @@ def render_video(ctx) -> Path:
             use_bg_fn=False,  # reference video disables the bg MLP (:407-408)
             fog_stats=suppress, map_outputs=fused_frame,
         )
+    elif bool(getattr(P, "render_coherent", False)) and mesh is None \
+            and float(getattr(P, "render_early_stop", 0.0)) == 0.0:
+        # coherent-expert dispatch for video frames (exact; the eval op's
+        # --render_coherent, same duck-typed render_rays_chunked routing)
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            make_coherent_renderer,
+        )
+
+        renderer = make_coherent_renderer(
+            cfg, ray_samples=P.ray_samples, bg_policy="white",
+            use_bg_fn=False, fog_stats=suppress,
+            occ_state=ctx.get("occ_state"),
+            occ_importance=bool(getattr(P, "occ_importance", False)),
+            occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
+            occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
+        )
     else:
+        if bool(getattr(P, "render_coherent", False)):
+            print("[video] --render_coherent ignored: unsharded renders "
+                  "without --render_early_stop only")
         renderer = make_chunk_renderer(
             cfg, ray_samples=P.ray_samples, bg_policy="white",
             occ_state=ctx.get("occ_state"),
