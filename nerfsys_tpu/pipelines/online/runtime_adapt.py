@@ -1246,34 +1246,56 @@ def coherent_dispatch(
     through the ONE-expert program (traced expert id: a single compile
     serves all K) and routes boundary-crossing rays through the full
     program. Exact: packed rays are exactly those where the routed blend
-    equals the single-expert field (tests/test_coherent.py)."""
+    equals the single-expert field (tests/test_coherent.py).
+
+    Tail buckets: a large-K frame spreads rays over many experts, so
+    padding every per-expert tail to the full chunk would dominate (at
+    K=16, 45%-coherent 800² frames pad ~3.5x the useful rays). Tails pack
+    into the smallest of 4 power-of-two bucket shapes instead — padding
+    <= 2x on tails, at most 4 compiled shapes per program."""
     n = rays.shape[0]
     if stats is None:
         stats = {}
+    sizes = [chunk_rays]  # descending bucket shapes, >= 4 or down to 1024
+    while sizes[-1] > 1024 and len(sizes) < 4:
+        sizes.append(sizes[-1] // 2)
+
     spans = [(s, min(chunk_rays, n - s)) for s in range(0, n, chunk_rays)]
     kid = np.empty(n, np.int32)
     for s, m in spans:
         dev = jnp.asarray(_pad_chunk(rays[s:s + m], chunk_rays))
         kid[s:s + m] = np.asarray(renderer.probe(statics, dev))[:m]
 
+    def emit(ids_all, run):
+        for s in range(0, len(ids_all), chunk_rays):
+            ids = ids_all[s:s + chunk_rays]
+            size = next((z for z in reversed(sizes) if z >= len(ids)),
+                        chunk_rays)
+            run(ids, jnp.asarray(_pad_chunk(rays[ids], size)))
+
     pending = []
     coherent = 0
     for k in range(renderer.num_experts):
         ids_k = np.flatnonzero(kid == k)
         coherent += len(ids_k)
-        for s in range(0, len(ids_k), chunk_rays):
-            ids = ids_k[s:s + chunk_rays]
-            dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
+
+        def run_k(ids, dev, k=k):
             pending.append((ids, renderer.single(
                 params, statics, dev, jnp.asarray(k, jnp.int32))))
-    ids_m = np.flatnonzero(kid < 0)
-    for s in range(0, len(ids_m), chunk_rays):
-        ids = ids_m[s:s + chunk_rays]
-        dev = jnp.asarray(_pad_chunk(rays[ids], chunk_rays))
-        pending.append((ids, renderer.full(params, statics, dev)))
+
+        emit(ids_k, run_k)
+    emit(np.flatnonzero(kid < 0),
+         lambda ids, dev: pending.append(
+             (ids, renderer.full(params, statics, dev))))
+    rays_padded = -n
+    for ids, _ in pending:
+        size = next((z for z in reversed(sizes) if z >= len(ids)),
+                    chunk_rays)
+        rays_padded += size
     stats.update(mode="coherent", n_coherent=int(coherent),
                  n_boundary=int(n - coherent),
-                 chunks_total=len(pending))
+                 chunks_total=len(pending),
+                 rays_padded=int(max(rays_padded, 0)))
     return pending
 
 

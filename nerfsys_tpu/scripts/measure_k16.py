@@ -310,6 +310,29 @@ def run(a):
         out["render_seconds"] = round(time.perf_counter() - t0, 2)
         out["render_mean_rgb"] = round(float(r0[:, :3].mean()), 4)
 
+        # coherent-expert arm: the K=16 clustered scene is exactly where
+        # whole rays collapse to one expert (1/16 the field evals) —
+        # exact re-packing, so render_mean must agree with the dense arm
+        from nerfsys_tpu.pipelines.online.runtime_adapt import (
+            make_coherent_renderer,
+        )
+
+        ren_c = make_coherent_renderer(
+            cfg, ray_samples=a.samples, occ_state=occ_state,
+            occ_importance=True, occ_hard_mask=False,
+        )
+        cstats = {}
+        rc = render_rays_chunked(ren_c, params, statics, rays, chunk,
+                                 stats=cstats)
+        t0 = time.perf_counter()
+        cstats = {}
+        rc = render_rays_chunked(ren_c, params, statics, rays, chunk,
+                                 stats=cstats)
+        out["render_coherent_seconds"] = round(time.perf_counter() - t0, 2)
+        out["render_coherent_frac"] = round(
+            cstats.get("n_coherent", 0) / rays.shape[0], 4)
+        out["render_coherent_mean_rgb"] = round(float(rc[:, :3].mean()), 4)
+
     print(json.dumps(out))
     return out, losses
 
