@@ -352,6 +352,21 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     assert np.isfinite(r_baked[0]["psnr"])
     assert abs(r_baked[0]["psnr"] - r_single[0]["psnr"]) < 6.0
 
+    # ---- sparse-compacted bake through the CLI (--render_baked_sparse):
+    # bit-exact vs the dense bake by construction, so the eval PSNR must
+    # MATCH the dense-baked arm ----
+    r_sparse = eval_occ(["--render_baked", "24", "--render_baked_sh", "2",
+                         "--render_baked_sparse", "4"],
+                        "it_occ_eval_baked_sp")
+    np.testing.assert_allclose(r_sparse[0]["psnr"], r_baked[0]["psnr"],
+                               atol=1e-4)
+
+    # ---- coherent-expert dispatch through the CLI (--render_coherent):
+    # exact re-packing of the live render ----
+    r_coh = eval_occ(["--render_coherent"], "it_occ_eval_coh")
+    np.testing.assert_allclose(r_coh[0]["psnr"], r_single[0]["psnr"],
+                               atol=1e-3)
+
     # ---- warm-start (reference trainer.py:27-29 via is_resume,
     # common/utils.py:129-160): --op train --checkpoint_path continues an
     # interrupted run into a NEW run dir, restoring params, optimizer
