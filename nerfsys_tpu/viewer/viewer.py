@@ -589,6 +589,8 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
             "Baked serving (bake on pause)", initial_value=False)
         gui_baked_res = server.gui.add_number(
             "Bake resolution", initial_value=256)
+        gui_baked_sparse = server.gui.add_checkbox(
+            "Sparse table (block-compact)", initial_value=False)
 
     with server.gui.add_folder("Operation Mode"):
         gui_mode = server.gui.add_dropdown(
@@ -623,7 +625,9 @@ def launch_viewer(ctx, *, port: int = 7070, blocking: bool = True):
             # present) keeps the skip for occ checkpoints
             bcfg = engine.bake(ctrl.get_render_params(),
                                resolution=int(gui_baked_res.value),
-                               use_occ=engine.use_occ)
+                               use_occ=engine.use_occ,
+                               sparse_block=8 if gui_baked_sparse.value
+                               else 0)
             gui_status.content = (f"status: baked {bcfg.resolution}³ "
                                   f"SH-{bcfg.sh_levels} serving snapshot")
         except Exception as e:

@@ -381,8 +381,12 @@ def _random_packed_table(rng, R, bcfg, zero_blocks, B):
     return t6.reshape(R**3, pack * Cp)
 
 
-@pytest.mark.parametrize("pack,block,R", [(8, 4, 8), (4, 2, 12), (2, 4, 8)])
-def test_sparse_trilerp_bitexact_vs_dense(pack, block, R):
+@pytest.mark.parametrize("pack,block,R,dtype", [
+    (8, 4, 8, "float32"), (4, 2, 12, "float32"), (2, 4, 8, "float32"),
+    (8, 4, 8, "bfloat16"),  # the shipped table dtype: zero-block
+    # detection and the reserved zero block must be bit-faithful in bf16
+])
+def test_sparse_trilerp_bitexact_vs_dense(pack, block, R, dtype):
     """Block-compacted tables reproduce the dense trilerp BIT-exactly at
     every pack layout: dead blocks alias the reserved zero block (gathering
     it returns the same zero rows), alive blocks keep their rows, and the
@@ -392,9 +396,9 @@ def test_sparse_trilerp_bitexact_vs_dense(pack, block, R):
     from nerfsys_tpu.models.baked import baked_trilerp, compact_baked
 
     rng = np.random.default_rng(7)
-    dense_cfg = BakedConfig(resolution=R, sh_levels=2, dtype="float32",
+    dense_cfg = BakedConfig(resolution=R, sh_levels=2, dtype=dtype,
                             corner_pack=pack)
-    sparse_cfg = BakedConfig(resolution=R, sh_levels=2, dtype="float32",
+    sparse_cfg = BakedConfig(resolution=R, sh_levels=2, dtype=dtype,
                              corner_pack=pack, sparse_block=block)
     Rb = R // block
     # zero out a deterministic half-ish of the blocks
@@ -402,6 +406,7 @@ def test_sparse_trilerp_bitexact_vs_dense(pack, block, R):
                    for bx in range(Rb) for by in range(Rb)
                    for bz in range(Rb) if (bx + 2 * by + 3 * bz) % 2]
     table = _random_packed_table(rng, R, dense_cfg, zero_blocks, block)
+    table = table.astype(np.dtype(dtype))  # ml_dtypes handles bfloat16
     aabb = jnp.asarray(np.array([[-1.0, -1, -1], [1, 1, 1]], np.float32))
     dense = {"table": jnp.asarray(table), "aabb": aabb}
     sparse = compact_baked(dense, sparse_cfg)
