@@ -575,18 +575,18 @@ def occ_sample_positions(
     routing at these positions so its exactness contract holds under
     occupancy-guided sampling too (the single-expert program then re-runs
     the same union probe for placement and evaluates only its expert;
-    runtime_adapt.make_coherent_renderer occ mode). Keep the defaults in
-    lock-step with render_rays_occ; drift is pinned by
+    runtime_adapt.make_coherent_renderer occ mode). The CDF comes from
+    probe_rays_occ — ONE construction shared with the render path — so
+    only the scalar defaults (n_probes/uniform_frac/ray_floor policy)
+    must stay in lock-step with render_rays_occ; drift is pinned by
     tests/test_coherent.py's occ bit-exactness test."""
     o, d = rays[:, 0:3], rays[:, 3:6]
     _, near_s, far_s = _ray_validity(rays)
-    bin_fn, val_fn = _occ_query_fns(occ_state, statics, active_expert,
-                                    importance)
-    pair_fn = _occ_pair_fn(occ_state, statics, active_expert, importance)
-    ray_floor = 0.0 if hard_mask else 0.25
-    cdf_state = occupancy_probe_cdf(
-        bin_fn, o, d, near_s, far_s, n_probes, weight_fn=val_fn,
-        uniform_frac=uniform_frac, ray_floor=ray_floor, pair_fn=pair_fn,
+    cdf_state, _ = probe_rays_occ(
+        statics, occ_state, rays, n_probes=n_probes,
+        active_expert=active_expert, importance=importance,
+        uniform_frac=uniform_frac,
+        ray_floor=0.0 if hard_mask else 0.25,  # render_rays_occ's policy
     )
     t_vals, alive = sample_tvals_from_cdf(
         cdf_state, near_s, far_s, n_samples, key=None, randomized=False,

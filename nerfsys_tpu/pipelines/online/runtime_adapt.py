@@ -1127,6 +1127,7 @@ def make_coherent_renderer(
     occ_importance: bool = False,
     occ_hard_mask: bool = True,
     occ_probe_mask: bool = False,
+    sigma_scale: float = 1.0,
 ):
     """Coherent-expert live renderer (the honest fast top-1 path).
 
@@ -1167,7 +1168,7 @@ def make_coherent_renderer(
                 randomized=False, bg_policy=bg_policy,
                 importance=occ_importance, hard_mask=occ_hard_mask,
                 mask_from_probes=occ_probe_mask, use_bg_fn=use_bg_fn,
-                field_expert=k,
+                sigma_scale=sigma_scale, field_expert=k,
             ))
 
         def full_fn(params, statics, rays):
@@ -1180,11 +1181,21 @@ def make_coherent_renderer(
                 routing_coherent_expert,
             )
 
-            pts, _, _ = occ_sample_positions(
+            pts, _, alive = occ_sample_positions(
                 occ_state, statics, rays, ray_samples,
                 importance=occ_importance, hard_mask=occ_hard_mask,
             )
-            return routing_coherent_expert(statics, cfg, pts)
+            kid = routing_coherent_expert(statics, cfg, pts)
+            if occ_hard_mask:
+                # dead rays (no occupancy mass anywhere) hard-mask sigma
+                # to zero in EVERY program, so any expert renders them
+                # identically — pack them with expert 0 instead of letting
+                # their uniform-fallback CDF (which spans regions) send
+                # every sky ray through the expensive full routed program.
+                # Soft mode composites the live field on dead rays, so
+                # there the routing test must keep deciding.
+                kid = jnp.where(alive, kid, 0)
+            return kid
 
         return CoherentExpertRenderer(
             full=jax.jit(full_fn), single=jax.jit(single_fn),
@@ -1197,6 +1208,7 @@ def make_coherent_renderer(
         return _stats(*render_rays_stratified(
             field, rays, ray_samples, randomized=False, bg_policy=bg_policy,
             bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
+            sigma_scale=sigma_scale,
         ))
 
     def single_fn(params, statics, rays, k):
@@ -1204,6 +1216,7 @@ def make_coherent_renderer(
         return _stats(*render_rays_stratified(
             field, rays, ray_samples, randomized=False, bg_policy=bg_policy,
             bg_fn=container_bg_fn(params, cfg) if use_bg_fn else None,
+            sigma_scale=sigma_scale,
         ))
 
     def probe_fn(statics, rays):
@@ -1251,13 +1264,17 @@ def coherent_dispatch(
     Tail buckets: a large-K frame spreads rays over many experts, so
     padding every per-expert tail to the full chunk would dominate (at
     K=16, 45%-coherent 800² frames pad ~3.5x the useful rays). Tails pack
-    into the smallest of 4 power-of-two bucket shapes instead — padding
-    <= 2x on tails, at most 4 compiled shapes per program."""
+    into the smallest fitting shape of a halving ladder (chunk_rays,
+    chunk/2, ... down to max(chunk/32, 1024)): padding <= 2x for any tail
+    larger than the smallest bucket, <= that bucket's size otherwise
+    (stats['rays_padded'] reports the realized total); at most 6 compiled
+    shapes per program, and the single-expert program is traced over the
+    expert id, so shapes — not K — bound the compile count."""
     n = rays.shape[0]
     if stats is None:
         stats = {}
-    sizes = [chunk_rays]  # descending bucket shapes, >= 4 or down to 1024
-    while sizes[-1] > 1024 and len(sizes) < 4:
+    sizes = [chunk_rays]  # descending halving ladder of bucket shapes
+    while sizes[-1] > 1024 and len(sizes) < 6:
         sizes.append(sizes[-1] // 2)
 
     spans = [(s, min(chunk_rays, n - s)) for s in range(0, n, chunk_rays)]
@@ -1506,6 +1523,12 @@ def render_rays_chunked(
     if getattr(chunk_renderer, "single", None) is not None:
         # coherent-expert bundle: route through coherent_dispatch with the
         # outputs packed on device (one fetch per chunk, same as two-wave)
+        if chunk_renderer.fog_stats != fog_stats:
+            raise ValueError(
+                f"coherent renderer built with fog_stats="
+                f"{chunk_renderer.fog_stats} but the caller expects "
+                f"fog_stats={fog_stats} — build it with the matching flag"
+            )
         packed = getattr(chunk_renderer, attr, None)
         if packed is None:
             base = chunk_renderer
@@ -1644,6 +1667,9 @@ def runtime_evaluate(
         if float(render_early_stop) > 0.0:
             log("  [baked] NOTE: --render_early_stop is ignored with "
                 "--render_baked (the baked render has no occ/ET path)")
+        if render_coherent:
+            log("  [baked] NOTE: --render_coherent is ignored with "
+                "--render_baked (the snapshot has no expert routing)")
         from nerfsys_tpu.models.baked import (
             BakedConfig,
             bake_field,
@@ -1679,6 +1705,10 @@ def runtime_evaluate(
         # coherent-expert live dispatch: exact, fastest on spatially-
         # clustered frames (render_rays_chunked routes the bundle through
         # coherent_dispatch)
+        if int(occ_probe_grid_res) > 0:
+            log("  [render] --occ_union_probe_res ignored with "
+                "--render_coherent (coherent programs probe the exact "
+                "per-expert union)")
         renderer = make_coherent_renderer(
             cfg, ray_samples=ray_samples, bg_policy="white",
             occ_state=occ_state, occ_importance=occ_importance,

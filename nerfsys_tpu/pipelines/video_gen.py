@@ -340,6 +340,10 @@ def render_video(ctx) -> Path:
         # the per-frame saving multiplies by n_poses
         import time as _time
 
+        if bool(getattr(P, "render_coherent", False)):
+            print("[video] --render_coherent ignored with --render_baked "
+                  "(the snapshot has no expert routing)")
+
         from nerfsys_tpu.models.baked import (
             BakedConfig,
             bake_field,
@@ -407,6 +411,11 @@ def render_video(ctx) -> Path:
         from nerfsys_tpu.pipelines.online.runtime_adapt import (
             make_coherent_renderer,
         )
+
+        if int(getattr(P, "occ_union_probe_res", 0)) > 0:
+            print("[video] --occ_union_probe_res ignored with "
+                  "--render_coherent (coherent programs probe the exact "
+                  "per-expert union)")
 
         renderer = make_coherent_renderer(
             cfg, ray_samples=P.ray_samples, bg_policy="white",

@@ -366,27 +366,27 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
 
     if coherent:
         from nerfsys_tpu.pipelines.online.runtime_adapt import (
-            coherent_dispatch,
             make_coherent_renderer,
         )
 
         # with --use_occ the coherent programs are occupancy-guided: every
         # program probes the union grids for placement (identical CDF) and
         # only the field eval narrows to the packed expert
+        if union_probe:
+            print("[render] --union_probe ignored with --coherent "
+                  "(coherent programs probe the exact per-expert union)")
         ren_c = make_coherent_renderer(
             _bench_cfg(), ray_samples=samples, bg_policy="white",
-            occ_state=occ_state, occ_importance=use_occ)
+            occ_state=occ_state, occ_importance=use_occ,
+            sigma_scale=opaque)
         two_wave = False
 
         def frame():
-            buf = np.zeros((n, 5), np.float32)
-            for ids, dev in coherent_dispatch(ren_c, params, statics, rays,
-                                              chunk, stats=stats):
-                cols = np.concatenate(
-                    [np.asarray(x)[: len(ids)].reshape(len(ids), -1)
-                     for x in dev], 1)
-                buf[ids] = cols
-            return buf
+            # the production routing: render_rays_chunked duck-types the
+            # bundle (device-packed (C, 5) fetches through
+            # coherent_dispatch — same path as --render_coherent)
+            return render_rays_chunked(ren_c, params, statics, rays,
+                                       chunk, stats=stats)
     else:
         def frame():
             # the exact render_image flow (two-wave skip + ray packing when
