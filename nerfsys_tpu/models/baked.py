@@ -403,6 +403,95 @@ def bake_field(
     return out
 
 
+def params_fingerprint(params) -> str:
+    """Cheap deterministic fingerprint of a params pytree (shape signature
+    + float checksums) — keys the baked-snapshot cache to the weights it
+    was baked from. Not cryptographic; collisions need two different
+    checkpoints with identical per-leaf abs-sums AND sums, which adapted
+    float weights do not produce in practice."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for path, leaf in sorted(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        key=lambda kv: str(kv[0]),
+    ):
+        a = np.asarray(leaf)
+        h.update(str(path).encode())
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        if a.size:
+            af = a.astype(np.float64)
+            h.update(np.float64(np.abs(af).sum()).tobytes())
+            h.update(np.float64(af.sum()).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save_baked(path, baked: Dict, bcfg: BakedConfig, *,
+               fingerprint: str = "") -> None:
+    """Persist a baked snapshot (.npz): bake minutes ONCE, serve seconds
+    every restart. Stores the table/aabb/(block_index) plus the BakedConfig
+    fields and an optional params fingerprint for load-time validation."""
+    import dataclasses
+    import json
+
+    import ml_dtypes
+
+    arrays, dtypes = {}, {}
+    for k in ("table", "aabb", "block_index"):
+        if k not in baked:
+            continue
+        a = np.asarray(baked[k])
+        dtypes[k] = str(a.dtype)
+        if a.dtype == ml_dtypes.bfloat16:
+            a = a.view(np.uint16)  # npz cannot roundtrip bf16 directly
+        arrays[k] = a
+    meta = {"bcfg": dataclasses.asdict(bcfg),
+            "corner_pack": int(baked["corner_pack"]),
+            "dtypes": dtypes,
+            "fingerprint": fingerprint}
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_baked(path, bcfg: BakedConfig, *,
+               fingerprint: str = "") -> Optional[Dict]:
+    """Load a snapshot saved by save_baked, or None (with a visible
+    reason) when the file is absent or was baked under a different
+    BakedConfig / params fingerprint — a stale cache must never silently
+    serve wrong geometry."""
+    import dataclasses
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["__meta__"]))
+    want = dataclasses.asdict(bcfg)
+    if meta["bcfg"] != want:
+        print(f"[baked] cache {path} ignored: BakedConfig mismatch "
+              f"(cached {meta['bcfg']} != requested {want})")
+        return None
+    if fingerprint and meta.get("fingerprint") \
+            and meta["fingerprint"] != fingerprint:
+        print(f"[baked] cache {path} ignored: params fingerprint mismatch "
+              "(checkpoint changed since the bake)")
+        return None
+    import ml_dtypes
+
+    def arr(k):
+        a = z[k]
+        if meta.get("dtypes", {}).get(k) == "bfloat16":
+            a = a.view(ml_dtypes.bfloat16)
+        return jnp.asarray(a)
+
+    out = {"table": arr("table"), "aabb": arr("aabb"),
+           "corner_pack": int(meta["corner_pack"])}
+    if "block_index" in z:
+        out["block_index"] = arr("block_index")
+    return out
+
+
 def baked_trilerp(baked: Dict, bcfg: BakedConfig, pts: Array) -> Array:
     """Trilinear payload (N, C) at pts (N, 3) — 8/corner_pack row gathers.
 

@@ -1602,6 +1602,8 @@ def runtime_evaluate(
     render_baked_occ: bool = False,  # bake only occ-alive cells
     render_baked_occ_dilate: int = 2,
     render_baked_sparse: int = 0,  # block-compact the baked table (exact)
+    render_baked_cache: str = "",  # .npz snapshot cache: bake once, serve
+    # on every later run of the SAME checkpoint/adaptation (fingerprinted)
     fim_cfg=None,  # models.fim.FIMConfig -> Fisher-weighted adaptation
     mesh=None,  # jax.sharding.Mesh -> Phase-B frames shard over 'data'
 ) -> Dict[str, float]:
@@ -1688,15 +1690,31 @@ def runtime_evaluate(
             # all would otherwise silently bake dense
             log("  [baked] WARNING: --render_baked_occ requested but the "
                 "checkpoint has no occupancy state — baking dense")
-        tb = time.time()
-        baked = bake_field(
-            params, cfg, statics, bcfg,
-            occ_state=occ_state if render_baked_occ else None,
-            occ_dilate=int(render_baked_occ_dilate),
+        from nerfsys_tpu.models.baked import (
+            load_baked,
+            params_fingerprint,
+            save_baked,
         )
-        jax.block_until_ready(baked["table"])
-        log(f"  baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
-            f"in {time.time() - tb:.1f}s")
+
+        baked = None
+        fp = params_fingerprint(params) if render_baked_cache else ""
+        if render_baked_cache:
+            baked = load_baked(render_baked_cache, bcfg, fingerprint=fp)
+            if baked is not None:
+                log(f"  [baked] loaded snapshot cache {render_baked_cache}")
+        if baked is None:
+            tb = time.time()
+            baked = bake_field(
+                params, cfg, statics, bcfg,
+                occ_state=occ_state if render_baked_occ else None,
+                occ_dilate=int(render_baked_occ_dilate),
+            )
+            jax.block_until_ready(baked["table"])
+            log(f"  baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
+                f"in {time.time() - tb:.1f}s")
+            if render_baked_cache:
+                save_baked(render_baked_cache, baked, bcfg, fingerprint=fp)
+                log(f"  [baked] saved snapshot cache {render_baked_cache}")
         renderer = make_baked_chunk_renderer(
             baked, bcfg, cfg, ray_samples=ray_samples, bg_policy="white",
             mesh=mesh,

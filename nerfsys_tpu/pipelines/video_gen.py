@@ -362,15 +362,31 @@ def render_video(ctx) -> Path:
             # visible no-op guard (ADVICE r3): no grids -> dense bake
             print("[video] WARNING: --render_baked_occ requested but the "
                   "checkpoint has no occupancy state — baking dense")
-        t0 = _time.perf_counter()
-        baked = bake_field(
-            params, cfg, statics, bcfg,
-            occ_state=(ctx.get("occ_state")
-                       if getattr(P, "render_baked_occ", False) else None),
-            occ_dilate=int(getattr(P, "render_baked_occ_dilate", 2)),
+        from nerfsys_tpu.models.baked import (
+            load_baked,
+            params_fingerprint,
+            save_baked,
         )
-        print(f"[video] baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
-              f"in {_time.perf_counter() - t0:.1f}s")
+
+        cache = str(getattr(P, "render_baked_cache", "") or "")
+        fp = params_fingerprint(params) if cache else ""
+        baked = load_baked(cache, bcfg, fingerprint=fp) if cache else None
+        if baked is not None:
+            print(f"[video] loaded baked snapshot cache {cache}")
+        else:
+            t0 = _time.perf_counter()
+            baked = bake_field(
+                params, cfg, statics, bcfg,
+                occ_state=(ctx.get("occ_state")
+                           if getattr(P, "render_baked_occ", False)
+                           else None),
+                occ_dilate=int(getattr(P, "render_baked_occ_dilate", 2)),
+            )
+            print(f"[video] baked {bcfg.resolution}³ SH-{bcfg.sh_levels} "
+                  f"grid in {_time.perf_counter() - t0:.1f}s")
+            if cache:
+                save_baked(cache, baked, bcfg, fingerprint=fp)
+                print(f"[video] saved baked snapshot cache {cache}")
         if pose_path:
             cam_renderer = make_baked_camera_renderer(
                 baked, bcfg, cfg, H=H, W=W, ray_samples=P.ray_samples,

@@ -545,6 +545,8 @@ def evaluate(ctx):
             render_baked_occ_dilate=int(
                 getattr(P, "render_baked_occ_dilate", 2)),
             render_baked_sparse=int(getattr(P, "render_baked_sparse", 0)),
+            render_baked_cache=str(
+                getattr(P, "render_baked_cache", "") or ""),
             render_coherent=bool(getattr(P, "render_coherent", False)),
             fim_cfg=fim_cfg,
             optimizer=tx,

@@ -162,6 +162,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="conservative 3^3 max-pool passes over the alive "
                         "mask in BAKE-grid space before skipping "
                         "(--render_baked_occ)")
+    p.add_argument("--render_baked_cache", default="",
+                   help="path to a .npz baked-snapshot cache: the bake is "
+                        "loaded from here when the BakedConfig AND a "
+                        "params fingerprint match, else re-baked and "
+                        "saved — bake minutes once, serve seconds on "
+                        "every later eval/video run of the same "
+                        "checkpoint/adaptation")
     p.add_argument("--render_baked_sparse", type=int, default=0,
                    help="block-compact the baked table with this block edge "
                         "(cells): all-zero blocks collapse onto one shared "

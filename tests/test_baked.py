@@ -468,3 +468,70 @@ def test_sparse_bake_field_end_to_end_and_guards():
     with pytest.raises(ValueError):  # compaction needs a sparse config
         compact_baked(dense, bcfg)
     assert compact_baked(sparse, scfg) is sparse  # idempotent
+
+
+def test_baked_cache_roundtrip_and_guards(tmp_path):
+    """save_baked/load_baked: bit-exact roundtrip (dense AND sparse),
+    refusal on BakedConfig mismatch and on a changed params fingerprint —
+    a stale cache must never silently serve wrong geometry."""
+    from dataclasses import replace
+
+    from nerfsys_tpu.models.baked import (
+        load_baked,
+        params_fingerprint,
+        save_baked,
+    )
+
+    cfg, st, params = _tiny_scene()
+    bcfg = BakedConfig(resolution=8, sh_levels=2, n_dirs=8,
+                       chunk_cells=512, dtype="float32", corner_pack=4)
+    baked = bake_field(params, cfg, st, bcfg)
+    fp = params_fingerprint(params)
+    path = str(tmp_path / "snap.npz")
+    save_baked(path, baked, bcfg, fingerprint=fp)
+
+    loaded = load_baked(path, bcfg, fingerprint=fp)
+    np.testing.assert_array_equal(np.asarray(loaded["table"]),
+                                  np.asarray(baked["table"]))
+    np.testing.assert_array_equal(np.asarray(loaded["aabb"]),
+                                  np.asarray(baked["aabb"]))
+    assert loaded["corner_pack"] == baked["corner_pack"]
+
+    # config mismatch -> refused
+    assert load_baked(path, replace(bcfg, sh_levels=1), fingerprint=fp) \
+        is None
+    # params changed -> refused
+    other = init_container_params(jax.random.PRNGKey(9), cfg)
+    assert load_baked(path, bcfg,
+                      fingerprint=params_fingerprint(other)) is None
+    # missing file -> None, no crash
+    assert load_baked(str(tmp_path / "absent.npz"), bcfg) is None
+    # fingerprints: deterministic, sensitive to values
+    assert fp == params_fingerprint(params)
+    assert fp != params_fingerprint(other)
+
+    # sparse snapshot roundtrips with its block index
+    scfg = replace(bcfg, sparse_block=4)
+    sp = bake_field(params, cfg, st, scfg)
+    spath = str(tmp_path / "snap_sp.npz")
+    save_baked(spath, sp, scfg, fingerprint=fp)
+    lsp = load_baked(spath, scfg, fingerprint=fp)
+    np.testing.assert_array_equal(np.asarray(lsp["table"]),
+                                  np.asarray(sp["table"]))
+    np.testing.assert_array_equal(np.asarray(lsp["block_index"]),
+                                  np.asarray(sp["block_index"]))
+    # sparse cache refused under the dense config (and vice versa)
+    assert load_baked(spath, bcfg, fingerprint=fp) is None
+
+    # the SHIPPED table dtype (bfloat16) roundtrips bit-faithfully
+    # (npz stores a uint16 view; load restores the dtype)
+    bcfg16 = BakedConfig(resolution=8, sh_levels=2, n_dirs=8,
+                         chunk_cells=512, corner_pack=4)
+    b16 = bake_field(params, cfg, st, bcfg16)
+    p16 = str(tmp_path / "snap16.npz")
+    save_baked(p16, b16, bcfg16, fingerprint=fp)
+    l16 = load_baked(p16, bcfg16, fingerprint=fp)
+    assert l16["table"].dtype == b16["table"].dtype
+    np.testing.assert_array_equal(
+        np.asarray(l16["table"]).view(np.uint16),
+        np.asarray(b16["table"]).view(np.uint16))

@@ -367,6 +367,18 @@ def test_runner_train_and_eval_on_prepared_scene(colmap_scene, tmp_path,
     np.testing.assert_allclose(r_coh[0]["psnr"], r_single[0]["psnr"],
                                atol=1e-3)
 
+    # ---- baked snapshot cache through the CLI (--render_baked_cache):
+    # first run bakes + saves, second loads (tto=0 -> same fingerprint)
+    # and must score identically ----
+    bc = str(tmp_path / "bake_cache.npz")
+    bc_args = ["--render_baked", "24", "--render_baked_sh", "2",
+               "--render_baked_cache", bc]
+    r_c1 = eval_occ(bc_args, "it_occ_eval_bc1")
+    assert Path(bc).exists()
+    r_c2 = eval_occ(bc_args, "it_occ_eval_bc2")
+    np.testing.assert_allclose(r_c2[0]["psnr"], r_c1[0]["psnr"],
+                               atol=1e-6)
+
     # ---- warm-start (reference trainer.py:27-29 via is_resume,
     # common/utils.py:129-160): --op train --checkpoint_path continues an
     # interrupted run into a NEW run dir, restoring params, optimizer
