@@ -112,16 +112,26 @@ def synthesize_llff(root: Path, n_views: int, side: int, seed: int = 0) -> None:
 
 # --------------------------- ray assembly -----------------------------------
 def blender_all_rays(scene, ids):
-    """Packed rays + GT colors for the given image ids (host numpy)."""
+    """Packed rays + GT colors for the given image ids (host numpy).
+
+    The upstream NeRF Blender protocol measures near/far as camera-frame
+    Z-DEPTH (it marches unnormalized dirs with z=-1); our dirs are unit
+    vectors, so the parametric span is scaled per-ray by 1/|dir_cam.z| to
+    reproduce z-depth sampling exactly (ADVICE r4 — corner rays otherwise
+    deviate ~8% at 800²)."""
     from nerfsys_tpu.data.ram_rays import np_get_rays, np_ray_directions
 
     fx, fy, cx, cy = scene.intrinsics
     dirs_cam = np_ray_directions(scene.H, scene.W, fx, fy, cx, cy)
+    inv_cosz = (1.0 / np.maximum(np.abs(dirs_cam[..., 2]), 1e-6)
+                ).reshape(-1).astype(np.float32)
     rays, rgbs = [], []
     for i in ids:
         r = np_get_rays(dirs_cam, scene.c2ws[i], near=scene.near,
-                        far=scene.far)
-        rays.append(r.reshape(-1, 8))
+                        far=scene.far).reshape(-1, 8)
+        r[:, 6] = scene.near * inv_cosz
+        r[:, 7] = scene.far * inv_cosz
+        rays.append(r)
         rgbs.append(scene.images[i].reshape(-1, 3))
     return np.concatenate(rays), np.concatenate(rgbs)
 
