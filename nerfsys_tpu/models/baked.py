@@ -225,6 +225,79 @@ def compact_baked(baked: Dict, bcfg: BakedConfig) -> Dict:
     return out
 
 
+def _pack_sparse_from_vals(vals_t: np.ndarray, R: int, bcfg: BakedConfig,
+                           pack: int):
+    """Corner-pack + block-compact WITHOUT materializing the dense packed
+    table: (compacted_table, block_index), bit-identical to packing the
+    dense (R³, pack·Cp) table and running _compact_np on it
+    (tests/test_baked.py parity test).
+
+    The dense route peaks at R³·pack·Cp table bytes on the host — 68.7 GB
+    at 512³ pack-8 SH-3, which (plus the shifted-copy temporaries) does
+    not fit the 125 GB host for mostly-alive scenes and wastes minutes of
+    memcpy for sparse ones. Here only ALIVE blocks' rows are ever built:
+    a packed row is nonzero iff any of its pack corner payloads is, so
+    block aliveness comes from a forward-dilated nonzero mask over vals
+    (one bool array), and each alive block assembles its B³ rows from a
+    (B+1)³ clamped halo slice of vals. vals_t must already be in the
+    TABLE dtype — aliveness must see post-cast zeros (a sub-bf16-normal
+    f32 value flushes to 0.0 in the table; testing pre-cast would keep a
+    block the dense path drops)."""
+    B = int(bcfg.sparse_block)
+    Rb = R // B
+    C = vals_t.shape[-1]
+    Cp = bcfg.padded_channels
+    W = pack * Cp
+    v4 = vals_t.reshape(R, R, R, C)
+
+    # per-ROW nonzero mask: row (x,y,z) carries the payloads of its pack
+    # forward corners, so it is nonzero iff any corner cell is — a forward
+    # max-dilation of the per-cell mask along each packed axis (clamped:
+    # the packing clamps neighbor indices at R-1)
+    rnz = v4.any(axis=-1)
+    packed_axes = ([0, 1, 2] if pack == 8
+                   else [1, 2] if pack == 4 else [2])
+    for ax in packed_axes:
+        idx = [slice(None)] * 3
+        idx[ax] = np.r_[1:R, R - 1]  # x+1 clamped at the boundary
+        rnz = rnz | rnz[tuple(idx)]
+    alive = rnz.reshape(Rb, B, Rb, B, Rb, B).any(axis=(1, 3, 5))
+    alive_ids = np.nonzero(alive.reshape(-1))[0]
+    n_alive = int(alive_ids.size)
+
+    slots = np.zeros(Rb**3, np.int32)
+    slots[alive_ids] = 1 + np.arange(n_alive, dtype=np.int32)
+
+    deltas = [(dx, dy, dz)
+              for dx in range(2 if pack == 8 else 1)
+              for dy in range(2 if pack >= 4 else 1)
+              for dz in range(2)]
+    comp = np.zeros(((n_alive + 1) * B**3, W), vals_t.dtype)
+    rows = np.empty((B, B, B, W), vals_t.dtype)
+    sub = np.zeros((B + 1, B + 1, B + 1, Cp), vals_t.dtype)
+    for s, bid in enumerate(alive_ids):
+        bx = int(bid) // (Rb * Rb)
+        by = (int(bid) // Rb) % Rb
+        bz = int(bid) % Rb
+        xs = np.minimum(np.arange(bx * B, bx * B + B + 1), R - 1)
+        ys = np.minimum(np.arange(by * B, by * B + B + 1), R - 1)
+        zs = np.minimum(np.arange(bz * B, bz * B + B + 1), R - 1)
+        sub[..., :C] = v4[np.ix_(xs, ys, zs)]
+        for bi, (dx, dy, dz) in enumerate(deltas):
+            rows[..., bi * Cp:(bi + 1) * Cp] = (
+                sub[dx:dx + B, dy:dy + B, dz:dz + B])
+        comp[(s + 1) * B**3:(s + 2) * B**3] = rows.reshape(B**3, W)
+
+    S = _SUPER
+    Rbs = -(-Rb // S)
+    padded = np.zeros((Rbs * S, Rbs * S, Rbs * S), np.int32)
+    padded[:Rb, :Rb, :Rb] = slots.reshape(Rb, Rb, Rb)
+    block_index = (padded.reshape(Rbs, S, Rbs, S, Rbs, S)
+                   .transpose(0, 2, 4, 1, 3, 5)
+                   .reshape(Rbs**3, S**3))
+    return comp, np.ascontiguousarray(block_index)
+
+
 def _np_dilate3(mask: np.ndarray) -> np.ndarray:
     """One 3³ max-pool pass over an (R, R, R) bool mask (host numpy)."""
     R = mask.shape[0]
@@ -360,6 +433,29 @@ def bake_field(
     # lexicographic — baked_query's lerp tree indexes it that way.
     pack = bcfg.resolved_pack(R)
     Cp = bcfg.padded_channels
+    out = {
+        "aabb": jnp.stack([lo, hi]).astype(jnp.float32),
+        "corner_pack": pack,
+    }
+    if bcfg.sparse_block:
+        # memory-lean sparse packing on the HOST (before any device
+        # transfer): only alive blocks' rows are ever built — the dense
+        # packed table (68.7 GB at 512³ pack-8) never materializes.
+        # Cast vals to the table dtype FIRST so aliveness sees post-cast
+        # zeros (bit-parity with dense-then-compact; _pack_sparse_from_vals)
+        vals_t = vals.astype(np.dtype(bcfg.dtype))
+        del vals
+        comp, block_index = _pack_sparse_from_vals(vals_t, R, bcfg, pack)
+        nb = comp.shape[0] // int(bcfg.sparse_block) ** 3 - 1
+        total = (R // int(bcfg.sparse_block)) ** 3
+        dense_gb = n_cells * pack * Cp * comp.dtype.itemsize / 1e9
+        print(f"[bake] sparse pack: {nb}/{total} blocks alive "
+              f"({100.0 * nb / total:.1f}%), table "
+              f"{comp.nbytes / 1e9:.2f} GB (dense {dense_gb:.2f})")
+        out["table"] = jnp.asarray(comp)
+        out["block_index"] = jnp.asarray(block_index)
+        return out
+
     g = vals.reshape(R, R, R, C)
     if Cp != C:
         g = np.concatenate(
@@ -382,33 +478,17 @@ def bake_field(
         if dx:
             b = b.take(clamped, axis=0)
         table[..., bi * Cp:(bi + 1) * Cp] = b
-    flat = table.reshape(n_cells, pack * Cp)
-    out = {
-        "aabb": jnp.stack([lo, hi]).astype(jnp.float32),
-        "corner_pack": pack,
-    }
-    if bcfg.sparse_block:
-        # compact on the HOST array (before any device transfer — the
-        # whole point is never shipping the dense table to HBM)
-        comp, block_index = _compact_np(flat, bcfg)
-        nb = comp.shape[0] // int(bcfg.sparse_block) ** 3 - 1
-        total = (R // int(bcfg.sparse_block)) ** 3
-        print(f"[bake] sparse compact: {nb}/{total} blocks alive "
-              f"({100.0 * nb / total:.1f}%), table "
-              f"{comp.nbytes / 1e9:.2f} GB (dense {flat.nbytes / 1e9:.2f})")
-        out["table"] = jnp.asarray(comp)
-        out["block_index"] = jnp.asarray(block_index)
-    else:
-        out["table"] = jnp.asarray(flat)
+    out["table"] = jnp.asarray(table.reshape(n_cells, pack * Cp))
     return out
 
 
 def params_fingerprint(params) -> str:
     """Cheap deterministic fingerprint of a params pytree (shape signature
-    + float checksums) — keys the baked-snapshot cache to the weights it
-    was baked from. Not cryptographic; collisions need two different
-    checkpoints with identical per-leaf abs-sums AND sums, which adapted
-    float weights do not produce in practice."""
+    + float checksums + strided byte samples) — keys the baked-snapshot
+    cache to the weights it was baked from. Not cryptographic, but the
+    byte samples make it order-sensitive: two checkpoints whose leaves
+    differ only by a row permutation (identical sums) no longer collide
+    (ADVICE r4)."""
     import hashlib
 
     h = hashlib.sha256()
@@ -424,14 +504,42 @@ def params_fingerprint(params) -> str:
             af = a.astype(np.float64)
             h.update(np.float64(np.abs(af).sum()).tobytes())
             h.update(np.float64(af.sum()).tobytes())
+            raw = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
+            h.update(raw[:4096].tobytes())
+            if raw.size > 4096:
+                h.update(raw[:: max(1, raw.size // 1024)].tobytes())
     return h.hexdigest()[:16]
 
 
+def occ_bake_fingerprint(occ_state: Optional[Dict], occ_dilate: int) -> str:
+    """Digest of the occ-bake inputs ('' when occ baking is off): the
+    dilate count plus the binary grids' bytes. Part of the snapshot cache
+    key — re-running the same checkpoint with occ baking toggled or a
+    different dilate must MISS the cache, not silently serve a snapshot
+    baked under different dead-cell zeroing (ADVICE r4)."""
+    if occ_state is None:
+        return ""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(str(int(occ_dilate)).encode())
+    h.update(np.asarray(occ_state["binary"]).tobytes())
+    return "occ:" + h.hexdigest()[:16]
+
+
+def _norm_npz_path(path) -> str:
+    """np.savez appends '.npz' when the extension is absent — normalize so
+    load_baked probes the path savez actually wrote (ADVICE r4)."""
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
+
+
 def save_baked(path, baked: Dict, bcfg: BakedConfig, *,
-               fingerprint: str = "") -> None:
+               fingerprint: str = "", occ_key: str = "") -> None:
     """Persist a baked snapshot (.npz): bake minutes ONCE, serve seconds
     every restart. Stores the table/aabb/(block_index) plus the BakedConfig
-    fields and an optional params fingerprint for load-time validation."""
+    fields, an optional params fingerprint, and the occ-bake input key
+    (occ_bake_fingerprint) for load-time validation."""
     import dataclasses
     import json
 
@@ -449,20 +557,22 @@ def save_baked(path, baked: Dict, bcfg: BakedConfig, *,
     meta = {"bcfg": dataclasses.asdict(bcfg),
             "corner_pack": int(baked["corner_pack"]),
             "dtypes": dtypes,
-            "fingerprint": fingerprint}
-    np.savez(path, __meta__=json.dumps(meta), **arrays)
+            "fingerprint": fingerprint,
+            "occ_key": occ_key}
+    np.savez(_norm_npz_path(path), __meta__=json.dumps(meta), **arrays)
 
 
 def load_baked(path, bcfg: BakedConfig, *,
-               fingerprint: str = "") -> Optional[Dict]:
+               fingerprint: str = "", occ_key: str = "") -> Optional[Dict]:
     """Load a snapshot saved by save_baked, or None (with a visible
     reason) when the file is absent or was baked under a different
-    BakedConfig / params fingerprint — a stale cache must never silently
-    serve wrong geometry."""
+    BakedConfig / params fingerprint / occ-bake inputs — a stale cache
+    must never silently serve wrong geometry."""
     import dataclasses
     import json
     import os
 
+    path = _norm_npz_path(path)
     if not os.path.exists(path):
         return None
     z = np.load(path, allow_pickle=False)
@@ -476,6 +586,12 @@ def load_baked(path, bcfg: BakedConfig, *,
             and meta["fingerprint"] != fingerprint:
         print(f"[baked] cache {path} ignored: params fingerprint mismatch "
               "(checkpoint changed since the bake)")
+        return None
+    if meta.get("occ_key", "") != occ_key:
+        print(f"[baked] cache {path} ignored: occ-bake input mismatch "
+              f"(cached {meta.get('occ_key', '')!r} != requested "
+              f"{occ_key!r} — occ toggle/dilate/grids changed since the "
+              "bake)")
         return None
     import ml_dtypes
 

@@ -424,6 +424,61 @@ def test_sparse_trilerp_bitexact_vs_dense(pack, block, R, dtype):
     np.testing.assert_array_equal(out_d, out_s)
 
 
+@pytest.mark.parametrize("pack,dtype", [(8, "bfloat16"), (4, "float32"),
+                                        (2, "bfloat16")])
+def test_pack_sparse_from_vals_matches_dense_then_compact(pack, dtype):
+    """The memory-lean sparse packer (_pack_sparse_from_vals — builds only
+    alive blocks, never the dense packed table) is BIT-identical to
+    packing dense and running _compact_np: same compacted rows, same
+    block index. Includes bf16: aliveness must be tested post-cast (a
+    sub-bf16-normal f32 flushes to zero in the table)."""
+    from nerfsys_tpu.models.baked import (
+        _compact_np,
+        _pack_sparse_from_vals,
+    )
+
+    R, block = 12, 4
+    rng = np.random.default_rng(11)
+    bcfg = BakedConfig(resolution=R, sh_levels=2, dtype=dtype,
+                       corner_pack=pack, sparse_block=block)
+    C = bcfg.channels
+    Cp = bcfg.padded_channels
+    vals = rng.normal(size=(R, R, R, C)).astype(np.float32)
+    # kill most cells (block-granular + ragged), plus one sub-bf16-normal
+    # value that must count as DEAD in a bf16 table
+    mask = rng.uniform(size=(R, R, R)) < 0.15
+    vals[~mask] = 0.0
+    vals[0, 0, 0, :] = 0.0
+    vals[0, 0, 0, 1] = 1e-45
+    vals_t = vals.reshape(-1, C).astype(np.dtype(bcfg.dtype))
+
+    # dense route: pack (same clamped-forward-neighbor layout), compact
+    deltas = [(dx, dy, dz)
+              for dx in range(2 if pack == 8 else 1)
+              for dy in range(2 if pack >= 4 else 1)
+              for dz in range(2)]
+    g = np.zeros((R, R, R, Cp), vals_t.dtype)
+    g[..., :C] = vals_t.reshape(R, R, R, C)
+    clamped = np.minimum(np.arange(1, R + 1), R - 1)
+    dense = np.empty((R, R, R, pack * Cp), vals_t.dtype)
+    for bi, (dx, dy, dz) in enumerate(deltas):
+        b = g
+        if dz:
+            b = b.take(clamped, axis=2)
+        if dy:
+            b = b.take(clamped, axis=1)
+        if dx:
+            b = b.take(clamped, axis=0)
+        dense[..., bi * Cp:(bi + 1) * Cp] = b
+    comp_d, idx_d = _compact_np(dense.reshape(R**3, pack * Cp), bcfg)
+
+    comp_l, idx_l = _pack_sparse_from_vals(vals_t, R, bcfg, pack)
+    np.testing.assert_array_equal(
+        comp_d.view(np.uint16 if dtype == "bfloat16" else comp_d.dtype),
+        comp_l.view(np.uint16 if dtype == "bfloat16" else comp_l.dtype))
+    np.testing.assert_array_equal(idx_d, idx_l)
+
+
 def test_sparse_bake_field_end_to_end_and_guards():
     """bake_field(sparse_block=...) equals compact_baked of the dense bake;
     render_rays_baked through the sparse table matches the dense render
