@@ -566,6 +566,8 @@ def occ_sample_positions(
     hard_mask: bool = True,
     n_probes: int = 128,
     uniform_frac: float = 0.25,
+    probe_fns=None,  # (bin_fn, val_fn) override (union_probe_fns) — MUST
+    # match the render programs' probe_fns or placement diverges
 ) -> Tuple[Array, Array, Array]:
     """Deterministic occupancy sample positions -> (pts (N,S,3), t_vals,
     alive), WITHOUT evaluating the field.
@@ -585,7 +587,7 @@ def occ_sample_positions(
     cdf_state, _ = probe_rays_occ(
         statics, occ_state, rays, n_probes=n_probes,
         active_expert=active_expert, importance=importance,
-        uniform_frac=uniform_frac,
+        uniform_frac=uniform_frac, probe_fns=probe_fns,
         ray_floor=0.0 if hard_mask else 0.25,  # render_rays_occ's policy
     )
     t_vals, alive = sample_tvals_from_cdf(

@@ -1128,6 +1128,10 @@ def make_coherent_renderer(
     occ_hard_mask: bool = True,
     occ_probe_mask: bool = False,
     sigma_scale: float = 1.0,
+    occ_probe_grid_res: int = 0,  # probe ONE resampled union grid instead
+    # of the K-expert union (probe rows drop /K) — shared by ALL programs
+    # (probe + single + full), so the coherent exactness contract holds
+    # verbatim under the cheaper probing (identical CDF everywhere)
 ):
     """Coherent-expert live renderer (the honest fast top-1 path).
 
@@ -1162,21 +1166,18 @@ def make_coherent_renderer(
             render_rays_occ,
         )
 
-        def render_k(params, statics, rays, k):
+        use_union_grid = int(occ_probe_grid_res) > 0
+
+        def render_k(pfns, params, statics, rays, k):
             return _stats(*render_rays_occ(
                 params, cfg, statics, occ_state, rays, ray_samples,
                 randomized=False, bg_policy=bg_policy,
                 importance=occ_importance, hard_mask=occ_hard_mask,
                 mask_from_probes=occ_probe_mask, use_bg_fn=use_bg_fn,
-                sigma_scale=sigma_scale, field_expert=k,
+                sigma_scale=sigma_scale, field_expert=k, probe_fns=pfns,
             ))
 
-        def full_fn(params, statics, rays):
-            return render_k(params, statics, rays, None)
-
-        single_fn = render_k
-
-        def probe_fn(statics, rays):
+        def probe_impl(pfns, statics, rays):
             from nerfsys_tpu.models.container import (
                 routing_coherent_expert,
             )
@@ -1184,6 +1185,7 @@ def make_coherent_renderer(
             pts, _, alive = occ_sample_positions(
                 occ_state, statics, rays, ray_samples,
                 importance=occ_importance, hard_mask=occ_hard_mask,
+                probe_fns=pfns,
             )
             kid = routing_coherent_expert(statics, cfg, pts)
             if occ_hard_mask:
@@ -1197,10 +1199,54 @@ def make_coherent_renderer(
                 kid = jnp.where(alive, kid, 0)
             return kid
 
+        if not use_union_grid:
+            return CoherentExpertRenderer(
+                full=jax.jit(lambda p, s, r: render_k(None, p, s, r, None)),
+                single=jax.jit(
+                    lambda p, s, r, k: render_k(None, p, s, r, k)),
+                probe=jax.jit(lambda s, r: probe_impl(None, s, r)),
+                num_experts=cfg.num_experts, fog_stats=fog_stats,
+            )
+
+        # coherent + union-probe combo: every program probes the ONE
+        # resampled union grid, so probe rows drop /K alongside the /K
+        # field evals (BASELINE.md coherent-row projection). The grid is
+        # built lazily per statics version and threaded as a jit ARGUMENT
+        # (the _union_probe_wrap pattern — id() caches don't survive
+        # tracing); sharing ONE grid across probe/single/full keeps the
+        # CDF identical everywhere, which is the exactness contract
+        # (tests/test_coherent.py union arm).
+        import functools
+
+        from nerfsys_tpu.models.occupancy import (
+            build_union_probe_grid,
+            union_probe_fns,
+        )
+
+        build_j = jax.jit(functools.partial(
+            build_union_probe_grid, res=int(occ_probe_grid_res),
+            importance=occ_importance))
+        cache: Dict = {}
+
+        def grid_for(statics):
+            key = id(statics)
+            if key not in cache:
+                cache.clear()
+                cache[key] = (statics, build_j(occ_state, statics))
+            return cache[key][1]
+
+        full_j = jax.jit(
+            lambda g, p, s, r: render_k(union_probe_fns(g), p, s, r, None))
+        single_j = jax.jit(
+            lambda g, p, s, r, k: render_k(union_probe_fns(g), p, s, r, k))
+        probe_j = jax.jit(
+            lambda g, s, r: probe_impl(union_probe_fns(g), s, r))
+
         return CoherentExpertRenderer(
-            full=jax.jit(full_fn), single=jax.jit(single_fn),
-            probe=jax.jit(probe_fn), num_experts=cfg.num_experts,
-            fog_stats=fog_stats,
+            full=lambda p, s, r: full_j(grid_for(s), p, s, r),
+            single=lambda p, s, r, k: single_j(grid_for(s), p, s, r, k),
+            probe=lambda s, r: probe_j(grid_for(s), s, r),
+            num_experts=cfg.num_experts, fog_stats=fog_stats,
         )
 
     def full_fn(params, statics, rays):
@@ -1692,14 +1738,19 @@ def runtime_evaluate(
                 "checkpoint has no occupancy state — baking dense")
         from nerfsys_tpu.models.baked import (
             load_baked,
+            occ_bake_fingerprint,
             params_fingerprint,
             save_baked,
         )
 
         baked = None
         fp = params_fingerprint(params) if render_baked_cache else ""
+        ok = occ_bake_fingerprint(
+            occ_state if render_baked_occ else None,
+            int(render_baked_occ_dilate)) if render_baked_cache else ""
         if render_baked_cache:
-            baked = load_baked(render_baked_cache, bcfg, fingerprint=fp)
+            baked = load_baked(render_baked_cache, bcfg, fingerprint=fp,
+                               occ_key=ok)
             if baked is not None:
                 log(f"  [baked] loaded snapshot cache {render_baked_cache}")
         if baked is None:
@@ -1713,7 +1764,8 @@ def runtime_evaluate(
             log(f"  baked {bcfg.resolution}³ SH-{bcfg.sh_levels} grid "
                 f"in {time.time() - tb:.1f}s")
             if render_baked_cache:
-                save_baked(render_baked_cache, baked, bcfg, fingerprint=fp)
+                save_baked(render_baked_cache, baked, bcfg, fingerprint=fp,
+                           occ_key=ok)
                 log(f"  [baked] saved snapshot cache {render_baked_cache}")
         renderer = make_baked_chunk_renderer(
             baked, bcfg, cfg, ray_samples=ray_samples, bg_policy="white",
@@ -1724,13 +1776,14 @@ def runtime_evaluate(
         # clustered frames (render_rays_chunked routes the bundle through
         # coherent_dispatch)
         if int(occ_probe_grid_res) > 0:
-            log("  [render] --occ_union_probe_res ignored with "
-                "--render_coherent (coherent programs probe the exact "
-                "per-expert union)")
+            log(f"  [render] coherent + union-probe grid "
+                f"(res {int(occ_probe_grid_res)}): probe rows /K in every "
+                "program")
         renderer = make_coherent_renderer(
             cfg, ray_samples=ray_samples, bg_policy="white",
             occ_state=occ_state, occ_importance=occ_importance,
             occ_hard_mask=occ_hard_mask, occ_probe_mask=occ_probe_mask,
+            occ_probe_grid_res=occ_probe_grid_res,
         )
     else:
         if render_coherent:

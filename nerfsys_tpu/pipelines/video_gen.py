@@ -364,13 +364,19 @@ def render_video(ctx) -> Path:
                   "checkpoint has no occupancy state — baking dense")
         from nerfsys_tpu.models.baked import (
             load_baked,
+            occ_bake_fingerprint,
             params_fingerprint,
             save_baked,
         )
 
         cache = str(getattr(P, "render_baked_cache", "") or "")
         fp = params_fingerprint(params) if cache else ""
-        baked = load_baked(cache, bcfg, fingerprint=fp) if cache else None
+        ok = occ_bake_fingerprint(
+            ctx.get("occ_state")
+            if getattr(P, "render_baked_occ", False) else None,
+            int(getattr(P, "render_baked_occ_dilate", 2))) if cache else ""
+        baked = load_baked(cache, bcfg, fingerprint=fp,
+                           occ_key=ok) if cache else None
         if baked is not None:
             print(f"[video] loaded baked snapshot cache {cache}")
         else:
@@ -385,7 +391,7 @@ def render_video(ctx) -> Path:
             print(f"[video] baked {bcfg.resolution}³ SH-{bcfg.sh_levels} "
                   f"grid in {_time.perf_counter() - t0:.1f}s")
             if cache:
-                save_baked(cache, baked, bcfg, fingerprint=fp)
+                save_baked(cache, baked, bcfg, fingerprint=fp, occ_key=ok)
                 print(f"[video] saved baked snapshot cache {cache}")
         if pose_path:
             cam_renderer = make_baked_camera_renderer(
@@ -429,9 +435,9 @@ def render_video(ctx) -> Path:
         )
 
         if int(getattr(P, "occ_union_probe_res", 0)) > 0:
-            print("[video] --occ_union_probe_res ignored with "
-                  "--render_coherent (coherent programs probe the exact "
-                  "per-expert union)")
+            print("[video] coherent + union-probe grid (res "
+                  f"{int(getattr(P, 'occ_union_probe_res', 0))}): probe "
+                  "rows /K in every program")
 
         renderer = make_coherent_renderer(
             cfg, ray_samples=P.ray_samples, bg_policy="white",
@@ -440,6 +446,7 @@ def render_video(ctx) -> Path:
             occ_importance=bool(getattr(P, "occ_importance", False)),
             occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
             occ_probe_mask=bool(getattr(P, "occ_probe_mask", False)),
+            occ_probe_grid_res=int(getattr(P, "occ_union_probe_res", 0)),
         )
     else:
         if bool(getattr(P, "render_coherent", False)):

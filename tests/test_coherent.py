@@ -151,6 +151,65 @@ def test_coherent_dispatch_exact_vs_full_occ():
         np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_coherent_dispatch_exact_with_union_probe_grid():
+    """Coherent + union-probe combo (the probe-bound rung's fix): every
+    program — probe, single-expert, full — probes the ONE resampled union
+    grid, so the CDF is identical everywhere and packing stays an
+    EQUALITY against the combo's full program. (The union grid itself is
+    an honest approximation vs exact per-expert probing — that delta is
+    owned by build_union_probe_grid's contract, not this dispatch.)"""
+    rng = np.random.default_rng(0)
+    for hard in (True, False):
+        cfg, st, params = _setup(K=2)
+        occ = _ready_occ(2)
+        rays = _mixed_rays(rng, 300)
+        ren = make_coherent_renderer(
+            cfg, ray_samples=8, occ_state=occ, occ_importance=True,
+            occ_hard_mask=hard, occ_probe_grid_res=16)
+        # oracle: the combo's own full routed program, chunk-for-chunk
+        ref = render_rays_chunked(ren.full, params, st, rays, 128)
+
+        stats = {}
+        out = np.zeros_like(ref)
+        for ids, dev in coherent_dispatch(ren, params, st, rays, 128,
+                                          stats=stats):
+            cols = np.concatenate(
+                [np.asarray(d)[: len(ids)].reshape(len(ids), -1)
+                 for d in dev], 1)
+            out[ids] = cols
+        assert stats["n_coherent"] > 150, stats
+        assert stats["n_boundary"] > 10, stats
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_coherent_union_probe_positions_match_full_program():
+    """The dispatch probe and the render programs must derive sample
+    positions from the SAME union grid: a coherent ray rendered through
+    its single-expert program equals the full program's output for that
+    ray (row-for-row on a pure chunk), which fails if either side probed
+    a different grid."""
+    cfg, st, params = _setup(K=2)
+    occ = _ready_occ(2)
+    rng = np.random.default_rng(4)
+    n = 64
+    rays = np.zeros((n, 8), np.float32)  # all deep in expert 0, straight -z
+    rays[:, 0:3] = [0.0, -1.0, 3.0]
+    rays[:, 1] += rng.uniform(-0.2, 0.2, n)
+    rays[:, 3:6] = [0.0, 0.0, -1.0]
+    rays[:, 6], rays[:, 7] = 0.5, 6.0
+    ren = make_coherent_renderer(
+        cfg, ray_samples=8, occ_state=occ, occ_importance=True,
+        occ_probe_grid_res=16)
+    kid = np.asarray(ren.probe(st, jnp.asarray(rays)))
+    assert (kid == 0).all(), kid
+    full = [np.asarray(x) for x in ren.full(params, st, jnp.asarray(rays))]
+    single = [np.asarray(x) for x in
+              ren.single(params, st, jnp.asarray(rays),
+                         jnp.asarray(0, jnp.int32))]
+    for f, s in zip(full, single):
+        np.testing.assert_allclose(s, f, rtol=1e-6, atol=1e-6)
+
+
 def test_coherent_occ_single_program_traced_and_distinct():
     cfg, st, params = _setup(K=2)
     occ = _ready_occ(2)
