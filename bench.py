@@ -110,9 +110,16 @@ def main():
                                jnp.asarray([[-2.2, -2.2, -2.2], [2.2, 2.2, 2.2]]))
 
     params = init_container_params(jax.random.PRNGKey(0), cfg)
+    # NERFSYS_BENCH_UNROLL=1: unroll the expert axis into K independent
+    # single-expert programs; NERFSYS_BENCH_TASK_UNROLL=1: unroll the
+    # B-task grad-accumulation scan (cross-program overlap A/Bs;
+    # MetaConfig docs)
+    UNROLL = os.environ.get("NERFSYS_BENCH_UNROLL", "0") == "1"
+    T_UNROLL = os.environ.get("NERFSYS_BENCH_TASK_UNROLL", "0") == "1"
     meta = MetaConfig(algo="fomaml", inner_iter=INNER, inner_lr=0.015,
                       ray_samples=SAMPLES,
-                      occ_importance=OCC, occ_hard_mask=not OCC)
+                      occ_importance=OCC, occ_hard_mask=not OCC,
+                      expert_unroll=UNROLL, task_unroll=T_UNROLL)
     tx = build_optimizer(OptimConfig(outer_steps=10000), param_group_labels(params))
     opt_state = tx.init(params)
     step = make_train_step(meta, cfg, tx)

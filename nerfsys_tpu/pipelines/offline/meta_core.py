@@ -79,6 +79,21 @@ class MetaConfig:
     # mesh ('expert' > 1): scanning a sharded axis would serialize experts
     # that vmap keeps parallel across devices.
     expert_map: bool = True
+    # Unroll the expert axis as K independent single-expert programs in ONE
+    # traced graph instead of lax.map's while-loop. lax.map's serial
+    # semantics forbid XLA from overlapping expert i+1's table gathers with
+    # expert i's MLP/compositing tail — the step's non-gather ~30%
+    # (BASELINE.md hardware-accounting row) runs between gather bursts with
+    # nothing hidden behind it; unrolling lets the scheduler interleave the
+    # K chains. Costs ~K x the compile/program size. Only meaningful with
+    # expert_map=True (ignored under vmap / sharded expert axis).
+    expert_unroll: bool = False
+    # Same trade for the B-task gradient-accumulation scan in the
+    # maml-like outer step: unrolled task bodies only depend on each other
+    # through the grad-accumulator adds, so XLA may overlap task b+1's
+    # probe/gathers with task b's tail. Costs ~B x compile/program size
+    # and lets activations of neighboring tasks coexist (watch HBM).
+    task_unroll: bool = False
 
     @property
     def first_order(self) -> bool:

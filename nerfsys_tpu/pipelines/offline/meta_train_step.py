@@ -82,10 +82,21 @@ def _per_task_slice(
 
     # lax.map runs experts as serial single-expert programs (1.56x faster
     # than vmap on one chip — see MetaConfig.expert_map); vmap keeps the
-    # expert axis batched for mesh-sharded expert parallelism.
+    # expert axis batched for mesh-sharded expert parallelism;
+    # expert_unroll trades compile size for cross-expert overlap
+    # (MetaConfig.expert_unroll).
     def run(fn, *extra):
         if meta.expert_map:
-            return jax.lax.map(lambda args: fn(*args), (*common, *extra))
+            args = (*common, *extra)
+            if meta.expert_unroll:
+                K = jax.tree_util.tree_leaves(experts)[0].shape[0]
+                outs = [
+                    fn(*jax.tree_util.tree_map(lambda a, k=k: a[k], args))
+                    for k in range(K)
+                ]
+                return jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *outs)
+            return jax.lax.map(lambda a: fn(*a), args)
         return jax.vmap(fn)(*common, *extra)
 
     if occ_binary is None:
@@ -179,9 +190,19 @@ def make_train_step(
             m_acc = tuple(a + b for a, b in zip(m_acc, aux))
             return (g_acc, m_acc, loss_acc + contrib), None
 
-        (grads, m_acc, loss_meta), _ = jax.lax.scan(
-            body, (zero_grads, zero_m, jnp.zeros(())), (tm, all_keys)
-        )
+        if meta.task_unroll:
+            # unrolled task bodies: same accumulation order as the scan
+            # (bit-parity up to XLA reassociation), but the scheduler may
+            # overlap neighboring tasks' programs (MetaConfig.task_unroll)
+            carry = (zero_grads, zero_m, jnp.zeros(()))
+            for b in range(B):
+                carry, _ = body(carry, jax.tree_util.tree_map(
+                    lambda a, b=b: a[b], (tm, all_keys)))
+            grads, m_acc, loss_meta = carry
+        else:
+            (grads, m_acc, loss_meta), _ = jax.lax.scan(
+                body, (zero_grads, zero_m, jnp.zeros(())), (tm, all_keys)
+            )
         aux = _finalize_metrics(m_acc[0], m_acc[1], m_acc[2], total_n)
 
         finite = jnp.isfinite(loss_meta)

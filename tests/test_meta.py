@@ -318,6 +318,40 @@ def test_expert_map_matches_vmap():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("knob", ["expert_unroll", "task_unroll"])
+def test_unroll_knobs_match_scan(knob):
+    """expert_unroll / task_unroll (unrolled programs in one traced
+    graph) are pure scheduling choices: same losses/params as the
+    lax.map / lax.scan defaults."""
+    import dataclasses
+
+    statics = make_statics()
+    batch = make_batch(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(7)
+    outs = {}
+    for unroll in (False, True):
+        meta = dataclasses.replace(META, expert_map=True,
+                                   **{knob: unroll})
+        params = init_container_params(jax.random.PRNGKey(0), CFG)
+        tx = build_optimizer(OptimConfig(outer_steps=10),
+                             param_group_labels(params))
+        opt_state = tx.init(params)
+        step = make_train_step(meta, CFG, tx)
+        new_params, _, aux = step(params, opt_state, statics, batch, key)
+        outs[unroll] = (new_params, aux)
+
+    a, b = outs[False], outs[True]
+    np.testing.assert_allclose(float(a[1]["loss_out"]),
+                               float(b[1]["loss_out"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a[1]["region_loss_out"]),
+                               np.asarray(b[1]["region_loss_out"]),
+                               rtol=1e-5)
+    for la, lb in zip(jax.tree_util.tree_leaves(a[0]),
+                      jax.tree_util.tree_leaves(b[0])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_expert_map_matches_vmap_eval():
     import dataclasses
 
