@@ -210,16 +210,59 @@ def run(a):
     print(f"[k16] K={K} S={S} Q={Q} B={B} inner={a.inner} "
           f"samples={a.samples} backend={jax.default_backend()}"
           + (f" mesh={dict(mesh.shape)}" if mesh else ""))
-    t0 = time.perf_counter()
-    pools, rng = build_batch_pools(K, S, Q, B, a.seed)
-    print(f"[k16] pools + GT in {time.perf_counter() - t0:.1f}s host")
+    if a.load_dir:
+        # serve-only mode: restore a measure_k16 --save_dir checkpoint
+        # (params + occ grids) and skip straight to eval + render arms
+        from nerfsys_tpu.utils.checkpoint import (
+            load_aux_state,
+            load_checkpoint,
+        )
+
+        params, _, state = load_checkpoint(a.load_dir, "k16", params)
+        params = jax.device_put(params)
+        occ_loaded = load_aux_state(a.load_dir, "occ", occ_state, tag="k16")
+        if occ_loaded is not None:
+            occ_state = jax.device_put(occ_loaded)
+        print(f"[k16] loaded checkpoint {a.load_dir} "
+              f"(step {state.get('step')}, best {state.get('best')})")
+    else:
+        t0 = time.perf_counter()
+        pools, rng = build_batch_pools(K, S, Q, B, a.seed)
+        print(f"[k16] pools + GT in {time.perf_counter() - t0:.1f}s host")
+
+    # ---- held-out eval set (built up front: the training loop evals at
+    # --eval_every cadence to record a convergence CURVE, not one point) ----
+    from nerfsys_tpu.models.container import container_bg_fn, container_field_fn
+    from nerfsys_tpu.ops.volrend import render_rays_stratified
+
+    ev_rng = np.random.default_rng(a.seed + 99)
+    ev = np.concatenate([_expert_rays(k, 512, ev_rng) for k in range(K)])
+    ev_rgb, _ = _gt_march(ev[:, 0:3], ev[:, 3:6])
+    ev_j = None  # device_put lazily (after the first train step compiles)
+
+    @jax.jit
+    def eval_rgb(p, rays):
+        field = container_field_fn(p, cfg, statics, None)
+        rgb, _, _, _ = render_rays_stratified(
+            field, rays, 96, randomized=False, bg_policy="white",
+            bg_fn=container_bg_fn(p, cfg),
+        )
+        return rgb
+
+    def heldout_psnr(p):
+        pred = np.asarray(eval_rgb(p, ev_j))
+        mse = float(np.mean((pred - ev_rgb) ** 2))
+        return -10.0 * np.log10(mse + 1e-24)
 
     key = jax.random.PRNGKey(a.seed)
     rays_per_step = K * B * (S * a.inner + Q)
     losses = []
+    curve = []  # [(step, heldout PSNR)]
+    best = (float("-inf"), None)  # (psnr, host params snapshot)
     t_start = time.perf_counter()
     t_steady = None
-    for i in range(a.steps):
+    eval_overhead = 0.0
+    for i in range(0 if a.load_dir else a.steps):
         batch = sample_batch(pools, rng, K, S, Q, B)
         if mesh is not None:
             from nerfsys_tpu.parallel.mesh import shard_batch
@@ -244,44 +287,60 @@ def run(a):
                 print(f"[k16] step {i}/{a.steps} loss {loss:.5f} "
                       f"psnr~{-10 * np.log10(max(loss, 1e-9)):.2f}",
                       flush=True)
+        if a.eval_every > 0 and ((i + 1) % a.eval_every == 0
+                                 or i == a.steps - 1):
+            te = time.perf_counter()
+            if ev_j is None:
+                ev_j = jnp.asarray(ev)
+            p_ev = heldout_psnr(params)
+            curve.append((i + 1, round(p_ev, 2)))
+            if p_ev > best[0]:
+                best = (p_ev, jax.tree_util.tree_map(np.asarray, params))
+            print(f"[k16] eval @ step {i + 1}: heldout {p_ev:.2f} dB"
+                  f"{' (best)' if p_ev == best[0] else ''}", flush=True)
+            eval_overhead += time.perf_counter() - te
         if i == 1:
             t_steady = time.perf_counter()  # skip compile
     n_steady = max(a.steps - 2, 1)
-    dt = ((time.perf_counter() - t_steady) / n_steady
+    dt = ((time.perf_counter() - t_steady - eval_overhead) / n_steady
           if t_steady else float("nan"))
 
-    # ---- eval: held-out query rays through the full routed container ----
-    from nerfsys_tpu.models.container import container_bg_fn, container_field_fn
-    from nerfsys_tpu.ops.volrend import render_rays_stratified
-
-    ev_rng = np.random.default_rng(a.seed + 99)
-    ev = np.concatenate([_expert_rays(k, 512, ev_rng) for k in range(K)])
-    ev_rgb, _ = _gt_march(ev[:, 0:3], ev[:, 3:6])
-
-    @jax.jit
-    def eval_rgb(p, rays):
-        field = container_field_fn(p, cfg, statics, None)
-        rgb, _, _, _ = render_rays_stratified(
-            field, rays, 96, randomized=False, bg_policy="white",
-            bg_fn=container_bg_fn(p, cfg),
+    # save-best: training keeps the LAST params for throughput, but the
+    # checkpoint (and the serve arms below) use the best-eval snapshot
+    # when a curve was recorded (reference save-best semantics)
+    if best[1] is not None and best[0] > 0:
+        params = jax.device_put(best[1])
+    if a.save_dir:
+        from nerfsys_tpu.utils.checkpoint import (
+            save_aux_state,
+            save_checkpoint,
         )
-        return rgb
 
-    pred = np.asarray(eval_rgb(params, jnp.asarray(ev)))
-    mse = float(np.mean((pred - ev_rgb) ** 2))
-    psnr = -10.0 * np.log10(mse + 1e-24)
+        save_checkpoint(a.save_dir, "k16", params, step=a.steps,
+                        best=best[0], is_best=best[1] is not None)
+        save_aux_state(a.save_dir, "k16", "occ", occ_state)
+        print(f"[k16] checkpoint saved to {a.save_dir} "
+              f"(best heldout {best[0]:.2f} dB)")
+
+    # ---- final eval: held-out query rays through the routed container ----
+    if ev_j is None:
+        ev_j = jnp.asarray(ev)
+    psnr = heldout_psnr(params)
 
     out = {
         "mode": "k16",
         "K": K,
         "steps": a.steps,
-        "step_seconds": round(dt, 4),
+        "step_seconds": round(dt, 4) if dt == dt else None,
         "rays_per_sec": round(rays_per_step / dt, 1) if dt == dt else None,
-        "final_loss": round(losses[-1], 6),
+        "final_loss": round(losses[-1], 6) if losses else None,
         "eval_psnr_heldout": round(psnr, 2),
         "backend": jax.default_backend(),
         "mesh": dict(mesh.shape) if mesh else None,
     }
+    if curve:
+        out["eval_curve"] = curve
+        out["best_psnr"] = round(best[0], 2)
 
     # ---- full-frame render through the real chunked dispatch ----
     if a.render_side > 0:
@@ -333,6 +392,58 @@ def run(a):
             cstats.get("n_coherent", 0) / rays.shape[0], 4)
         out["render_coherent_mean_rgb"] = round(float(rc[:, :3].mean()), 4)
 
+        # frame ground truth (chunked host march) — turns the serve arms'
+        # mean-rgb smoke into real PSNR numbers
+        gt = np.empty((rays.shape[0], 3), np.float32)
+        for s in range(0, rays.shape[0], 32768):
+            e = min(s + 32768, rays.shape[0])
+            gt[s:e], _ = _gt_march(rays[s:e, 0:3], rays[s:e, 3:6])
+
+        def frame_psnr(img):
+            return round(-10.0 * np.log10(
+                float(np.mean((img[:, :3] - gt) ** 2)) + 1e-24), 2)
+
+        out["render_psnr_gt"] = frame_psnr(r0)
+        out["render_coherent_psnr_gt"] = frame_psnr(rc)
+
+        # ---- baked-serve arm: the city-scale scene through the block-
+        # sparse snapshot (VERDICT r4 #1 — merge the 0.579 s/frame record
+        # mechanism with the K=16 premise). The routed MoE field bakes
+        # through the same bake_field as K=4 (container_apply_multidir
+        # composes the soft-routed experts at a point); occ union-skip +
+        # block compaction carry the cost, since the sphere grid is mostly
+        # empty space between experts.
+        if a.baked_res > 0:
+            from nerfsys_tpu.models.baked import (
+                BakedConfig,
+                bake_field,
+                make_baked_chunk_renderer,
+            )
+
+            bcfg = BakedConfig(resolution=a.baked_res,
+                               corner_pack=a.baked_pack,
+                               sparse_block=a.baked_sparse)
+            t0 = time.perf_counter()
+            baked = bake_field(params, cfg, statics, bcfg,
+                               occ_state=occ_state,
+                               occ_dilate=a.baked_dilate)
+            bake_s = time.perf_counter() - t0
+            tbl_gb = sum(np.asarray(baked[k]).nbytes
+                         for k in ("table", "block_index")
+                         if k in baked) / 1e9
+            ren_b = make_baked_chunk_renderer(
+                baked, bcfg, cfg, ray_samples=a.samples, bg_policy="white")
+            rb = render_rays_chunked(ren_b, params, statics, rays, chunk)
+            t0 = time.perf_counter()
+            rb = render_rays_chunked(ren_b, params, statics, rays, chunk)
+            out["baked_res"] = a.baked_res
+            out["baked_bake_seconds"] = round(bake_s, 1)
+            out["baked_table_gb"] = round(tbl_gb, 3)
+            out["baked_render_seconds"] = round(time.perf_counter() - t0, 2)
+            out["baked_psnr_gt"] = frame_psnr(rb)
+            out["baked_vs_live_db"] = round(
+                out["baked_psnr_gt"] - out["render_psnr_gt"], 2)
+
     print(json.dumps(out))
     return out, losses
 
@@ -349,6 +460,23 @@ def main(argv=None):
     ap.add_argument("--occ_warmup", type=int, default=24)
     ap.add_argument("--occ_interval", type=int, default=12)
     ap.add_argument("--render_side", type=int, default=800)
+    ap.add_argument("--baked_res", type=int, default=256,
+                    help="bake-and-serve arm grid res (0 = skip): routed "
+                         "MoE field -> block-sparse SH snapshot, served "
+                         "through make_baked_chunk_renderer")
+    ap.add_argument("--baked_pack", type=int, default=8)
+    ap.add_argument("--baked_sparse", type=int, default=8)
+    ap.add_argument("--baked_dilate", type=int, default=2)
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="heldout-eval cadence during training (0 = only "
+                         "at the end); records the convergence curve and "
+                         "keeps a save-best snapshot")
+    ap.add_argument("--save_dir", type=str, default="",
+                    help="write the (best) params checkpoint here")
+    ap.add_argument("--load_dir", type=str, default="",
+                    help="serve-only: restore a --save_dir checkpoint "
+                         "(params + occ) and skip training — run eval + "
+                         "render/baked arms directly")
     ap.add_argument("--mesh", type=str, default="",
                     help="mesh spec (e.g. 2x4): shard 'expert' over the "
                          "second axis; flips expert_map off (vmap path)")

@@ -201,6 +201,173 @@ def measure_train(iters: int = 3, use_occ: bool = False):
     return out
 
 
+def measure_train_anatomy(iters: int = 5, use_occ: bool = True):
+    """Itemize the demo-scale train step: who owns each millisecond
+    (VERDICT r4 weak #1 — the 58-73%-of-transaction-peak headline needs a
+    decomposition, not a story).
+
+    Isolated jitted programs at the step's EXACT shapes:
+      probe — the occupancy probe/CDF pass for one task's S support rays
+              (task_adapt hoists it: paid once per task, not per inner it)
+      enc   — planes encoder fwd+bwd alone at S x samples points
+      field — one expert's full loss fwd+bwd for ONE inner iteration
+              (encoder + MLPs + SH + compositing + MSE)
+      adapt — one expert's whole task_adapt (probe hoist + INNER its)
+      qloss — one expert's query loss fwd+bwd (Q rays, probe included)
+      step  — the whole outer step (the bench arm)
+
+    Composition model printed alongside: step ≈ K·B·(adapt + qloss)
+    + outer-update + residual, where residual is lax.map/scan dispatch +
+    grad accumulation + whatever overlap hides. mlp+composite ≈ field −
+    enc (reported as a difference)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfsys_tpu.pipelines.offline.meta_core import (
+        _expert_loss_fn,
+        query_loss,
+        task_adapt,
+    )
+
+    step, params, opt_state, statics, batch, d = bench_setup(use_occ)
+    occ_state = d["occ_state"]
+    meta_cfg = None  # rebuilt below to mirror bench_setup exactly
+    from nerfsys_tpu.pipelines.offline.meta_core import MetaConfig
+
+    meta_cfg = MetaConfig(algo="fomaml", inner_iter=d["INNER"],
+                          inner_lr=0.015, ray_samples=d["SAMPLES"],
+                          occ_importance=use_occ, occ_hard_mask=not use_occ)
+    cfg = _bench_cfg()
+    K, B, S, Q = d["K"], d["B"], d["S"], d["Q"]
+
+    e0 = jax.tree_util.tree_map(lambda a: a[0], params["experts"])
+    bg = params.get("bg")
+    aabb = statics.expert_aabbs[0]
+    sup_r = batch["support_rays"][0, 0]
+    sup_c = batch["support_rgbs"][0, 0]
+    qry_r = batch["query_rays"][0, 0]
+    qry_c = batch["query_rgbs"][0, 0]
+    occ_b = occ_state["binary"][0] if occ_state is not None else None
+    occ_v = (occ_state["occs"][0]
+             if occ_state is not None and use_occ else None)
+    occ_on = jnp.asarray(True) if occ_state is not None else None
+    key = jax.random.PRNGKey(3)
+
+    def timed(fn, *args):
+        out = fn(*args)  # compile
+        _sync(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+            _sync(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0) / iters
+
+    comp = {}
+
+    if occ_state is not None:
+        from nerfsys_tpu.ops.occupancy import (
+            occupancy_probe_cdf,
+            query_binary,
+            query_pair,
+        )
+
+        @jax.jit
+        def probe(rays):
+            o_, d_ = rays[:, 0:3], rays[:, 3:6]
+            near, far = rays[:, 6], rays[:, 7]
+            v = jnp.isfinite(near) & jnp.isfinite(far) & (far > near)
+            st = occupancy_probe_cdf(
+                lambda p: query_binary(occ_b, aabb, p),
+                o_, d_, jnp.where(v, near, 0.0), jnp.where(v, far, 1.0),
+                meta_cfg.occ_probes,
+                pair_fn=(lambda p: query_pair(occ_v, occ_b, aabb, p))
+                if use_occ else None,
+                ray_floor=meta_cfg.occ_ray_floor,
+            )
+            return st["cdf"]
+
+        comp["probe_S"] = timed(probe, sup_r)
+
+    from nerfsys_tpu.ops.planes import plane_encode
+
+    n_pts = S * d["SAMPLES"]
+    pts01 = jax.random.uniform(jax.random.PRNGKey(4), (n_pts, 3))
+
+    @jax.jit
+    def enc_fwdbwd(p_enc, x):
+        def f(p):
+            return (plane_encode(p, x, cfg.expert.planes) ** 2).sum()
+
+        return jax.value_and_grad(f)(p_enc)
+
+    comp["enc_fwdbwd"] = timed(enc_fwdbwd, e0["planes_enc"], pts01)
+
+    @jax.jit
+    def field_iter(p, kk):
+        def f(pp):
+            loss, _ = _expert_loss_fn(
+                meta_cfg, cfg, pp, aabb, bg, sup_r, sup_c, kk,
+                True, occ_binary=occ_b, occ_on=occ_on, occ_values=occ_v,
+            )
+            return loss
+
+        return jax.value_and_grad(f)(p)
+
+    comp["field_iter_fwdbwd"] = timed(field_iter, e0, key)
+
+    @jax.jit
+    def adapt(p, kk):
+        fast, il = task_adapt(
+            meta_cfg, cfg, p, aabb, bg, sup_r, sup_c, kk,
+            occ_binary=occ_b, occ_on=occ_on, occ_values=occ_v,
+        )
+        return il
+
+    comp["adapt_full"] = timed(adapt, e0, key)
+
+    @jax.jit
+    def qloss(p, kk):
+        loss, _ = query_loss(
+            meta_cfg, cfg, p, aabb, bg, qry_r, qry_c, kk,
+            occ_binary=occ_b, occ_on=occ_on, occ_values=occ_v,
+        )
+        return loss
+
+    comp["query_loss"] = timed(qloss, e0, key)
+
+    # the whole step (bench arm)
+    k2 = jax.random.PRNGKey(1)
+    params2, opt2, aux = step(params, opt_state, statics, batch, k2,
+                              occ_state)
+    _sync(aux["loss_out"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        k2, kk = jax.random.split(k2)
+        params2, opt2, aux = step(params2, opt2, statics, batch, kk,
+                                  occ_state)
+        _sync(aux["loss_out"])
+    comp["step_full"] = (time.perf_counter() - t0) / iters
+
+    model = K * B * (comp["adapt_full"] + comp["query_loss"])
+    out = {
+        "mode": "train_anatomy",
+        "use_occ": use_occ,
+        "iters": iters,
+        "components_seconds": {k: round(v, 4) for k, v in comp.items()},
+        "mlp_composite_by_difference": round(
+            comp["field_iter_fwdbwd"] - comp["enc_fwdbwd"], 4),
+        "kb_adapt_plus_query_model": round(model, 4),
+        "residual_dispatch_overlap": round(comp["step_full"] - model, 4),
+        "note": "residual = step - K*B*(adapt+qloss): lax.map/scan "
+                "dispatch + grad-accum + outer update, minus whatever "
+                "cross-program overlap hides (negative = overlap wins)",
+    }
+    print(json.dumps(out))
+    return out
+
+
 def measure_occ_update(iters: int = 3, resolution: int = 128,
                        levels: int = 4, update_interval: int = 12):
     """Occupancy EMA-update cost at demo scale: warmup (all cells) vs
@@ -371,14 +538,13 @@ def measure_render(side: int = 800, samples: int = 96, use_occ: bool = False,
 
         # with --use_occ the coherent programs are occupancy-guided: every
         # program probes the union grids for placement (identical CDF) and
-        # only the field eval narrows to the packed expert
-        if union_probe:
-            print("[render] --union_probe ignored with --coherent "
-                  "(coherent programs probe the exact per-expert union)")
+        # only the field eval narrows to the packed expert. --union_probe
+        # stacks: ALL programs then probe the ONE resampled grid (probe
+        # rows /K alongside the /K field evals — the combo rung)
         ren_c = make_coherent_renderer(
             _bench_cfg(), ray_samples=samples, bg_policy="white",
             occ_state=occ_state, occ_importance=use_occ,
-            sigma_scale=opaque)
+            sigma_scale=opaque, occ_probe_grid_res=union_probe)
         two_wave = False
 
         def frame():
@@ -788,8 +954,9 @@ def parse_perf_args(argv=None):
     the render default leaked over the mode's; VERDICT r3 item 1)."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=["train", "render", "moe", "occ_update",
-                             "baked", "baked_serve", "gather_width"],
+                    choices=["train", "train_anatomy", "render", "moe",
+                             "occ_update", "baked", "baked_serve",
+                             "gather_width"],
                     required=True)
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--samples", type=int, default=None,
@@ -846,6 +1013,8 @@ def main(argv=None):
     a = parse_perf_args(argv)
     if a.mode == "train":
         measure_train(a.iters, use_occ=a.use_occ)
+    elif a.mode == "train_anatomy":
+        measure_train_anatomy(a.iters, use_occ=a.use_occ)
     elif a.mode == "occ_update":
         measure_occ_update(a.iters)
     elif a.mode == "baked":
