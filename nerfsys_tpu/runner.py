@@ -145,6 +145,8 @@ def meta_config_from_args(P) -> MetaConfig:
         occ_hard_mask=not getattr(P, "occ_no_hard_mask", False),
         occ_ray_floor=float(getattr(P, "occ_ray_floor", 0.25)),
         occ_probes=int(getattr(P, "occ_probes", 128)),
+        expert_unroll=bool(getattr(P, "expert_unroll", False)),
+        task_unroll=bool(getattr(P, "task_unroll", False)),
     )
 
 

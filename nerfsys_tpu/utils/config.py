@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "space stays sampled and trainable")
     p.add_argument("--occ_probes", type=int, default=128,
                    help="probes per ray for the occupancy CDF pass")
+    p.add_argument("--expert_unroll", action="store_true",
+                   help="unroll the expert axis of the train step into K "
+                        "independent single-expert programs (cross-expert "
+                        "overlap; MetaConfig.expert_unroll)")
+    p.add_argument("--task_unroll", action="store_true",
+                   help="unroll the B-task grad-accumulation scan "
+                        "(MetaConfig.task_unroll)")
     p.add_argument("--occ_union_probe_res", type=int, default=0,
                    help="render-time probing from ONE resampled union grid "
                         "at this resolution instead of every expert's every "
