@@ -753,6 +753,52 @@ def make_chunk_renderer(
                 # programs — every chunk partials, termination is purely by
                 # accumulated transmittance
                 return et_builder(None, None)
+            if union_probe:
+                # SOFT mode one-shot + union grid: the grid steers sample
+                # PLACEMENT through render_rays_occ's probe_fns override —
+                # probe rows drop /K exactly as on the hard-mask two-wave
+                # path (before this, --occ_union_probe_res was a silent
+                # no-op on soft checkpoints: the TwoWave probe wrapper only
+                # exists when dead chunks do, and --render_fast therefore
+                # changed nothing on the shipped soft default — measured
+                # bit-identical eval_live/eval_fast, 2026-08-21). Same
+                # lazy-per-statics grid-as-argument pattern as
+                # _union_probe_wrap.
+                import functools
+
+                from nerfsys_tpu.models.occupancy import (
+                    build_union_probe_grid,
+                    union_probe_fns,
+                )
+
+                build_j = jax.jit(functools.partial(
+                    build_union_probe_grid, res=int(occ_probe_grid_res),
+                    importance=occ_importance))
+                grid_cache: Dict = {}
+
+                def grid_for(statics):
+                    key = id(statics)
+                    if key not in grid_cache:
+                        grid_cache.clear()
+                        grid_cache[key] = (statics, build_j(occ_state,
+                                                            statics))
+                    return grid_cache[key][1]
+
+                def render_union_fn(grid, params, statics, rays):
+                    rgb, depth, w, acc = render_rays_occ(
+                        params, cfg, statics, occ_state, rays, ray_samples,
+                        randomized=False, bg_policy=bg_policy,
+                        active_expert=active_expert,
+                        importance=occ_importance,
+                        hard_mask=occ_hard_mask,
+                        mask_from_probes=occ_probe_mask,
+                        use_bg_fn=use_bg_fn, sigma_scale=sigma_scale,
+                        probe_fns=union_probe_fns(grid),
+                    )
+                    return _with_stats(rgb, depth, w, acc)
+
+                jit_u = jax.jit(render_union_fn)
+                return lambda p, s, r: jit_u(grid_for(s), p, s, r)
     else:
         if float(early_stop_eps) > 0.0:
             print("[render] early_stop_eps ignored: early ray termination "

@@ -213,6 +213,36 @@ def test_ray_packing_matches_plain():
     np.testing.assert_allclose(out_cdf, out_plain, rtol=1e-6, atol=1e-6)
 
 
+def test_soft_mode_union_probe_engages():
+    """--occ_union_probe_res on a SOFT-mode renderer must actually change
+    probing (it was a silent no-op before 2026-08-21: the TwoWave probe
+    wrapper only exists when dead chunks do). Engagement = sample
+    placement moves (output differs from exact-probe soft render) while
+    staying close (the union grid is placement-only; sigma is never
+    masked in soft mode)."""
+    from nerfsys_tpu.pipelines.online.runtime_adapt import (
+        make_chunk_renderer,
+    )
+
+    cfg, st, params, occ, rng = _setup(occupied_experts=(0,))
+    # partial occupancy so the union resample actually coarsens the pdf
+    binary = np.zeros(np.asarray(occ["binary"]).shape, bool)
+    binary[0, :, ::2] = True
+    occ["binary"] = jnp.asarray(binary)
+    occ["occs"] = jnp.where(occ["binary"], 0.5, 0.0)
+    rays = _rays_at(rng, 128, target_y=-1.0)
+
+    exact = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                occ_importance=True, occ_hard_mask=False)
+    union = make_chunk_renderer(cfg, ray_samples=16, occ_state=occ,
+                                occ_importance=True, occ_hard_mask=False,
+                                occ_probe_grid_res=16)
+    rgb_e = np.asarray(exact(params, st, rays)[0])
+    rgb_u = np.asarray(union(params, st, rays)[0])
+    assert not np.allclose(rgb_e, rgb_u, atol=1e-7)  # engaged
+    assert float(np.abs(rgb_e - rgb_u).mean()) < 0.05  # placement-only
+
+
 def test_union_probe_grid_marks_centers_and_renders_close():
     """occ_probe_grid_res: wave-1 probes one resampled union grid (K x L
     fewer gather transactions). Placement-only — outputs stay close to
