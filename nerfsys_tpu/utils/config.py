@@ -196,10 +196,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render_fast", action="store_true",
                    help="preset for the measured fastest render config "
                         "(eval/video/view): top-1 bucketed expert routing + "
-                        "union-probe grid (800² occ-32 frame 5.6 s vs 11.4 s "
-                        "full soft blend on v5e, BASELINE.md). Changes blend "
-                        "semantics at expert boundaries (top-1 instead of "
-                        "margin-soft); explicit flags still win")
+                        "union-probe grid (honest numbers: top1+union occ-32 "
+                        "800² 9.77 s vs 11.4 s exact-probe two-wave; on SOFT "
+                        "checkpoints the win is the union probe alone — "
+                        "bucketed top-1 takes the exact overflow->dense "
+                        "fallback on full frames; BASELINE.md serve ladder). "
+                        "Changes blend semantics at expert boundaries (top-1 "
+                        "instead of margin-soft); explicit flags still win")
     p.add_argument("--routing_policy", type=str, default="dda",
                    choices=["dda", "alpha", "sampled"],
                    help="TaskDataset micro-cell routing: exact DDA traversal "
