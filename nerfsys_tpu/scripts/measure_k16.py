@@ -432,6 +432,9 @@ def run(a):
         # block compaction carry the cost, since the sphere grid is mostly
         # empty space between experts.
         if a.baked_res > 0:
+            # everything measured so far survives a killed bake (the 8+ GB
+            # table transfer through the axon tunnel can exceed timeouts)
+            print("[k16] partial " + json.dumps(out), flush=True)
             from nerfsys_tpu.models.baked import (
                 BakedConfig,
                 bake_field,
