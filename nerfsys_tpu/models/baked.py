@@ -220,7 +220,7 @@ def compact_baked(baked: Dict, bcfg: BakedConfig) -> Dict:
         return baked
     comp, block_index = _compact_np(np.asarray(baked["table"]), bcfg)
     out = dict(baked)
-    out["table"] = jnp.asarray(comp)
+    out["table"] = device_put_chunked(comp)
     out["block_index"] = jnp.asarray(block_index)
     return out
 
@@ -308,6 +308,42 @@ def _np_dilate3(mask: np.ndarray) -> np.ndarray:
             for dz in range(3):
                 out |= p[dx:dx + R, dy:dy + R, dz:dz + R]
     return out
+
+
+def device_put_chunked(arr: np.ndarray, max_bytes: int = 1 << 28):
+    """Push a big host array to device in bounded slices.
+
+    One monolithic host->device transfer of a multi-GB baked table can
+    stall indefinitely on a tunneled transport (observed: an 8.29 GB
+    jnp.asarray frozen for 55 min with IO counters flat, BASELINE.md
+    K=16 row). Bounded slices keep every RPC small, make progress
+    observable, and — via buffer donation — keep peak device memory at
+    table + one slice. Each slice lands with lax.dynamic_update_slice
+    into a donated table buffer; the last (ragged) slice is written
+    separately so only two programs ever compile.
+    """
+    a = np.ascontiguousarray(arr)
+    row_bytes = max(1, a.nbytes // max(1, a.shape[0]))
+    rows = max(1, int(max_bytes) // row_bytes)
+    if a.shape[0] <= rows:
+        return jnp.asarray(a)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("n",))
+    def _write(tbl, chunk, start, n):
+        del n  # static: distinguishes full-slice vs ragged-tail programs
+        zeros = (jnp.int32(0),) * (a.ndim - 1)
+        return jax.lax.dynamic_update_slice(tbl, chunk, (start,) + zeros)
+
+    tbl = jnp.zeros(a.shape, dtype=a.dtype)
+    for i, s in enumerate(range(0, a.shape[0], rows)):
+        e = min(s + rows, a.shape[0])
+        tbl = _write(tbl, jnp.asarray(a[s:e]), jnp.int32(s), n=e - s)
+        if i % 8 == 7:  # bound the outstanding-transfer queue (axon:
+            np.asarray(tbl[:1, ..., :1])  # block_until_ready is a no-op)
+    return tbl
 
 
 def bake_field(
@@ -452,7 +488,7 @@ def bake_field(
         print(f"[bake] sparse pack: {nb}/{total} blocks alive "
               f"({100.0 * nb / total:.1f}%), table "
               f"{comp.nbytes / 1e9:.2f} GB (dense {dense_gb:.2f})")
-        out["table"] = jnp.asarray(comp)
+        out["table"] = device_put_chunked(comp)
         out["block_index"] = jnp.asarray(block_index)
         return out
 
@@ -478,7 +514,7 @@ def bake_field(
         if dx:
             b = b.take(clamped, axis=0)
         table[..., bi * Cp:(bi + 1) * Cp] = b
-    out["table"] = jnp.asarray(table.reshape(n_cells, pack * Cp))
+    out["table"] = device_put_chunked(table.reshape(n_cells, pack * Cp))
     return out
 
 
@@ -599,7 +635,7 @@ def load_baked(path, bcfg: BakedConfig, *,
         a = z[k]
         if meta.get("dtypes", {}).get(k) == "bfloat16":
             a = a.view(ml_dtypes.bfloat16)
-        return jnp.asarray(a)
+        return device_put_chunked(a) if k == "table" else jnp.asarray(a)
 
     out = {"table": arr("table"), "aabb": arr("aabb"),
            "corner_pack": int(meta["corner_pack"])}

@@ -369,45 +369,54 @@ def run(a):
         out["render_seconds"] = round(time.perf_counter() - t0, 2)
         out["render_mean_rgb"] = round(float(r0[:, :3].mean()), 4)
 
+        arms = {s for s in a.arms.split(",") if s}
+
         # union-probe arm: at K=16 the exact MoE probe pays K x 128 = 2048
         # rows/ray — more than the field eval; ONE resampled union grid
         # cuts it /16 (placement-only approximation, soft mode)
-        ren_u = make_chunk_renderer(
-            cfg, ray_samples=a.samples, occ_state=occ_state,
-            occ_importance=True, occ_hard_mask=False,
-            occ_probe_grid_res=128,
-        )
-        ru = render_rays_chunked(ren_u, params, statics, rays, chunk)
-        t0 = time.perf_counter()
-        ru = render_rays_chunked(ren_u, params, statics, rays, chunk)
-        out["render_union_seconds"] = round(time.perf_counter() - t0, 2)
-        out["render_union_mean_rgb"] = round(float(ru[:, :3].mean()), 4)
+        ru = rc = None
+        if "union" in arms:
+            ren_u = make_chunk_renderer(
+                cfg, ray_samples=a.samples, occ_state=occ_state,
+                occ_importance=True, occ_hard_mask=False,
+                occ_probe_grid_res=128,
+            )
+            ru = render_rays_chunked(ren_u, params, statics, rays, chunk)
+            t0 = time.perf_counter()
+            ru = render_rays_chunked(ren_u, params, statics, rays, chunk)
+            out["render_union_seconds"] = round(
+                time.perf_counter() - t0, 2)
+            out["render_union_mean_rgb"] = round(
+                float(ru[:, :3].mean()), 4)
 
         # coherent + union-probe arm: the K=16 clustered scene is exactly
         # where whole rays collapse to one expert (1/16 the field evals),
         # and sharing the union grid across all programs drops probe rows
         # /16 too (the VERDICT r4 combo). Exact re-packing vs the combo's
         # own full program (tests/test_coherent.py).
-        from nerfsys_tpu.pipelines.online.runtime_adapt import (
-            make_coherent_renderer,
-        )
+        if "coherent" in arms:
+            from nerfsys_tpu.pipelines.online.runtime_adapt import (
+                make_coherent_renderer,
+            )
 
-        ren_c = make_coherent_renderer(
-            cfg, ray_samples=a.samples, occ_state=occ_state,
-            occ_importance=True, occ_hard_mask=False,
-            occ_probe_grid_res=128,
-        )
-        cstats = {}
-        rc = render_rays_chunked(ren_c, params, statics, rays, chunk,
-                                 stats=cstats)
-        t0 = time.perf_counter()
-        cstats = {}
-        rc = render_rays_chunked(ren_c, params, statics, rays, chunk,
-                                 stats=cstats)
-        out["render_coherent_seconds"] = round(time.perf_counter() - t0, 2)
-        out["render_coherent_frac"] = round(
-            cstats.get("n_coherent", 0) / rays.shape[0], 4)
-        out["render_coherent_mean_rgb"] = round(float(rc[:, :3].mean()), 4)
+            ren_c = make_coherent_renderer(
+                cfg, ray_samples=a.samples, occ_state=occ_state,
+                occ_importance=True, occ_hard_mask=False,
+                occ_probe_grid_res=128,
+            )
+            cstats = {}
+            rc = render_rays_chunked(ren_c, params, statics, rays, chunk,
+                                     stats=cstats)
+            t0 = time.perf_counter()
+            cstats = {}
+            rc = render_rays_chunked(ren_c, params, statics, rays, chunk,
+                                     stats=cstats)
+            out["render_coherent_seconds"] = round(
+                time.perf_counter() - t0, 2)
+            out["render_coherent_frac"] = round(
+                cstats.get("n_coherent", 0) / rays.shape[0], 4)
+            out["render_coherent_mean_rgb"] = round(
+                float(rc[:, :3].mean()), 4)
 
         # frame ground truth (chunked host march) — turns the serve arms'
         # mean-rgb smoke into real PSNR numbers
@@ -421,8 +430,10 @@ def run(a):
                 float(np.mean((img[:, :3] - gt) ** 2)) + 1e-24), 2)
 
         out["render_psnr_gt"] = frame_psnr(r0)
-        out["render_union_psnr_gt"] = frame_psnr(ru)
-        out["render_coherent_psnr_gt"] = frame_psnr(rc)
+        if ru is not None:
+            out["render_union_psnr_gt"] = frame_psnr(ru)
+        if rc is not None:
+            out["render_coherent_psnr_gt"] = frame_psnr(rc)
 
         # ---- baked-serve arm: the city-scale scene through the block-
         # sparse snapshot (VERDICT r4 #1 — merge the 0.579 s/frame record
@@ -490,6 +501,12 @@ def main(argv=None):
     ap.add_argument("--baked_pack", type=int, default=8)
     ap.add_argument("--baked_sparse", type=int, default=8)
     ap.add_argument("--baked_dilate", type=int, default=2)
+    ap.add_argument("--arms", type=str, default="union,coherent",
+                    help="csv of OPTIONAL render arms (union, coherent); "
+                         "the live arm always runs (the baked A/B needs "
+                         "it) and the baked arm is gated by --baked_res. "
+                         "Pass '' to run live+baked only — each optional "
+                         "arm costs a program compile on a cold worker")
     ap.add_argument("--eval_every", type=int, default=0,
                     help="heldout-eval cadence during training (0 = only "
                          "at the end); records the convergence curve and "

@@ -590,3 +590,34 @@ def test_baked_cache_roundtrip_and_guards(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(l16["table"]).view(np.uint16),
         np.asarray(b16["table"]).view(np.uint16))
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((37, 12), np.float32),      # ragged tail slice
+    ((64, 5), "bfloat16"),       # exact multiple, shipped table dtype
+    ((3, 4, 6), np.int32),       # ndim > 2 (dense (R,R,R,W) tables)
+])
+def test_device_put_chunked_bitexact(shape, dtype):
+    """Chunked host->device push is bit-identical to jnp.asarray.
+
+    The monolithic transfer of a multi-GB table stalled the axon tunnel
+    (BASELINE.md K=16 row); every table now rides device_put_chunked —
+    this pins that the slicing/donation mechanics change nothing."""
+    import ml_dtypes
+
+    from nerfsys_tpu.models.baked import device_put_chunked
+
+    dt = ml_dtypes.bfloat16 if dtype == "bfloat16" else dtype
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(shape).astype(dt)
+    # max_bytes below one row -> one row per slice (worst case ragged)
+    got = device_put_chunked(a, max_bytes=a[0:1].nbytes)
+    assert got.dtype == jnp.asarray(a).dtype
+    np.testing.assert_array_equal(
+        np.asarray(got).view(np.uint8), a.view(np.uint8))
+    # mid-size slices (ragged tail) and the small-array fast path
+    np.testing.assert_array_equal(
+        np.asarray(device_put_chunked(a, max_bytes=a[0:2].nbytes + 1)),
+        np.asarray(a))
+    np.testing.assert_array_equal(
+        np.asarray(device_put_chunked(a)), np.asarray(a))
